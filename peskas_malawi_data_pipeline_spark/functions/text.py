@@ -1,0 +1,137 @@
+"""Text-analysis column functions (extension surface, BASELINE.json north_star).
+
+Language-ID, quality scoring, token counting, n-gram shingling, deterministic
+hashing, and document fingerprinting — all as pure Column expressions
+(JVM-side, codegen-friendly, no Python in the hot path), so they run at
+100 TB scan speed and can be differential-tested against an ANSI-SQL oracle.
+
+Hashing uses md5 (bit-identical across engines) truncated to 32 bits; the
+shingle/minhash pipeline built on it (operators.dedup) therefore yields
+identical signatures in any engine with md5, which is what makes the dedup
+operators oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets for the n-gram/stopword heuristic
+# language ID. Deliberately tiny + deterministic (public common-word lists).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "es": ["el", "la", "los", "que", "y", "un", "es"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"],
+}
+
+_PUNCT_RE = r"[\.,;:!\?\"'\(\)\[\]\{\}]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization after lower+trim; empty strings removed."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: count maximal runs of word characters
+    plus standalone punctuation, the shape a BPE tokenizer's pre-tokenizer
+    produces. Pure regex — an upper-bound proxy, not a real BPE."""
+    pieces = F.split(F.lower(col), r"(?<=\W)|(?=\W)")
+    return F.size(F.filter(pieces, lambda t: F.trim(t) != ""))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``col`` as array<string>.
+
+    Built with higher-order functions: slide a window of ``n`` tokens and
+    join with spaces. Documents shorter than ``n`` tokens yield the full
+    token string as a single shingle (so every doc has ≥1 shingle).
+    """
+    t = tokens(col)
+    k = F.size(t)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.array_distinct(windows)
+
+
+def hash32_md5(col: Column, seed: str = "") -> Column:
+    """Deterministic 32-bit hash: first 8 hex chars of md5(seed || value),
+    as a bigint. Identical in any engine with md5 (DuckDB:
+    ``CAST('0x' || substr(md5(seed || v), 1, 8) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 8), 16, 10).cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    total = F.length(col)
+    punct = total - F.length(F.regexp_replace(col, _PUNCT_RE, ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Stopword tokens / total tokens for ``lang``'s marker set."""
+    marks = LANG_MARKERS[lang]
+    t = tokens(col)
+    n = F.size(t)
+    hits = F.size(F.filter(t, lambda w: w.isin(marks)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: rewards moderate length, penalizes
+    punctuation soup and stopword-free (non-linguistic) text. Deterministic
+    closed form so it is oracle-checkable:
+
+        0.4 * min(len/500, 1) + 0.3 * (1 - min(punct_ratio*5, 1))
+        + 0.3 * min(stopword_ratio*5, 1)
+    """
+    length_term = F.least(F.length(col).cast("double") / 500.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return 0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (the language-ID heuristic's features):
+    for each language, how many of its marker words appear as tokens."""
+    t = tokens(col)
+    return {
+        lang: F.size(F.filter(t, lambda w: w.isin(marks)))
+        for lang, marks in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: the language whose marker set has the most
+    token hits; ties and zero-hit texts resolve to 'und'. Expressed as a
+    fold over a deterministic language order so the same argmax is computed
+    by the SQL oracle."""
+    scores = lang_scores(col)
+    langs = sorted(scores)  # deterministic evaluation order
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace/case-normalized text.
+    Collapses runs of whitespace and case so trivially-reformatted copies
+    collide — the exact-dedup key for operators.dedup.exact_dedup_normalized.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,82 @@
+"""Join operators (SURVEY §2.6, J1–J9).
+
+Scale stance: the reference's joins fall into two classes —
+(a) fact ⋈ tiny dimension (bounds tables, device registry): always broadcast;
+(b) fact ⋈ fact on a shared key (landings ⋈ trips): shuffle hash/sort-merge on
+the key, with AQE handling skew. Helpers below encode those choices.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def reduce_join(dfs: Sequence[DataFrame], on: Sequence[str], how: str = "full") -> DataFrame:
+    """J1/J3 — fold a list of frames with a shared key
+    (`purrr::reduce(full_join)`, `R/preprocessing.R:252-264`;
+    `R/validation.R:70-73`).
+
+    NOTE (SURVEY §4.3): when all frames derive from one parent, prefer a
+    single fused ``select`` — the gear-effort fold is implemented that way in
+    plans.preprocess; this generic fold exists for operator parity and for
+    genuinely independent inputs.
+    """
+    return reduce(lambda a, b: a.join(b, list(on), how), dfs)
+
+
+def broadcast_left_join(fact: DataFrame, dim: DataFrame, on: Sequence[str] | Column,
+                        how: str = "left") -> DataFrame:
+    """J4/J5/J6 — fact ⋈ small dimension with an explicit broadcast hint
+    (bounds tables `R/validation-functions.R:225,300`; imei alerts
+    `R/merge_trips.R:85`). The hint makes the plan stable at any scale —
+    never a shuffle of the 100 TB side against a KB-size table.
+    """
+    on = list(on) if isinstance(on, (list, tuple)) else on
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def inner_join_matched(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J7 — the reference's full_join + filter(both keys non-null) is an
+    inner join (`R/merge_trips.R:103-109`); expressed directly as inner
+    (SURVEY §4.3 — same result, half the output churn).
+    """
+    return left.join(right, list(on), "inner")
+
+
+def suffix_match_join(facts: DataFrame, fact_key: str, fact_value: str,
+                      registry: DataFrame, registry_value: str) -> DataFrame:
+    """J9 — theta join: registry value ENDS WITH the reported digits
+    (IMEI validation, `R/validation-functions.R:339-375`: regex
+    ``paste0(imei, "$")`` per value via purrr::imap).
+
+    Spark-first: a broadcast-nested-loop join on an ``endswith`` predicate
+    against the (tiny) registry, then a grouped count per fact key — the
+    per-value R loop becomes one distributed pass. Returns one row per input
+    fact row: (fact_key, fact_value, n_matches, matched_value).
+    """
+    distinct_facts = facts.select(fact_key, fact_value).distinct()
+    reg = F.broadcast(registry.select(F.col(registry_value).alias("__reg_value")))
+    joined = distinct_facts.join(
+        reg, F.col("__reg_value").endswith(F.col(fact_value)), "left")
+    return (joined.groupBy(fact_key, fact_value)
+            .agg(F.count("__reg_value").alias("n_matches"),
+                 F.min("__reg_value").alias("matched_value")))
+
+
+def grid_complete(df: DataFrame, key_a: str, key_b: str,
+                  agg_exprs: Sequence[Column]) -> DataFrame:
+    """U2 — `tidyr::complete(a, b)`: aggregate by (a, b), then expand to the
+    full cross product of observed key values, NULL-filling absent cells
+    (`inst/reports/malawi-report.qmd:69,124`).
+
+    The cross join runs on two *distinct-value* relations (small), never on
+    the fact table; the fact side is aggregated before the expansion.
+    """
+    agged = df.groupBy(key_a, key_b).agg(*agg_exprs)
+    grid = (df.select(key_a).distinct()
+            .crossJoin(df.select(key_b).distinct()))
+    return grid.join(agged, [key_a, key_b], "left")

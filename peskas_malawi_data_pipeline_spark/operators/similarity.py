@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed variant
+as the 100 TB scale path. Dot products use higher-order functions
+(``zip_with`` + ``aggregate``) — evaluated in the JVM, no Python UDF; at very
+high dimensionality a vectorized Pandas UDF over Arrow batches is the
+alternative (numpy matmul per batch), kept in ``cosine_topk_pandas`` for
+comparison and as the documented fast path when dims ≫ 10³.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM-evaluated)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos(a,b); NULL when either vector has zero norm. Operands are cast to
+    double element-wise first so float32 storage doesn't leak rounding
+    differences into comparisons."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    denom = l2_norm(ad) * l2_norm(bd)
+    return F.when(denom > 0, dot(ad, bd) / denom)
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                     query_id: str = "query_id", corpus_id: str = "corpus_id",
+                     vec_col: str = "embedding",
+                     round_digits: int | None = 6) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector over the corpus.
+
+    Plan shape: broadcast the (small) query set against the corpus — the
+    corpus is never shuffled; per-corpus-partition partial top-k via
+    row_number window on (query, −similarity). For large query sets,
+    block-partition the queries and union. ``round_digits`` + corpus-id
+    tie-break makes the selection deterministic across summation orders.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    scored = c.join(F.broadcast(q), F.col(query_id) != F.col(corpus_id))
+    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = scored.select(query_id, corpus_id, sim.alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def hyperplane_lsh_buckets(df: DataFrame, vec_col: str = "embedding",
+                           planes: Sequence[Sequence[float]] | None = None,
+                           n_axis_planes: int = 8,
+                           bucket_name: str = "bucket") -> DataFrame:
+    """Sign-LSH bucket id per vector: bit i = (vec · planeᵢ > 0).
+
+    ``planes=None`` uses the first ``n_axis_planes`` coordinate axes
+    (axis-aligned hyperplanes) — fully deterministic and engine-portable.
+    Supplying random-projection planes (seeded, generated once driver-side)
+    gives classic SRP-LSH; they broadcast as literals into the expression.
+    Pure map: no shuffle — the bucket id then serves as the blocking key for
+    a bucket-local join (candidate generation at 100 TB instead of n²).
+    """
+    v = F.col(vec_col)
+    if planes is None:
+        bits = [F.when(v.getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(n_axis_planes)]
+    else:
+        bits = []
+        for i, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            d = dot(F.transform(v, lambda x: x.cast("double")), lit_plane)
+            bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn(bucket_name, bucket.cast("long"))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             query_id: str = "query_id", corpus_id: str = "corpus_id",
+             vec_col: str = "embedding", n_axis_planes: int = 8) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine rank within the bucket. One equi-join on the bucket id
+    (shuffle both sides on a small uniform key) instead of a full cross
+    product — the IVF/LSH scale path.
+    """
+    qb = hyperplane_lsh_buckets(
+        queries.select(F.col(query_id), F.col(vec_col).alias("__qv")), "__qv",
+        n_axis_planes=n_axis_planes)
+    cb = hyperplane_lsh_buckets(
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv")), "__cv",
+        n_axis_planes=n_axis_planes)
+    cand = cb.join(F.broadcast(qb), "bucket").filter(F.col(query_id) != F.col(corpus_id))
+    sim = F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6)
+    scored = cand.select(query_id, corpus_id, sim.alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
+                       query_id: str = "query_id", corpus_id: str = "corpus_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Arrow-vectorized brute-force top-k: queries collected to a numpy
+    matrix (they are the small side by construction), corpus streamed through
+    ``mapInPandas`` in Arrow batches, numpy matmul per batch, per-batch
+    partial top-k, final exact top-k by window. The fast path when dims are
+    large enough that per-element HOF evaluation dominates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype="float64")
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = np.inf
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[corpus_id].to_numpy()
+            cmat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0] = np.inf
+            sims = (cmat @ qmat.T) / cnorm[:, None] / qnorm[None, :]
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                top = np.argsort(-col)[:k]
+                yield pd.DataFrame({
+                    query_id: qid, corpus_id: ids[top],
+                    "cosine": np.round(col[top], 6),
+                })
+
+    schema = f"{query_id} long, {corpus_id} long, cosine double"
+    scored = corpus.select(corpus_id, vec_col).mapInPandas(score, schema)
+    scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

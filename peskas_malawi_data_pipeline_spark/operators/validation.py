@@ -1,0 +1,126 @@
+"""Robust-outlier validation (SURVEY §2.7 A3/A4, §2.11, §4.4).
+
+The reference's one custom statistical kernel is `univOutl::LocScaleB(x,
+logt=TRUE, k)` (`R/validation-functions.R:48,393`): on y = log(x+1),
+location = median(y), scale = 1.4826·median(|y − median(y)|) (normal-
+consistent MAD), bounds = location ± k·scale, back-transformed per call site
+(`exp(bounds)−1` in alert_outlier `:51`; `exp(bounds)` in the grouped bounds
+builders `:191,260-263` — quirk Q3, preserved).
+
+Spark-first: a two-pass grouped aggregation with exact medians — pass 1
+median(log1p(x)) per group, join back (broadcast — the bounds relation has
+one row per group), pass 2 median(|y − med|). No UDF, no custom Catalyst
+rule. At 100 TB swap F.median for percentile_approx via ``approx=True``:
+same shape, sketch-mergeable, single-digit-ppm error.
+
+Guards (reference `alert_outlier`, `R/validation-functions.R:29-46`):
+  - logt requires non-negative x: rows with x<0 are excluded from the
+    stats (log1p would NaN-poison the median);
+  - all-NULL or all-zero groups produce no bounds (NULL);
+  - MAD ≤ 0 (constant group) produces no bounds.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAD_CONSISTENCY = 1.4826
+
+
+def _median(col: Column, approx: bool) -> Column:
+    return F.percentile_approx(col, 0.5, 100000) if approx else F.median(col)
+
+
+def loc_scale_bounds(df: DataFrame, value: str, keys: Sequence[str] = (),
+                     k: float = 3.0, logt: bool = True,
+                     back_transform: str = "exp",
+                     approx: bool = False) -> DataFrame:
+    """A3 — grouped LocScaleB bounds: one row per key group with
+    ``lower_bound``/``upper_bound`` (reference `get_bounds` + group-split,
+    `R/validation-functions.R:183-195,252-264,392-395`).
+
+    ``back_transform``: 'exp' (`exp(bounds)`, the grouped bounds builders),
+    'expm1' (`exp(bounds)-1`, alert_outlier), or 'none' (bounds in y-space).
+    Empty ``keys`` gives the global (A4) variant as a 1-row DataFrame.
+    """
+    y = F.log1p(F.col(value)) if logt else F.col(value)
+    base = df.filter(F.col(value).isNotNull())
+    if logt:
+        base = base.filter(F.col(value) >= 0)
+    base = base.select(*keys, y.alias("__y"), F.col(value).alias("__x"))
+
+    gb = list(keys)
+    med = (base.groupBy(*gb).agg(_median(F.col("__y"), approx).alias("__med"),
+                                 F.max(F.abs(F.col("__x"))).alias("__absmax")))
+    # Bounds relation: |groups| rows — broadcast back onto the data.
+    with_med = base.join(F.broadcast(med), gb, "inner") if gb else base.crossJoin(F.broadcast(med))
+    mad = (with_med.groupBy(*gb)
+           .agg(_median(F.abs(F.col("__y") - F.col("__med")), approx).alias("__mad_raw"),
+                F.first("__med").alias("__med"),
+                F.first("__absmax").alias("__absmax")))
+
+    scale = F.col("__mad_raw") * MAD_CONSISTENCY
+    lo_y = F.col("__med") - k * scale
+    hi_y = F.col("__med") + k * scale
+    if back_transform == "exp":
+        lo, hi = F.exp(lo_y), F.exp(hi_y)
+    elif back_transform == "expm1":
+        lo, hi = F.expm1(lo_y), F.expm1(hi_y)
+    elif back_transform == "none":
+        lo, hi = lo_y, hi_y
+    else:
+        raise ValueError(f"unknown back_transform: {back_transform}")
+
+    # Guards: all-zero group (max |x| == 0) or degenerate MAD → no bounds.
+    valid = (F.col("__absmax") > 0) & (F.col("__mad_raw") > 0)
+    return mad.select(
+        *gb,
+        F.when(valid, lo).alias("lower_bound"),
+        F.when(valid, hi).alias("upper_bound"),
+    )
+
+
+def alert_outlier(df: DataFrame, value: str, alert_if_low, alert_if_high,
+                  keys: Sequence[str] = (), k: float = 3.0, logt: bool = True,
+                  approx: bool = False,
+                  alert_name: str = "alert", bounds_transform: str = "expm1") -> DataFrame:
+    """A4 — per-row outlier alert (reference `alert_outlier`,
+    `R/validation-functions.R:21-58`): compute (grouped or global) LocScaleB
+    bounds, broadcast-join them back, emit ``alert_if_low``/``alert_if_high``
+    where the value crosses a bound, NULL otherwise.
+    """
+    bounds = loc_scale_bounds(df, value, keys=keys, k=k, logt=logt,
+                              back_transform=bounds_transform, approx=approx)
+    if keys:
+        joined = df.join(F.broadcast(bounds), list(keys), "left")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    v = F.col(value)
+    alert = (F.when(v.isNotNull() & F.col("lower_bound").isNotNull() & (v < F.col("lower_bound")), F.lit(alert_if_low))
+             .when(v.isNotNull() & F.col("upper_bound").isNotNull() & (v > F.col("upper_bound")), F.lit(alert_if_high)))
+    return joined.withColumn(alert_name, alert).drop("lower_bound", "upper_bound")
+
+
+def mask_where(df: DataFrame, value_cols: Sequence[str], alert_col: str) -> DataFrame:
+    """§2.11 mask step — when a rule fires, the offending value(s) become
+    NULL (e.g. `n_fishers → NA` on alert 2, `R/validation-functions.R:118-128`).
+    """
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.when(F.col(alert_col).isNull(), F.col(c)))
+    return out
+
+
+def fuse_alerts(df: DataFrame, alert_cols: Sequence[str],
+                out: str = "alert_number") -> DataFrame:
+    """§2.11 fusion — concatenate per-rule alert columns into one
+    dash-separated string, skipping NULLs (`tidyr::unite(sep="-",
+    na.rm=TRUE)`, `R/validation.R:90-95`); all-NULL rows yield an empty
+    string exactly like unite's na.rm output.
+    """
+    return df.withColumn(
+        out, F.concat_ws("-", *[F.col(c).cast("string") for c in alert_cols]))

@@ -1,0 +1,427 @@
+"""Driver-contract query registry: every SURVEY §2 operator instantiated on
+the synthetic TPC-H-ish tables, each with a DuckDB-oracle SQL twin.
+
+Conventions that make the hash-compare deterministic:
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded (sums→2dp, means/ratios→4dp, cosines→6dp);
+- date/timestamp outputs are rendered as strings;
+- top-k windows totally ordered via an id tie-break.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import expressions as E
+from .functions import text as T
+from .operators import aggregates as agg_ops
+from .operators import dedup as dedup_ops
+from .operators import joins as join_ops
+from .operators import relational as rel_ops
+from .operators import similarity as sim_ops
+from .operators import validation as val_ops
+
+# name -> (query_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read the raw int64 and truncate to microseconds
+        # (exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does, keeping
+        # oracle parity). Integer `div` — a double intermediate would lose
+        # precision at 1.7e18 ns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 2):
+    """Exact decimal view of a money column for order-insensitive sums.
+
+    Sums of doubles are order-dependent in the last bits, and Spark and
+    DuckDB round doubles differently at exact .xx5 boundaries (decimal-string
+    HALF_UP vs binary floor(x·100+0.5)). Casting the 2-decimal inputs to
+    DECIMAL makes products/sums exact and the final rounding a no-op in both
+    engines.
+    """
+    return col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / filter / projection core (A2/A5/A6, P5/P8, E4/E10)
+# ---------------------------------------------------------------------------
+
+@register("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+         AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→agg (TPC-H Q1 shape; SURVEY A2/A6/E10).
+
+    Filter and the 2-column grouping push to the parquet scan; partial
+    aggregation combines map-side, so the shuffle carries |groups| rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(_dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))).cast("double"), 4).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("filter_project", """
+SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_id,
+       l_returnflag,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS net_price,
+       CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class
+FROM lineitem
+WHERE l_returnflag NOT IN ('A', 'N')
+""")
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 transmute + P8 exclusion filter + E3/E5 derived columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = rel_ops.filter_not_in(li, "l_returnflag", ["A", "N"])
+    return li.select(
+        E.make_survey_id(F.col("l_orderkey"), F.col("l_linenumber"), F.lit(None)).alias("line_id"),
+        "l_returnflag",
+        # 6dp: the product of three 2-decimal factors has exactly 6 decimals,
+        # so rounding is exact in both engines (no .xx5 boundary ambiguity).
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6).alias("net_price"),
+        E.case_when([(F.col("l_quantity") >= 25, "bulk")], otherwise="small").alias("qty_class"),
+    )
+
+
+@register("distinct_pairs", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — keyed distinct (one narrow-key shuffle)."""
+    return rel_ops.distinct_rows(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus"))
+
+
+@register("union_by_name", """
+SELECT 'open' AS src, o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'done' AS src, o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F'
+""")
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — unionByName(allowMissingColumns) with provenance tag
+    (`bind_rows(.id)`, R/ingestion.R:92): disjoint column sets NULL-fill."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderpriority")
+    return rel_ops.union_by_name([a, b], id_col="src", tags=["open", "done"])
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1–J9)
+# ---------------------------------------------------------------------------
+
+@register("join_broadcast_dim", """
+SELECT p.p_brand,
+       round(sum(l.l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — fact ⋈ broadcast dimension: the 100 TB side never shuffles for
+    the join; only the final small agg shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = join_ops.broadcast_left_join(
+        li, part, li.l_partkey == part.p_partkey, how="inner")
+    return (joined.groupBy("p_brand")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("join_inner_matched", """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def join_inner_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — the reference's full_join+both-non-null-filter expressed directly
+    as the inner join it is (R/merge_trips.R:103-109, SURVEY §4.3)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    joined = join_ops.inner_join_matched(o, c, ["o_custkey"])
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@register("reduce_full_join", """
+WITH f1 AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey),
+f2 AS (
+  SELECT o_orderkey AS l_orderkey, round(o_totalprice, 2) AS total_price
+  FROM orders WHERE o_totalprice > 200000),
+f3 AS (
+  SELECT o_orderkey AS l_orderkey, o_orderpriority
+  FROM orders WHERE o_orderstatus = 'O')
+SELECT l_orderkey, sum_qty, total_price, o_orderpriority
+FROM f1 FULL JOIN f2 USING (l_orderkey) FULL JOIN f3 USING (l_orderkey)
+""")
+def reduce_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — reduce-fold of full outer joins on a shared key
+    (`purrr::reduce(full_join)`, R/preprocessing.R:252-264)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    f1 = li.groupBy("l_orderkey").agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    f2 = (o.filter(F.col("o_totalprice") > 200000)
+          .select(F.col("o_orderkey").alias("l_orderkey"),
+                  F.round("o_totalprice", 2).alias("total_price")))
+    f3 = (o.filter(F.col("o_orderstatus") == "O")
+          .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"))
+    return join_ops.reduce_join([f1, f2, f3], ["l_orderkey"], "full")
+
+
+@register("suffix_match_join", """
+SELECT c.c_custkey,
+       CAST(count(s.s_suppkey) AS BIGINT) AS n_matches,
+       min(CAST(s.s_suppkey AS VARCHAR)) AS matched_value
+FROM (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey <= 200) c
+LEFT JOIN supplier s
+  ON CAST(s.s_suppkey AS VARCHAR) LIKE '%' || CAST(c.c_custkey AS VARCHAR)
+GROUP BY c.c_custkey
+""")
+def suffix_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — suffix theta-join (IMEI registry match,
+    R/validation-functions.R:339-375): broadcast-nested-loop on endswith,
+    then grouped match count. The registry is the broadcast side."""
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") <= 200)
+         .withColumn("cust_str", F.col("c_custkey").cast("string")))
+    s = (_t(spark, sf_dir, "supplier")
+         .withColumn("supp_str", F.col("s_suppkey").cast("string")))
+    out = join_ops.suffix_match_join(c, "c_custkey", "cust_str", s, "supp_str")
+    return out.select("c_custkey", "n_matches",
+                      F.col("matched_value"))
+
+
+# ---------------------------------------------------------------------------
+# Windows / grouped computation (A1/A7/W1/W3, U2)
+# ---------------------------------------------------------------------------
+
+@register("window_unique_flag", """
+SELECT event_id,
+       CAST(count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) = 1 AS BOOLEAN)
+         AS unique_per_day
+FROM events
+""")
+def window_unique_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W2 — per-group count attached as a row flag
+    (`mutate(n() == 1)`, R/merge_trips.R:87-88)."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    flagged = agg_ops.group_count_flag(ev, ["user_id", "day"], "unique_per_day")
+    return flagged.select("event_id", "unique_per_day")
+
+
+@register("topk_per_group", """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_price
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) x
+WHERE rn <= 5
+""")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — top-k per group with total ordering (slice_head(n),
+    malawi-report.qmd:102-112); Spark plans a partial top-k per partition."""
+    o = _t(spark, sf_dir, "orders")
+    top = agg_ops.top_k_per_group(
+        o, ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")], k=5)
+    return top.select("o_orderpriority", "o_orderkey",
+                      F.round("o_totalprice", 2).alias("total_price"))
+
+
+@register("grouped_mean_as_column", """
+SELECT c_custkey, c_nationkey,
+       round(avg(c_acctbal) OVER (PARTITION BY c_nationkey), 4) AS nation_avg_bal
+FROM customer
+""")
+def grouped_mean_as_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — group mean carried onto every row (mutate(mean(...)),
+    malawi-report.qmd:155-156)."""
+    c = _t(spark, sf_dir, "customer")
+    out = agg_ops.grouped_mean_as_column(c, ["c_nationkey"], "c_acctbal", "nation_avg_bal")
+    return out.select("c_custkey", "c_nationkey",
+                      F.round("nation_avg_bal", 4).alias("nation_avg_bal"))
+
+
+@register("count_sorted", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, event_type
+""")
+def count_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/W3 — count per group, ordered (count %>% arrange(-n))."""
+    return agg_ops.count_sorted(_t(spark, sf_dir, "events"), ["event_type"])
+
+
+@register("grid_complete", """
+WITH f AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events WHERE value > 99),
+a AS (
+  SELECT event_type, day, round(sum(value), 2) AS total
+  FROM f GROUP BY event_type, day)
+SELECT t.event_type, CAST(d.day AS VARCHAR) AS day, a.total
+FROM (SELECT DISTINCT event_type FROM f) t
+CROSS JOIN (SELECT DISTINCT day FROM f) d
+LEFT JOIN a ON a.event_type = t.event_type AND a.day = d.day
+""")
+def grid_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — tidyr::complete grid expansion with NULL fill
+    (malawi-report.qmd:69): cross product of observed key values, built from
+    distinct-value relations, never the fact table."""
+    ev = (_t(spark, sf_dir, "events").filter(F.col("value") > 99)
+          .withColumn("day", F.to_date("ts")))
+    out = join_ops.grid_complete(
+        ev, "event_type", "day", [F.round(F.sum("value"), 2).alias("total")])
+    return out.select("event_type", F.col("day").cast("string").alias("day"), "total")
+
+
+# ---------------------------------------------------------------------------
+# Datetime ops (E12/E13 + A2 time buckets)
+# ---------------------------------------------------------------------------
+
+@register("time_bucket_agg", """
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS time_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13+A2 — 10-minute event-time bucket aggregation (floor_date +
+    grouped means, R/export.R:160-173)."""
+    ev = _t(spark, sf_dir, "events")
+    out = agg_ops.time_bucket_agg(
+        ev, "ts", 10, ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")])
+    return out.select(
+        F.date_format("time_bucket", "yyyy-MM-dd HH:mm:ss").alias("time_bucket"),
+        "event_type", "n", "total_value")
+
+
+@register("local_date", """
+SELECT CAST(CAST(ts + INTERVAL 2 HOUR AS DATE) AS VARCHAR) AS local_day,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""")
+def local_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 — civil date in Africa/Blantyre (CAT, UTC+2 fixed) of a UTC
+    instant (as_date(ts, tz), R/merge_trips.R:69). The oracle uses the fixed
+    +02:00 offset; the engine uses the named zone."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("local_day", E.local_date(F.col("ts")))
+            .groupBy(F.col("local_day").cast("string").alias("local_day"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Robust validation kernel (A3/A4, §4.4)
+# ---------------------------------------------------------------------------
+
+@register("robust_bounds_grouped", """
+WITH base AS (
+  SELECT l_returnflag AS grp, ln(1 + l_quantity) AS y, l_quantity AS x
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity >= 0),
+med AS (
+  SELECT grp, median(y) AS med, max(abs(x)) AS absmax FROM base GROUP BY grp),
+madt AS (
+  SELECT b.grp, median(abs(b.y - m.med)) AS mad_raw,
+         any_value(m.med) AS med, any_value(m.absmax) AS absmax
+  FROM base b JOIN med m USING (grp) GROUP BY b.grp)
+SELECT grp AS l_returnflag,
+       CASE WHEN absmax > 0 AND mad_raw > 0
+            THEN round(exp(med - 2.5 * 1.4826 * mad_raw), 4) END AS lower_bound,
+       CASE WHEN absmax > 0 AND mad_raw > 0
+            THEN round(exp(med + 2.5 * 1.4826 * mad_raw), 4) END AS upper_bound
+FROM madt
+""")
+def robust_bounds_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — grouped LocScaleB bounds (get_catch_bounds shape,
+    R/validation-functions.R:183-195): two-pass exact median/MAD on
+    log1p(x), exp back-transform (quirk Q3 call-site variant)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = val_ops.loc_scale_bounds(
+        li, "l_quantity", keys=["l_returnflag"], k=2.5, logt=True,
+        back_transform="exp")
+    return bounds.select(
+        "l_returnflag",
+        F.round("lower_bound", 4).alias("lower_bound"),
+        F.round("upper_bound", 4).alias("upper_bound"))
+
+
+@register("outlier_alert", """
+WITH base AS (
+  SELECT event_type AS grp, ln(1 + value) AS y, value AS x
+  FROM events WHERE value IS NOT NULL AND value >= 0),
+med AS (
+  SELECT grp, median(y) AS med, max(abs(x)) AS absmax FROM base GROUP BY grp),
+madt AS (
+  SELECT b.grp, median(abs(b.y - m.med)) AS mad_raw,
+         any_value(m.med) AS med, any_value(m.absmax) AS absmax
+  FROM base b JOIN med m USING (grp) GROUP BY b.grp),
+bounds AS (
+  SELECT grp,
+         CASE WHEN absmax > 0 AND mad_raw > 0
+              THEN exp(med - 3.0 * 1.4826 * mad_raw) - 1 END AS lower_bound,
+         CASE WHEN absmax > 0 AND mad_raw > 0
+              THEN exp(med + 3.0 * 1.4826 * mad_raw) - 1 END AS upper_bound
+  FROM madt)
+SELECT e.event_id,
+       CASE WHEN e.value IS NOT NULL AND b.lower_bound IS NOT NULL
+                 AND e.value < b.lower_bound THEN 8
+            WHEN e.value IS NOT NULL AND b.upper_bound IS NOT NULL
+                 AND e.value > b.upper_bound THEN 9 END AS alert
+FROM events e LEFT JOIN bounds b ON e.event_type = b.grp
+""")
+def outlier_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — per-row outlier alerts from grouped LocScaleB bounds with the
+    expm1 back-transform (alert_outlier, R/validation-functions.R:21-58)."""
+    ev = _t(spark, sf_dir, "events")
+    out = val_ops.alert_outlier(
+        ev, "value", alert_if_low=8, alert_if_high=9,
+        keys=["event_type"], k=3.0, logt=True, bounds_transform="expm1")
+    return out.select("event_id", F.col("alert").cast("int").alias("alert"))

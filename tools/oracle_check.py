@@ -1,0 +1,100 @@
+"""Local differential harness mimicking the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, sorted column names, and (order-insensitively) values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def values_match(a: pd.DataFrame, b: pd.DataFrame, float_tol: float = 1e-9) -> tuple[bool, str]:
+    if list(a.columns) != list(b.columns):
+        return False, f"columns differ: {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"row count differs: {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            af = pd.to_numeric(av, errors="coerce")
+            bf = pd.to_numeric(bv, errors="coerce")
+            both_nan = af.isna() & bf.isna()
+            close = (af - bf).abs() <= float_tol * (1 + af.abs())
+            ok = (both_nan | close).all()
+        else:
+            ok = (av.astype(str).fillna("<NA>") == bv.astype(str).fillna("<NA>")).all()
+        if not ok:
+            bad = a.index[~(av.astype(str) == bv.astype(str))][:5].tolist() if av.dtype.kind != "f" else []
+            return False, f"values differ in column {c} (sample rows {bad})\n spark: {av.head(8).tolist()}\n duck : {bv.head(8).tolist()}"
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from peskas_malawi_data_pipeline_spark.core import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duck_connection(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows={len(sdf)})")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        ok, msg = values_match(normalize(sdf), normalize(odf))
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            failures.append(name)
+        print(f"{status} {name}: rows={len(sdf)} {'' if ok else msg}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
