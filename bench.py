@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes to completion (collect on aggregates / count on wide
+outputs) so the measured time covers the full plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from peskas_malawi_data_pipeline_spark.core import get_spark  # noqa: E402
+from peskas_malawi_data_pipeline_spark.queries import REGISTRY  # noqa: E402
+
+# Wide per-row outputs are counted (no driver materialization); small
+# aggregates are collected.
+COUNT_ONLY = {"filter_project", "union_by_name", "reduce_full_join",
+              "window_unique_flag", "outlier_alert", "time_bucket_agg",
+              "grouped_mean_as_column", "minhash_lsh_pairs", "jaccard_pairs",
+              "exact_dedup", "simhash", "token_stats", "quality_scores",
+              "lang_id", "embedding_near_dup"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in REGISTRY.items():
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

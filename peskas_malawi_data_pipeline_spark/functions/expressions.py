@@ -105,9 +105,11 @@ def split_gps(col: Column) -> dict[str, Column]:
     ``getItem`` on a missing index is NULL, matching tidyr's NA fill).
     """
     parts = F.split(col, " ")
+    # F.get (not getItem): out-of-bounds yields NULL under ANSI mode,
+    # matching tidyr::separate's NA fill.
     return {
-        "lat": parts.getItem(0).cast("double"),
-        "lon": parts.getItem(1).cast("double"),
+        "lat": F.get(parts, 0).try_cast("double"),
+        "lon": F.get(parts, 1).try_cast("double"),
     }
 
 
@@ -118,7 +120,7 @@ def split_composite_key(col: Column, names: Sequence[str], sep: str = ".") -> li
     operator exists for parity.
     """
     parts = F.split(col, "\\" + sep if sep in ".$^*+?()[]{}|" else sep)
-    return [parts.getItem(i).alias(n) for i, n in enumerate(names)]
+    return [F.get(parts, i).alias(n) for i, n in enumerate(names)]
 
 
 def clean_text(col: Column) -> Column:
@@ -145,10 +147,17 @@ def normalize_imei(col: Column) -> Column:
 
 def to_timestamp_flex(col: Column) -> Column:
     """E11 — lenient datetime parse à la ``lubridate::as_datetime``
-    (`R/preprocessing.R:289-290`): ISO dates or datetimes, else NULL.
-    Spark's ``to_timestamp`` without a format accepts both.
+    (`R/preprocessing.R:289-290`): ISO dates or datetimes, else NULL
+    (try_to_timestamp — ANSI mode must not abort the pipeline on one bad
+    survey answer, matching R's NA-with-warning).
     """
-    return F.to_timestamp(col)
+    return F.try_to_timestamp(col)
+
+
+def to_double_flex(col: Column) -> Column:
+    """E11 — ``as.numeric`` parity (`R/preprocessing.R:291-307`): malformed
+    numeric strings become NULL, never an ANSI cast error."""
+    return col.try_cast("double")
 
 
 def local_date(ts: Column, tz: str = BLANTYRE_TZ) -> Column:

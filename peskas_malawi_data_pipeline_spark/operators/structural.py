@@ -49,7 +49,9 @@ def explode_indexed(df: DataFrame, array_col: str, index_name: str,
     (the reference's `slice(rep(1, n))` broadcast, W4) for free.
     """
     explode_fn = F.posexplode_outer if keep_empty else F.posexplode
-    others = [c for c in df.columns if c != array_col]
+    # Backtick-quote: flattened names contain dots (N1) and must not be
+    # re-parsed as struct paths.
+    others = [F.col(f"`{c}`") for c in df.columns if c != array_col]
     out = df.select(*others, explode_fn(array_col).alias("__pos", array_col))
     idx = F.when(F.col(array_col).isNotNull(), F.col("__pos") + 1)
     return out.withColumn(index_name, idx.cast("int")).drop("__pos")
@@ -69,8 +71,8 @@ def explode_hierarchy(df: DataFrame, levels: Sequence[tuple[str, str]]) -> DataF
         out = explode_indexed(out, array_col, index_name)
         elem_type = out.schema[array_col].dataType
         if isinstance(elem_type, StructType):
-            others = [c for c in out.columns if c != array_col]
-            out = out.select(*others, F.col(f"{array_col}.*"))
+            others = [F.col(f"`{c}`") for c in out.columns if c != array_col]
+            out = out.select(*others, F.col(f"`{array_col}`.*"))
     return out
 
 

@@ -1,0 +1,82 @@
+"""Unit tests for functions.expressions (SURVEY §2.5 operators)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from peskas_malawi_data_pipeline_spark.functions import expressions as E
+
+
+def test_coalesce_cols_skips_absent(spark):
+    df = spark.createDataFrame([(None, "b"), ("a", None)], ["x", "y"])
+    out = df.select(E.coalesce_cols(df, "missing", "x", "y").alias("v")).collect()
+    assert [r.v for r in out] == ["b", "a"]
+
+
+def test_coalesce_by_suffix(spark):
+    df = spark.createDataFrame(
+        [(None, 2.0, None), (1.0, None, None)],
+        "gear_n_hrs double, longline_n_hrs double, other double")
+    out = df.select(E.coalesce_by_suffix(df, "n_hrs").alias("v")).collect()
+    assert [r.v for r in out] == [2.0, 1.0]
+
+
+def test_case_when_first_match_wins(spark):
+    df = spark.createDataFrame([(1,), (5,), (50,)], ["x"])
+    expr = E.case_when([(F.col("x") < 3, "low"), (F.col("x") < 10, "mid")],
+                       otherwise="high")
+    assert [r.v for r in df.select(expr.alias("v")).collect()] == ["low", "mid", "high"]
+
+
+def test_recode_keeps_unmapped(spark):
+    df = spark.createDataFrame([("B+E",), ("Dugout Canoe",), ("other",)], ["v"])
+    expr = E.recode(F.col("v"), {"B+E": "boat_engine", "Dugout Canoe": "dugout"})
+    assert [r.o for r in df.select(expr.alias("o")).collect()] == [
+        "boat_engine", "dugout", "other"]
+
+
+def test_price_per_kg_total_vs_unit(spark):
+    df = spark.createDataFrame(
+        [(100.0, 4.0, "total"), (25.0, 4.0, "per_kg"), (100.0, 0.0, "total")],
+        ["price", "kg", "ptype"])
+    expr = E.price_per_kg(F.col("price"), F.col("kg"), F.col("ptype"))
+    out = [r.v for r in df.select(expr.alias("v")).collect()]
+    assert out[0] == 25.0 and out[1] == 25.0 and out[2] is None
+
+
+def test_survey_id_concat(spark):
+    df = spark.createDataFrame([("s1", 2, 3)], ["sid", "vn", "cn"])
+    out = df.select(E.make_survey_id(F.col("sid"), F.col("vn"), F.col("cn")).alias("k")).collect()
+    assert out[0].k == "s1-2-3"
+
+
+def test_split_gps_null_pads(spark):
+    # Q7: fewer than 4 tokens must NULL-pad, not error.
+    df = spark.createDataFrame([("-13.5 34.2 100 5",), ("-13.5",), (None,)], ["gps"])
+    cols = E.split_gps(F.col("gps"))
+    out = df.select(cols["lat"].alias("lat"), cols["lon"].alias("lon")).collect()
+    assert out[0].lat == -13.5 and out[0].lon == 34.2
+    assert out[1].lat == -13.5 and out[1].lon is None
+    assert out[2].lat is None
+
+
+def test_local_date_blantyre_day_boundary(spark):
+    # 23:30 UTC is already the next civil day in Africa/Blantyre (UTC+2).
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 5, 1, 23, 30),), (datetime.datetime(2024, 5, 1, 12, 0),)],
+        ["ts"])
+    out = df.select(E.local_date(F.col("ts")).alias("d")).collect()
+    assert out[0].d == datetime.date(2024, 5, 2)
+    assert out[1].d == datetime.date(2024, 5, 1)
+
+
+def test_floor_time_10min(spark):
+    df = spark.createDataFrame([(datetime.datetime(2024, 5, 1, 12, 17, 45),)], ["ts"])
+    out = df.select(E.floor_time(F.col("ts"), 10).alias("b")).collect()
+    assert out[0].b == datetime.datetime(2024, 5, 1, 12, 10, 0)
+
+
+def test_normalize_imei(spark):
+    df = spark.createDataFrame([(-356938.0,), (123456789012345.0,), (None,)], ["imei"])
+    out = df.select(E.normalize_imei(F.col("imei")).alias("v")).collect()
+    assert [r.v for r in out] == ["356938", "123456789012345", None]

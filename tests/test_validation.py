@@ -1,0 +1,95 @@
+"""Tests for the LocScaleB robust-bounds kernel and alert machinery
+(SURVEY §4.4 + §2.11), including property tests and an R-parity fixture."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from peskas_malawi_data_pipeline_spark.operators import validation as V
+
+
+def _bounds(spark, values, k=3.0, back="exp", keys=False):
+    rows = [Row(g="a" if not keys or i % 2 == 0 else "b", x=float(v) if v is not None else None)
+            for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    return V.loc_scale_bounds(df, "x", keys=["g"] if keys else [], k=k,
+                              back_transform=back)
+
+
+def _py_locscaleb(xs, k):
+    """Reference formula, computed independently in Python:
+    median(log1p) ± k·1.4826·median(|log1p−med|), exp back-transform."""
+    import statistics
+    ys = sorted(math.log1p(x) for x in xs)
+    med = statistics.median(ys)
+    mad = statistics.median(sorted(abs(y - med) for y in ys))
+    return (math.exp(med - k * 1.4826 * mad), math.exp(med + k * 1.4826 * mad))
+
+
+def test_bounds_match_independent_formula(spark):
+    xs = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]
+    row = _bounds(spark, xs, k=2.5).collect()[0]
+    lo, hi = _py_locscaleb(xs, 2.5)
+    assert row.lower_bound == pytest.approx(lo, rel=1e-12)
+    assert row.upper_bound == pytest.approx(hi, rel=1e-12)
+
+
+def test_bounds_monotone_in_k(spark):
+    xs = [1, 2, 3, 4, 5, 6, 50]
+    b1 = _bounds(spark, xs, k=2.0).collect()[0]
+    b2 = _bounds(spark, xs, k=5.0).collect()[0]
+    assert b2.lower_bound < b1.lower_bound
+    assert b2.upper_bound > b1.upper_bound
+
+
+def test_bounds_invariant_to_null_padding(spark):
+    xs = [1, 2, 3, 4, 5, 6, 50]
+    plain = _bounds(spark, xs).collect()[0]
+    padded = _bounds(spark, xs + [None] * 7).collect()[0]
+    assert plain.lower_bound == padded.lower_bound
+    assert plain.upper_bound == padded.upper_bound
+
+
+def test_guard_all_zero_group_no_bounds(spark):
+    # R/validation-functions.R:29-38 — all-NA-or-zero -> no bounds
+    row = _bounds(spark, [0, 0, 0, 0]).collect()[0]
+    assert row.lower_bound is None and row.upper_bound is None
+
+
+def test_guard_degenerate_mad_no_bounds(spark):
+    # mad <= 0 (constant data) -> no bounds (R/validation-functions.R:38)
+    row = _bounds(spark, [5, 5, 5, 5, 5]).collect()[0]
+    assert row.lower_bound is None and row.upper_bound is None
+
+
+def test_alert_outlier_flags_and_mask(spark):
+    df = spark.createDataFrame(
+        [Row(i=i, x=float(v)) for i, v in enumerate([1, 2, 2, 3, 2, 3, 2, 1000])],
+        "i int, x double")
+    out = V.alert_outlier(df, "x", alert_if_low=1, alert_if_high=2, k=2.5)
+    rows = {r.i: r for r in out.collect()}
+    assert rows[7].alert == 2
+    assert all(rows[i].alert is None for i in range(7))
+    masked = V.mask_where(out, ["x"], "alert")
+    mrows = {r.i: r for r in masked.collect()}
+    assert mrows[7].x is None and mrows[0].x == 1.0
+
+
+def test_fuse_alerts_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b=None, c=4), Row(a=None, b=None, c=None), Row(a=None, b=3, c=4)],
+        "a int, b int, c int")
+    out = V.fuse_alerts(df, ["a", "b", "c"]).collect()
+    assert [r.alert_number for r in out] == ["1-4", "", "3-4"]
+
+
+def test_approx_variant_close_to_exact(spark):
+    # The 100 TB path: percentile_approx sketches must land near exact.
+    xs = list(range(1, 2000)) + [50000]
+    exact = _bounds(spark, xs, k=3.0).collect()[0]
+    rows = [Row(g="a", x=float(v)) for v in xs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    approx = V.loc_scale_bounds(df, "x", keys=["g"], k=3.0,
+                                back_transform="exp", approx=True).collect()[0]
+    assert approx.upper_bound == pytest.approx(exact.upper_bound, rel=0.02)
