@@ -41,11 +41,12 @@ def token_count(col: Column) -> Column:
 
 
 def bpe_ish_token_count(col: Column) -> Column:
-    """Sub-word-ish token estimate: count maximal runs of word characters
-    plus standalone punctuation, the shape a BPE tokenizer's pre-tokenizer
-    produces. Pure regex — an upper-bound proxy, not a real BPE."""
-    pieces = F.split(F.lower(col), r"(?<=\W)|(?=\W)")
-    return F.size(F.filter(pieces, lambda t: F.trim(t) != ""))
+    """Sub-word-ish token estimate: maximal word-character runs plus
+    standalone non-space symbols — the shape a BPE pre-tokenizer produces.
+    RE2-safe regexes (no lookaround) so the SQL oracle matches exactly."""
+    words = F.size(F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9_]+"), 0))
+    symbols = F.size(F.regexp_extract_all(col, F.lit(r"[^\sa-zA-Z0-9_]"), 0))
+    return words + symbols
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:

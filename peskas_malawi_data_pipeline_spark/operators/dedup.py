@@ -47,13 +47,16 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     shingle array, no explode, no shuffle.
     """
     sh = T.word_shingles(F.col(text_col), shingle_n)
-    sig = F.array(*[
-        F.array_min(F.transform(
-            sh, lambda s, seed=i: F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"mh{seed}:"), s)), 1, 8),
-                16, 10).cast("long")))
-        for i in range(num_hashes)
-    ])
+
+    # NB: PySpark HOF lambdas must declare exactly the HOF's arity (extra
+    # default args make pyspark pass the element *index* into them).
+    def hasher(seed: int):
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"mh{seed}:"), s)), 1, 8),
+            16, 10).cast("long")
+
+    sig = F.array(*[F.array_min(F.transform(sh, hasher(i)))
+                    for i in range(num_hashes)])
     return df.withColumn("minhash", sig)
 
 
@@ -97,17 +100,23 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     bits (md5-derived); each bit position accumulates +1/−1 across distinct
     tokens; the sign vector packs into one integer. Pure map, no shuffle.
     """
-    toks = F.array_distinct(T.tokens(F.col(text_col)))
-    h = lambda t: F.conv(F.substring(F.md5(F.concat(F.lit("sh:"), t)), 1, 8), 16, 10).cast("long")  # noqa: E731
+    # Hash each distinct token once, then take 16 bit-votes over the hash
+    # array — not one md5 per (token, bit).
+    hashes = F.transform(
+        F.array_distinct(T.tokens(F.col(text_col))),
+        lambda t: F.conv(F.substring(F.md5(F.concat(F.lit("sh:"), t)), 1, 8), 16, 10).cast("long"))
+    tmp = df.withColumn("__th", hashes)
+
+    def voter(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(1) == 1, F.lit(1)).otherwise(F.lit(-1))
+
     value = None
     for b in range(bits):
-        vote = F.aggregate(
-            toks, F.lit(0),
-            lambda acc, t, b=b: acc + F.when(F.shiftright(h(t), b).bitwiseAND(1) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(F.col("__th"), F.lit(0), voter(b))
         bit = F.when(vote > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         value = bit if value is None else value + bit
-    return df.withColumn("simhash", value.cast("long"))
+    return tmp.withColumn("simhash", value.cast("long")).drop("__th")
 
 
 def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",

@@ -425,3 +425,349 @@ def outlier_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", alert_if_low=8, alert_if_high=9,
         keys=["event_type"], k=3.0, logt=True, bounds_transform="expm1")
     return out.select("event_id", F.col("alert").cast("int").alias("alert"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis extension (lang-id, quality, tokens, fingerprints)
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+              "x -> x <> '')")
+
+
+@register("string_ops", f"""
+WITH toks AS (SELECT doc_id, lang, source, text, {_DUCK_TOKS} AS t FROM documents)
+SELECT doc_id,
+       lang || '-' || source AS sig,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       t[1] AS first_token,
+       regexp_matches(lower(text), 'spark') AS has_spark
+FROM toks
+""")
+def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E8/E9 — concat_ws key, lower/trim tokenization, regex detect."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.concat_ws("-", "lang", "source").alias("sig"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.get(toks, 0).alias("first_token"),
+        F.lower(F.col("text")).rlike("spark").alias("has_spark"))
+
+
+@register("token_stats", """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+            + len(regexp_extract_all(text, '[^\\sa-zA-Z0-9_]')) AS BIGINT)
+         AS n_bpe_ish,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""")
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+        F.length("text").cast("long").alias("n_chars_measured"))
+
+
+def _duck_lang_hits(lang: str, markers: list[str]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(t, x -> x IN ({inlist})))"
+
+
+@register("lang_id", None)  # SQL assembled below (needs marker lists)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID + per-language marker hit counts."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        *[scores[lang].cast("long").alias(f"hits_{lang}")
+          for lang in sorted(T.LANG_MARKERS)])
+
+
+def _lang_id_sql() -> str:
+    hits = {lang: _duck_lang_hits(lang, marks)
+            for lang, marks in T.LANG_MARKERS.items()}
+    langs = sorted(hits)
+    score_cols = ",\n       ".join(
+        f"CAST({hits[lang]} AS BIGINT) AS hits_{lang}" for lang in langs)
+    g = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    # fold parity: strict-> later langs only win on strictly greater score,
+    # so the winner is the FIRST lang (sorted order) achieving the max.
+    case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {g} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END AS lang_pred"
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM toks)
+SELECT doc_id, {case},
+       {', '.join('hits_' + lang for lang in langs)}
+FROM scored
+"""
+
+
+REGISTRY["lang_id"] = (lang_id, _lang_id_sql())
+
+
+@register("quality_scores", """
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text,
+             '[\\.,;:!\\?"''\\(\\)\\[\\]\\{\\}]', '', 'g')) AS n_punct,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE) / n ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(t) > 0 THEN
+           CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is')))
+                AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio,
+         n
+  FROM base)
+SELECT doc_id,
+       CAST(floor(punct_ratio * 1000000) AS BIGINT) AS punct_ratio_micro,
+       CAST(floor(stop_ratio * 1000000) AS BIGINT) AS stopword_ratio_micro,
+       CAST(floor((0.4 * least(n / 500.0, 1.0)
+             + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+             + 0.3 * least(stop_ratio * 5.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
+FROM feat
+""")
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword ratios + composite.
+
+    Outputs are integer micro-units (floor(x·1e6)): the underlying doubles
+    are bit-identical across engines, and floor of identical doubles is
+    deterministic, whereas round() implementations split on exact .5
+    decimal boundaries (ratios like 9/128 terminate with a trailing 5).
+    """
+    docs = _t(spark, sf_dir, "documents")
+
+    def micro(col):
+        return F.floor(col * 1000000).cast("long")
+
+    return docs.select(
+        "doc_id",
+        micro(T.punct_ratio(F.col("text"))).alias("punct_ratio_micro"),
+        micro(T.stopword_ratio(F.col("text"))).alias("stopword_ratio_micro"),
+        micro(T.quality_score(F.col("text"))).alias("quality_micro"))
+
+
+@register("fingerprint_groups", """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents
+GROUP BY 1
+""")
+def fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting → exact-dedup groups (hash-groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("fp", T.fingerprint(F.col("text")))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count(F.lit(1)).alias("group_size")))
+
+
+@register("exact_dedup", """
+SELECT d.doc_id FROM documents d
+JOIN (SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) s
+  ON d.doc_id = s.doc_id
+""")
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors (deterministic min-id keeper)."""
+    out = dedup_ops.exact_dedup(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup extension (MinHash-LSH, SimHash, n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES = ("list_distinct(list_transform(range(1, greatest(len(t)-2,1)+1), "
+                  "i -> array_to_string(t[i:i+2], ' ')))")
+
+
+def _duck_minhash(seed: int) -> str:
+    return ("list_min(list_transform(s, x -> CAST('0x' || "
+            f"substr(md5('mh{seed}:' || x), 1, 8) AS BIGINT)))")
+
+
+@register("minhash_lsh_pairs", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
+sig AS (SELECT doc_id,
+  {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(8))}
+  FROM sh),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_id, CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key FROM sig"
+      for b in range(4))}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""")
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs (8 hashes, 4 bands of 2)."""
+    return dedup_ops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, shingle_n=3)
+
+
+@register("simhash", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+hs AS (SELECT doc_id,
+  list_transform(list_distinct(t),
+                 x -> CAST('0x' || substr(md5('sh:' || x), 1, 8) AS BIGINT)) AS h
+  FROM toks)
+SELECT doc_id, CAST({' + '.join(
+    f"(CASE WHEN coalesce(list_sum(list_transform(h, v -> CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN {2**b} ELSE 0 END)"
+    for b in range(16))} AS BIGINT) AS simhash
+FROM hs
+""")
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash sketch per document (pure map, no shuffle)."""
+    out = dedup_ops.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    return out.select("doc_id", "simhash")
+
+
+@register("jaccard_pairs", f"""
+WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, source, {_DUCK_SHINGLES} AS s FROM toks)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(a.s || b.s)) >= 0.2
+""")
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verify stage over source-blocked pairs."""
+    out = dedup_ops.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="source",
+        shingle_n=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("embedding_near_dup", """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+""")
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key (label)."""
+    out = dedup_ops.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search extension (brute-force + LSH ANN)
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = ("list_dot_product(qv, cv) / "
+             "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")
+
+
+@register("ann_bruteforce_topk", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, corpus_id, round({_DUCK_COS}, 6) AS cosine
+      FROM q, c WHERE query_id <> corpus_id),
+r AS (SELECT query_id, corpus_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id) AS rank
+      FROM s)
+SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""")
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query set, corpus never shuffled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = sim_ops.brute_force_topk(q, c, k=5)
+    return out.select("query_id", "corpus_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register("ann_lsh_topk", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+           {' + '.join(f'(CASE WHEN embedding[{i+1}] > 0 THEN {1 << i} ELSE 0 END)' for i in range(8))} AS bucket
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+      {' + '.join(f'(CASE WHEN embedding[{i+1}] > 0 THEN {1 << i} ELSE 0 END)' for i in range(8))} AS bucket
+      FROM embeddings),
+s AS (SELECT query_id, corpus_id, round({_DUCK_COS}, 6) AS cosine
+      FROM q JOIN c USING (bucket) WHERE query_id <> corpus_id),
+r AS (SELECT query_id, corpus_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id) AS rank
+      FROM s)
+SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates restricted to the query's
+    sign-LSH bucket (equi-join on bucket id instead of cross product)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = sim_ops.lsh_topk(q, c, k=3, n_axis_planes=8)
+    return out.select("query_id", "corpus_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Array/HOF structural queries on embeddings (N2/N5 shapes)
+# ---------------------------------------------------------------------------
+
+@register("posexplode_embeddings", """
+SELECT vec_id, CAST(t.i AS INT) AS pos,
+       round(CAST(embedding[t.i] AS DOUBLE), 6) AS val
+FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+WHERE vec_id < 5
+""")
+def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — indexed explode (1-based, reference vessel/catch numbering)."""
+    from .operators import structural as struct_ops
+
+    emb = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+           .select("vec_id", F.col("embedding").alias("val")))
+    out = struct_ops.explode_indexed(emb, "val", "pos")
+    return out.select("vec_id", "pos",
+                      F.round(F.col("val").cast("double"), 6).alias("val"))
+
+
+@register("hof_transform_aggregate", """
+SELECT vec_id,
+       round(list_sum(list_transform(embedding::DOUBLE[], x -> x * 2 + 1)), 5)
+         AS transformed_sum
+FROM embeddings
+""")
+def hof_transform_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — higher-order transform + aggregate without explode."""
+    emb = _t(spark, sf_dir, "embeddings")
+    transformed = F.transform(F.col("embedding"), lambda x: x.cast("double") * 2 + 1)
+    total = F.aggregate(transformed, F.lit(0.0), lambda acc, v: acc + v)
+    return emb.select("vec_id", F.round(total, 5).alias("transformed_sum"))

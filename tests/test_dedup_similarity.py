@@ -1,0 +1,138 @@
+"""Tests for dedup, similarity-search, and multimodal extension operators."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from peskas_malawi_data_pipeline_spark.operators import dedup as D
+from peskas_malawi_data_pipeline_spark.operators import multimodal as M
+from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="The  quick brown fox jumps over the lazy dog"),  # ws/case variant
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy cat"),   # near-dup
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="the quick brown fox jumps over the lazy dog"),   # exact dup
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_normalized_survivors(spark):
+    out = D.exact_dedup(_docs(spark))
+    ids = sorted(r.doc_id for r in out.collect())
+    # 1,2,5 collapse (whitespace/case-normalized fingerprint); min id survives
+    assert ids == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups_not_distinct(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), num_hashes=8, band_size=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 5) in got and (1, 2) in got  # exact/normalized dups always collide
+    assert (1, 3) in got                    # 8/9 shingles shared -> near-certain
+    assert not any(4 in p for p in got)     # unrelated doc never pairs
+
+
+def test_simhash_close_for_near_dups(spark):
+    out = {r.doc_id: r.simhash for r in D.simhash(_docs(spark), bits=16).collect()}
+    assert out[1] == out[5] == out[2]       # identical token multisets
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_jaccard_pairs_exact_values(spark):
+    df = _docs(spark).withColumn("block", F.lit(1))
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.jaccard_pairs(df, "block", shingle_n=3).collect()}
+    assert pairs[(1, 5)] == 1.0
+    # doc1 vs doc3: 7 shingles each, 6 shared -> 6/8
+    assert pairs[(1, 3)] == pytest.approx(6 / 8)
+    assert pairs[(1, 4)] == 0.0
+
+
+def _vectors(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.2, 0.0]),   # sign pattern (+,+,0) -> bucket 3
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # bucket 3
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),   # bucket 2
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),  # bucket 0
+        Row(vec_id=4, embedding=[0.8, 0.2, 0.0]),   # bucket 3
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk_ordering(spark):
+    emb = _vectors(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = S.brute_force_topk(q, c, k=3).collect()
+    assert [r.corpus_id for r in out] == [4, 1, 2]   # by descending cosine
+    assert out[0].cosine > 0.99
+
+
+def test_lsh_topk_same_bucket_neighbors(spark):
+    emb = _vectors(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = S.lsh_topk(q, c, k=3, n_axis_planes=3).collect()
+    got = [r.corpus_id for r in out]
+    # vec3 (opposite sign) and vec2 (different axis) fall in other buckets;
+    # within the bucket, ordered by descending cosine
+    assert got == [4, 1]
+
+
+def test_cosine_topk_pandas_matches_hof(spark):
+    emb = _vectors(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    hof = {(r.query_id, r.corpus_id, r.cosine) for r in S.brute_force_topk(q, c, k=3).collect()}
+    arrow = {(r.query_id, r.corpus_id, r.cosine) for r in S.cosine_topk_pandas(q, c, k=3).collect()}
+    assert hof == arrow
+
+
+def test_embedding_near_dup_pairs(spark):
+    df = _vectors(spark).withColumn("label", F.lit(1))
+    out = {(r.id_a, r.id_b) for r in
+           D.embedding_near_dup_pairs(df, block_col="label", threshold=0.95).collect()}
+    assert (0, 1) in out and (1, 4) in out and (0, 4) in out
+    assert not any(3 in p for p in out)
+
+
+def test_multimodal_feature_extraction_fake_decode(spark):
+    rows = [
+        Row(media_id=1, modality="image", mime_type="image/png",
+            payload=bytearray(b"fakepng"), uri=None,
+            meta=Row(width=64, height=64, duration_s=None, sample_rate=None)),
+        Row(media_id=2, modality="audio", mime_type="audio/wav",
+            payload=None, uri="s3://bucket/a.wav",
+            meta=Row(width=None, height=None, duration_s=3.5, sample_rate=16000)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in M.extract_features(df, decode="fake").collect()}
+    assert out[1].n_bytes == 7 and len(out[1].feature) == 8
+    assert all(0 <= v < 1 for v in out[1].feature)
+    assert out[2].n_bytes is None and out[2].feature is None
+    # determinism across runs
+    again = {r.media_id: r for r in M.extract_features(df, decode="fake").collect()}
+    assert again[1].feature == out[1].feature
+
+
+def test_multimodal_real_decode_raises(spark):
+    rows = [Row(media_id=1, modality="image", mime_type=None,
+                payload=bytearray(b"x"), uri=None, meta=None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    with pytest.raises(Exception) as exc:
+        M.extract_features(df, decode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or "codecs" in str(exc.value)
+
+
+def test_frame_sample_plan(spark):
+    rows = [Row(media_id=1, modality="video", mime_type="video/mp4",
+                payload=None, uri="s3://v.mp4",
+                meta=Row(width=640, height=480, duration_s=3.2, sample_rate=None))]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.frame_sample_plan(df, every_s=1.0).collect()
+    assert [r.frame_index for r in out] == [0, 1, 2]
+    assert out[2].sample_ts_s == 2.0
