@@ -1,0 +1,101 @@
+"""Structured Streaming variants of the batch stages (SURVEY §7.1 step 7).
+
+The reference is batch-only: a 2-day cron re-runs everything with
+truncate-and-load (data-pipeline.yaml:5-6, R/storage.R:89-102). At 100 TB a
+full rewrite every 2 days is untenable; the streaming variants keep the SAME
+transformation expressions (the lazy-plan builders in plans/ and
+operators/aggregates) and change only the source/sink:
+
+- ``readStream`` over the landing directory (new submission/points files
+  appear continuously);
+- event-time watermarks bound state for the windowed aggregations;
+- ``trigger(availableNow=True)`` reproduces the batch cron exactly (drain
+  everything pending, stop) — the bridge between the two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_from_parquet_dir(spark: SparkSession, path: str,
+                            schema: StructType | str) -> DataFrame:
+    """File-source stream over a landing directory (schema mandatory —
+    streaming reads never infer)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_track_rollup(points: DataFrame, minutes: int = 10,
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of export.export_matched_tracks's rollup (E13+A2):
+    10-minute mean positions per trip with a watermark bounding state.
+
+    Uses ``F.window`` (not the arithmetic floor) so the state store tracks
+    window expiry; the window start equals functions.expressions.floor_time
+    of the event time — the batch and streaming outputs are comparable
+    column-for-column.
+    """
+    w = F.window(F.col("Time"), f"{minutes} minutes")
+    return (points
+            .withWatermark("Time", watermark)
+            .groupBy(F.col("Trip"), w.alias("win"))
+            .agg(F.avg("Lat").alias("lat"), F.avg("Lng").alias("lon"),
+                 F.count(F.lit(1)).alias("n_pings"))
+            .select("Trip", F.col("win.start").alias("time_bucket"),
+                    "lat", "lon", "n_pings"))
+
+
+def run_available_now(stream_df: DataFrame, out_path: str,
+                      checkpoint: str, fmt: str = "parquet") -> None:
+    """Drain-everything-then-stop execution (the batch-cron bridge).
+
+    Append mode: only windows CLOSED by the watermark are emitted; windows
+    still open when the drain finishes stay in the state store until the next
+    run. This is the correct incremental-production mode (nothing is emitted
+    twice) but it is NOT batch-equivalent at the data's trailing edge — use
+    :func:`run_available_now_upsert` for exact batch parity.
+    """
+    q = (stream_df.writeStream.format(fmt)
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def run_available_now_upsert(stream_df: DataFrame, out_path: str,
+                             checkpoint: str) -> None:
+    """Update-mode drain with a ``foreachBatch`` upsert sink.
+
+    Every trigger emits rows whose aggregate changed — including windows the
+    watermark has not closed yet — each stamped with the micro-batch id. The
+    latest stamp per key is the current value (see
+    :func:`read_upsert_result`), so the drained result equals the batch
+    aggregation exactly. This is the standard Spark upsert pattern for
+    non-idempotent sinks (Structured Streaming guide, foreachBatch section).
+    """
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_path))
+
+    q = (stream_df.writeStream
+         .outputMode("update")
+         .foreachBatch(_write)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def read_upsert_result(spark: SparkSession, out_path: str,
+                       keys: list[str]) -> DataFrame:
+    """Resolve an upsert log written by :func:`run_available_now_upsert` to
+    its current state: latest ``_batch_id`` wins per key."""
+    from pyspark.sql import Window
+    df = spark.read.parquet(out_path)
+    w = Window.partitionBy(*keys).orderBy(F.col("_batch_id").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_batch_id"))

@@ -1,0 +1,246 @@
+"""End-to-end tests for the six pipeline stages on FIXTURES.md data."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from peskas_malawi_data_pipeline_spark.plans import (
+    export, ingest, merge, preprocess, validate)
+
+import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    df = FX.raw_landings_df(spark)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def preprocessed(spark, raw):
+    df = preprocess.preprocess_landings(raw)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def devices(spark):
+    return FX.devices_df(spark)
+
+
+# -------------------------------------------------------------- ingest
+
+def test_ingest_two_dialects_union(spark):
+    a = spark.createDataFrame([Row(
+        _id="A1", today="2024-03-01",
+        group_vessel_data=[Row(vessel_type="B+E",
+                               group_catch=[Row(fish_species="Usipa", weight="5")],
+                               group_gillnets=[Row(net_type="x", gillnet_mesh="20")])],
+    )])
+    b = spark.createDataFrame([Row(
+        _id="B1", today="2024-03-02",
+        vessels=[Row(vessel_type="Dugout Canoe",
+                     fish_repeat=[Row(fish_species="Chambo", weight="2"),
+                                  Row(fish_species="Utaka", weight="1")],
+                     group_gillnets=[Row(net_type="y", gillnet_mesh="22")])],
+    )])
+    out = ingest.ingest_landings({
+        "FieldDataApp-2024": (a, "dialect_a"),
+        "Malawi SSF": (b, "dialect_b"),
+    })
+    rows = out.collect()
+    assert len(rows) == 3  # 1 catch + 2 catches
+    by_key = {(r.submission_id, r.catch_number): r for r in rows}
+    assert by_key[("A1", 1)].form_name == "FieldDataApp-2024"
+    assert by_key[("B1", 2)].fish_species == "Utaka"
+    assert by_key[("A1", 1)].vessel_number == 1
+    # gillnets survived as indexed nested array
+    assert by_key[("A1", 1)].gillnets[0].gillnet_number == 1
+    # union-widening: dialect-a rows have NULL for dialect-b-only columns
+    assert by_key[("B1", 1)].vessel_type == "Dugout Canoe"
+
+
+# ---------------------------------------------------------- preprocess
+
+def test_preprocess_canonical_schema(preprocessed):
+    assert preprocessed.columns == preprocess.CANONICAL_ORDER
+    types = dict(preprocessed.dtypes)
+    assert types["landing_date"] == "timestamp"
+    assert types["n_fishers"] == "double"
+    assert types["catch_kg"] == "double"
+    assert types["gillnets"].startswith("array<struct<gillnet_number:double")
+
+
+def test_preprocess_survey_id_and_coalesce(preprocessed):
+    r = preprocessed.filter(F.col("survey_id") == "S0001-1-1").collect()[0]
+    assert r.submission_id == "S0001"
+    # dialect-b row: landing_date came from date_of_landing, gps from _001
+    assert r.landing_date is not None
+    assert r.lat == pytest.approx(-13.70) and r.lon == pytest.approx(34.61)
+
+
+def test_preprocess_price_and_recodes(preprocessed):
+    rows = preprocessed.filter(F.col("catch_kg").isNotNull()).collect()
+    for r in rows:
+        if r.catch_price_type == "total" and r.catch_price is not None and r.catch_kg:
+            assert r.price_kg == pytest.approx(r.catch_price / r.catch_kg)
+        if r.catch_price_type == "per_kg" and r.catch_price is not None:
+            assert r.price_kg == r.catch_price
+    taxa = {r.catch_taxon for r in rows}
+    assert "no_catch" in taxa           # NOCATCH / "0" normalized
+    assert all(t == t.lower() for t in taxa if t)
+    gears = {r.gear for r in preprocessed.collect() if r.gear}
+    assert gears <= set(preprocess.GEAR_RECODE.values())
+
+
+def test_preprocess_gillnets_normalized(preprocessed):
+    rows = preprocessed.filter(F.size("gillnets") > 0).collect()
+    assert rows, "expected some gillnet rows"
+    for r in rows:
+        g = r.gillnets[0]
+        assert g.gillnet_mesh_mm in (25.0, 30.0)   # variant fields coalesced+cast
+        assert g.gillnet_length_m == 100.0
+
+
+def test_gear_effort_fusion_matches_join_fold(spark, raw):
+    """SURVEY §4.3 rewrite parity: fused per-suffix coalesce == literal
+    10-way full-join fold."""
+    df = raw.withColumn("survey_id", F.concat_ws(
+        "-", "submission_id", "vessel_number", "catch_number"))
+    folded = preprocess.gear_effort_join_fold(df).collect()
+    fused = df.select(
+        "form_name", "survey_id",
+        *[preprocess.E.to_double_flex(
+            preprocess.E.coalesce_cols(df, *srcs)).alias(out)
+          for out, srcs in preprocess.EFFORT_GROUPS.items()]).collect()
+    key = lambda r: (r.form_name, r.survey_id)  # noqa: E731
+    fold_map = {key(r): r for r in folded}
+    for r in fused:
+        fr = fold_map[key(r)]
+        for out in preprocess.EFFORT_GROUPS:
+            assert getattr(r, out) == getattr(fr, out), (r.survey_id, out)
+
+
+# ------------------------------------------------------------ validate
+
+def test_validate_dates_masks_and_strict_parity(spark):
+    df = spark.createDataFrame(
+        [Row(survey_id="a", landing_date=dt.datetime(2019, 1, 1), submission_date=dt.datetime(2024, 1, 1)),
+         Row(survey_id="b", landing_date=dt.datetime(2024, 2, 1), submission_date=dt.datetime(2024, 1, 1)),
+         Row(survey_id="c", landing_date=dt.datetime(2024, 1, 1), submission_date=dt.datetime(2024, 1, 2))])
+    intent = {r.survey_id: r for r in validate.validate_dates(df).collect()}
+    assert intent["a"].alert_date == 1 and intent["a"].landing_date is None
+    assert intent["b"].alert_date == 1 and intent["b"].landing_date is None
+    assert intent["c"].alert_date is None and intent["c"].landing_date is not None
+    # strict parity (Q1): only the < 2020-12-31 rule fires
+    strict = {r.survey_id: r for r in
+              validate.validate_dates(df, strict_parity=True).collect()}
+    assert strict["a"].alert_date == 1
+    assert strict["b"].alert_date is None      # the overwritten rule never fires
+    assert strict["b"].landing_date is not None
+
+
+def test_validate_nfishers_negative_and_outlier(spark):
+    vals = [3.0, 4.0, 5.0, 3.0, 4.0, 5.0, 4.0, -2.0, 400.0]
+    df = spark.createDataFrame([Row(i=i, n_fishers=v) for i, v in enumerate(vals)])
+    out = {r.i: r for r in validate.validate_nfishers(df).collect()}
+    assert out[7].alert_nfishers == 2 and out[7].n_fishers is None   # negative
+    assert out[8].alert_nfishers == 2 and out[8].n_fishers is None   # outlier
+    assert out[0].alert_nfishers is None and out[0].n_fishers == 3.0
+
+
+def test_validate_pricekg_masks_three_columns(spark):
+    rows = [Row(i=i, catch_taxon="usipa", price_kg=1000.0 + i * 10,
+                catch_kg=5.0, catch_price=5000.0) for i in range(12)]
+    rows.append(Row(i=99, catch_taxon="usipa", price_kg=10_000_000.0,
+                    catch_kg=5.0, catch_price=50_000_000.0))
+    df = spark.createDataFrame(rows)
+    out = {r.i: r for r in validate.validate_pricekg(df).collect()}
+    bad = out[99]
+    assert bad.alert_pricekg == 4
+    assert bad.price_kg is None and bad.catch_kg is None and bad.catch_price is None
+    assert out[0].price_kg is not None
+
+
+def test_validate_imeis_all_cases(spark, devices):
+    cases = [
+        ("u1", "30002222"),          # 8-digit suffix of exactly one registry IMEI
+        ("u2", "9999999"),           # shared suffix of two -> ambiguous
+        ("u3", "555554"),            # matches nothing -> unknown
+        ("u4", "123"),               # too short (<5 digits)
+        ("u5", None),                # absent
+        ("u6", "861111030001111"),   # full exact IMEI
+        ("u7", "-30005555"),         # negative digits -> abs (E10), unique suffix
+    ]
+    df = spark.createDataFrame(
+        [Row(survey_id=s, tracker_imei=v) for s, v in cases])
+    out = {r.survey_id: r for r in validate.validate_imeis(df, devices).collect()}
+    assert out["u1"].alert_imei is None and out["u1"].imei == "861111030002222"
+    assert out["u2"].alert_imei == 2 and out["u2"].imei is None
+    assert out["u3"].alert_imei == 3
+    assert out["u4"].alert_imei == 1
+    assert out["u5"].alert_imei == 1
+    assert out["u6"].alert_imei is None and out["u6"].imei == "861111030001111"
+    assert out["u7"].alert_imei is None and out["u7"].imei == "861111030005555"
+
+
+def test_validate_landings_fuses_alerts(preprocessed):
+    out = validate.validate_landings(preprocessed)
+    assert "alert_number" in out.columns
+    vals = [r.alert_number for r in out.collect()]
+    assert any(v == "1" for v in vals)          # date alerts present
+    assert all("-" not in v or set(v.split("-")) <= {"1", "2", "3", "4"} for v in vals)
+    # row count preserved (validators never drop rows)
+    assert out.count() == preprocessed.count()
+
+
+# --------------------------------------------------------------- merge
+
+def test_merge_trips_uniqueness_and_tz(spark, devices):
+    landings = spark.createDataFrame([
+        # unique (day, imei) both sides -> survives
+        Row(survey_id="L1", tracker_imei="861111030002222",
+            landing_date=dt.datetime(2024, 3, 5, 9, 0)),
+        # tz roll: trip 102 ends 22:30 UTC Mar 6 = Mar 7 in Blantyre
+        Row(survey_id="L2", tracker_imei="861111030001111",
+            landing_date=dt.datetime(2024, 3, 7, 6, 0)),
+        # two trips that day for this imei -> dropped by guard
+        Row(survey_id="L3", tracker_imei="861111030005555",
+            landing_date=dt.datetime(2024, 3, 8, 9, 0)),
+    ])
+    merged = merge.merge_trips(landings, FX.trips_df(spark), devices)
+    got = {r.survey_id: r for r in merged.collect()}
+    assert set(got) == {"L1", "L2"}
+    assert got["L1"].Trip == 101
+    assert got["L2"].Trip == 102                # matched via Blantyre civil date
+    assert got["L2"].landing_day == dt.date(2024, 3, 7)
+
+
+# -------------------------------------------------------------- export
+
+def test_export_landings_subset(preprocessed):
+    validated = validate.validate_landings(preprocessed)
+    out = export.export_landings(validated)
+    assert out.columns == [c for c in export.EXPORT_COLUMNS if c in validated.columns]
+    assert out.count() == validated.count()
+
+
+def test_export_matched_tracks_buckets(spark, devices):
+    landings = spark.createDataFrame([
+        Row(survey_id="L1", tracker_imei="861111030002222",
+            landing_date=dt.datetime(2024, 3, 5, 9, 0),
+            sample_district="Mangochi", landing_site="x", gear="gillnet",
+            catch_taxon="usipa"),
+    ])
+    merged = merge.merge_trips(landings, FX.trips_df(spark), devices)
+    tracks = export.export_matched_tracks(merged, FX.points_df(spark))
+    rows = tracks.filter(F.col("Trip") == 101).orderBy("time_bucket").collect()
+    # 40 pings at 60s from 04:00 -> buckets 04:00..04:30 (10,10,10,10)
+    assert len(rows) == 4
+    assert all(r.n_pings == 10 for r in rows)
+    assert rows[0].time_bucket == dt.datetime(2024, 3, 5, 4, 0)
+    assert rows[0].lat == pytest.approx(-14.101 - 0.0001 * 4.5)
+    # distinct matched trip ids feed the point fetch fan-out (P12)
+    assert [r.Trip for r in export.matched_trip_ids(merged).collect()] == [101]
