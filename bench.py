@@ -20,7 +20,7 @@ from peskas_malawi_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 
 # Wide per-row outputs are counted (no driver materialization); small
 # aggregates are collected.
-COUNT_ONLY = {"filter_project", "union_by_name", "reduce_full_join",
+COUNT_ONLY = {"string_ops", "filter_project", "union_by_name", "reduce_full_join",
               "window_unique_flag", "outlier_alert", "time_bucket_agg",
               "grouped_mean_as_column", "minhash_lsh_pairs", "jaccard_pairs",
               "exact_dedup", "simhash", "token_stats", "quality_scores",
@@ -30,8 +30,17 @@ COUNT_ONLY = {"filter_project", "union_by_name", "reduce_full_join",
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM so timings are steady-state: each distinct expression
+    # pattern pays a one-time multi-second codegen/JIT stall on its first
+    # multi-task stage in a fresh JVM (observed lockstep across all tasks).
+    # Running the whole registry once at sf0.001 (~6k-row tables) compiles
+    # every plan shape + spawns the Python workers for the pandas stages.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name, (fn, _sql) in REGISTRY.items():
+        try:
+            fn(spark, warm_dir).count()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in REGISTRY.items():

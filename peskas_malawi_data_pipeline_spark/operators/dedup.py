@@ -40,23 +40,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.join(survivors, id_col, "left_semi")
 
 
+# Universal-hash permutation constants: sig_i = min((A_i·h + B_i) mod P) over
+# shingle hashes h. P is the smallest prime > 2^32; A_i < 2^30 keeps A·h+B
+# inside int64 (h < 2^32 ⇒ product < 2^62). Fixed literals so the DuckDB
+# oracle computes bit-identical signatures with plain integer arithmetic.
+MINHASH_P = 4294967311
+MINHASH_A = [387420489, 268435399, 536870909, 178956971,
+             299999977, 479001599, 104395301, 217645177,
+             370248451, 492366587, 413158511, 316272553,
+             282475249, 200560490, 132049011, 500000003]
+MINHASH_B = [98765431, 12345701, 87654323, 10000019,
+             55555333, 31415927, 27182821, 161803399,
+             77777677, 43112609, 94906249, 68718821,
+             25964951, 30402457, 20996011, 85625159]
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: array of ``num_hashes`` minima of seeded
-    32-bit shingle hashes. Pure map — higher-order functions over the
-    shingle array, no explode, no shuffle.
+    """Per-doc MinHash signature: array of ``num_hashes`` minima of permuted
+    32-bit shingle hashes. Pure map — no explode, no shuffle.
+
+    Cost shape: md5 runs ONCE per shingle (the expensive part); the
+    ``num_hashes`` permutations are integer multiply-add-mod applied inside a
+    single fold over the hash array, so the per-row work is
+    O(shingles · num_hashes) cheap int ops + O(shingles) hashes.
     """
-    sh = T.word_shingles(F.col(text_col), shingle_n)
-
-    # NB: PySpark HOF lambdas must declare exactly the HOF's arity (extra
-    # default args make pyspark pass the element *index* into them).
-    def hasher(seed: int):
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"mh{seed}:"), s)), 1, 8),
-            16, 10).cast("long")
-
-    sig = F.array(*[F.array_min(F.transform(sh, hasher(i)))
-                    for i in range(num_hashes)])
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes > {len(MINHASH_A)} not supported")
+    hashes = F.transform(T.word_shingles(F.col(text_col), shingle_n),
+                         lambda s: T.hash32_md5(s, "mh:"))
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_B[:num_hashes]])
+    p = F.lit(MINHASH_P)
+    # Single aggregate fold: the hash array materializes once per row, then
+    # each element updates all num_hashes running minima.
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(p.cast("long"), num_hashes),
+        lambda acc, h: F.transform(
+            acc, lambda cur, i: F.least(cur, (h * F.get(a_arr, i) + F.get(b_arr, i)) % p)),
+    )
     return df.withColumn("minhash", sig)
 
 
@@ -122,23 +145,47 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
 def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
                   threshold: float = 0.0) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs within a blocking key
-    (e.g. MinHash band bucket, source, or length band): shuffle both sides on
-    the block key, join, compute |∩|/|∪| of distinct shingle sets with
-    array_intersect/array_union — JVM-side set ops, no UDF.
+    """Exact n-gram Jaccard similarity for pairs within a blocking key
+    (e.g. MinHash band bucket, source, or length band).
+
+    For ``threshold > 0`` this is an inverted-index plan: explode distinct
+    shingles, self-join on (block, shingle), count shared shingles per pair,
+    and derive |∩|/|∪| from the per-doc set sizes — only pairs sharing at
+    least one shingle ever materialize, so the cost is Σ bucket² over
+    *shingle* buckets instead of |block|² array intersections. At 100 TB,
+    stop-shingle capping (drop shingles whose document frequency exceeds a
+    cap) bounds the hot-shingle buckets; AQE skew-join splits the rest.
+
+    ``threshold <= 0`` must also emit zero-overlap pairs, so it falls back to
+    the all-pairs block join with array_intersect/array_union.
     """
     sh = df.select(
         F.col(block_col).alias("__block"),
         F.col(id_col).alias("id_a"),
         T.word_shingles(F.col(text_col), shingle_n).alias("sh_a"),
     )
-    other = sh.select(F.col("__block"), F.col("id_a").alias("id_b"),
-                      F.col("sh_a").alias("sh_b"))
-    pairs = sh.join(other, "__block").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
+    if threshold <= 0:
+        other = sh.select(F.col("__block"), F.col("id_a").alias("id_b"),
+                          F.col("sh_a").alias("sh_b"))
+        pairs = sh.join(other, "__block").filter(F.col("id_a") < F.col("id_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+        jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+        return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+
+    posts = sh.select(
+        "__block", "id_a", F.size("sh_a").alias("n_a"),
+        F.explode("sh_a").alias("__shingle"))
+    other = posts.select(F.col("__block"), F.col("__shingle"),
+                         F.col("id_a").alias("id_b"), F.col("n_a").alias("n_b"))
+    inter = (posts.join(other, ["__block", "__shingle"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("__inter")))
+    jac = (F.col("__inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("__inter")))
+    return (inter.select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 
@@ -149,15 +196,21 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     """Embedding-cosine near-duplicate pairs within a blocking key (or LSH
     bucket from similarity.hyperplane_lsh_buckets). Cosine is computed with
     higher-order functions (zip_with dot product) — JVM-side, no UDF.
-    """
-    from .similarity import cosine_similarity
 
+    Norms are computed once per vector BEFORE the self-join (one dot product
+    per pair instead of three); cos = dot(a,b)/(‖a‖·‖b‖) evaluates the same
+    double arithmetic as the naive form, so results are bit-identical.
+    """
+    from .similarity import dot, l2_norm
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
         *( [F.col(block_col).alias("__block")] if block_col else [F.lit(1).alias("__block")] ),
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        F.col(id_col).alias("id_a"), vd.alias("v_a"), l2_norm(vd).alias("nrm_a"))
     other = base.select(F.col("__block"), F.col("id_a").alias("id_b"),
-                        F.col("v_a").alias("v_b"))
+                        F.col("v_a").alias("v_b"), F.col("nrm_a").alias("nrm_b"))
     pairs = base.join(other, "__block").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    cos = F.when(denom > 0, dot(F.col("v_a"), F.col("v_b")) / denom)
     return (pairs.select("id_a", "id_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))

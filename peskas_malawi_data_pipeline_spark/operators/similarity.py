@@ -49,10 +49,12 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     block-partition the queries and union. ``round_digits`` + corpus-id
     tie-break makes the selection deterministic across summation orders.
     """
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = queries.select(F.col(query_id), vd.alias("__qv"), l2_norm(vd).alias("__qn"))
+    c = corpus.select(F.col(corpus_id), vd.alias("__cv"), l2_norm(vd).alias("__cn"))
     scored = c.join(F.broadcast(q), F.col(query_id) != F.col(corpus_id))
-    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    denom = F.col("__qn") * F.col("__cn")
+    sim = F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = scored.select(query_id, corpus_id, sim.alias("cosine"))
@@ -98,14 +100,18 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     (shuffle both sides on a small uniform key) instead of a full cross
     product — the IVF/LSH scale path.
     """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qb = hyperplane_lsh_buckets(
-        queries.select(F.col(query_id), F.col(vec_col).alias("__qv")), "__qv",
+        queries.select(F.col(query_id), vd.alias("__qv"),
+                       l2_norm(vd).alias("__qn")), "__qv",
         n_axis_planes=n_axis_planes)
     cb = hyperplane_lsh_buckets(
-        corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv")), "__cv",
+        corpus.select(F.col(corpus_id), vd.alias("__cv"),
+                      l2_norm(vd).alias("__cn")), "__cv",
         n_axis_planes=n_axis_planes)
     cand = cb.join(F.broadcast(qb), "bucket").filter(F.col(query_id) != F.col(corpus_id))
-    sim = F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6)
+    denom = F.col("__qn") * F.col("__cn")
+    sim = F.round(F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom), 6)
     scored = cand.select(query_id, corpus_id, sim.alias("cosine"))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return (scored.withColumn("rank", F.row_number().over(w))
