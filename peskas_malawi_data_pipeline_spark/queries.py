@@ -751,6 +751,83 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structural flatten (N1) and streaming twin of the batch time-bucket agg
+# ---------------------------------------------------------------------------
+
+@register("flatten_nested_struct", """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS "price.extended",
+       round(l_discount, 2) AS "price.discount",
+       l_returnflag AS "flags.returnflag",
+       l_linestatus AS "flags.linestatus"
+FROM lineitem WHERE l_orderkey <= 1000
+""")
+def flatten_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 — recursive struct flatten with dotted leaf names (reference
+    `flatten_with_names`, R/ingestion.R:375-393): nested StructType columns
+    expand to `parent.child` leaves via a driver-side schema walk emitting
+    one select — pure projection, zero shuffle."""
+    from .operators import structural as struct_ops
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    nested = li.select(
+        "l_orderkey", "l_linenumber",
+        F.struct(F.round("l_extendedprice", 2).alias("extended"),
+                 F.round("l_discount", 2).alias("discount")).alias("price"),
+        F.struct(F.col("l_returnflag").alias("returnflag"),
+                 F.col("l_linestatus").alias("linestatus")).alias("flags"))
+    return struct_ops.flatten_struct_columns(nested)
+
+
+@register("streaming_time_bucket", """
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS time_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of ``time_bucket_agg``, oracle-checked
+    against the BATCH SQL: the events table is staged as a landing
+    directory, read with ``readStream`` + watermark, aggregated with
+    event-time windows, and drained with ``trigger(availableNow)`` through
+    the foreachBatch upsert sink (streaming.run_available_now_upsert) — the
+    resolved upsert log equals the batch aggregation exactly, which is the
+    engine's batch↔stream equivalence contract (DECIMAL sums make it
+    bit-exact despite differing partial-agg orders)."""
+    import os
+    import tempfile
+
+    from .streaming import ingest_stream as st
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="peskas_stream_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(landing, "events.parquet"))
+
+    raw = st.stream_from_parquet_dir(
+        spark, landing,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string")
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agged = (ev.withWatermark("ts", "30 minutes")
+             .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(_dec(F.col("value"))).alias("__total")))
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    st.run_available_now_upsert(agged, out, ckpt)
+    resolved = st.read_upsert_result(spark, out, ["win", "event_type"])
+    return resolved.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("time_bucket"),
+        "event_type", "n",
+        F.round(F.col("__total").cast("double"), 2).alias("total_value"))
+
+
+# ---------------------------------------------------------------------------
 # Array/HOF structural queries on embeddings (N2/N5 shapes)
 # ---------------------------------------------------------------------------
 

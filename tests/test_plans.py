@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the 100 TB-scale properties of each plan
+are asserted, not assumed. A correct result with the wrong plan (missed
+pushdown, a broadcast that became a shuffle, a cartesian product) is a
+failure at scale even when the small-SF values match, so the plan shape is
+part of the contract.
+
+Checked properties map to SURVEY §4.2/§4.3: predicate pushdown + column
+pruning reach the parquet scan; small dimensions broadcast (the 100 TB fact
+side never shuffles for them); aggregations are partial (map-side combine)
+before their single exchange; the suffix theta-join is a broadcast
+nested-loop, never a shuffled cartesian.
+"""
+
+from __future__ import annotations
+
+from peskas_malawi_data_pipeline_spark.queries import REGISTRY
+
+from conftest import SF_DIR
+
+
+def plan(spark, name: str, mode: str = "formatted") -> str:
+    """Physical plan text. ``formatted`` for per-node detail (PushedFilters,
+    ReadSchema); ``simple`` when counting nodes — formatted mode prints every
+    node twice (tree + detail section)."""
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_DIR)
+    utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+    return utils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_agg_filter_pushdown_and_pruning(spark):
+    p = plan(spark, "pricing_summary")
+    # filter reaches the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: only the 6 referenced columns are read (of 11)
+    read = next(l for l in p.splitlines() if l.startswith("ReadSchema"))
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    # map-side combine: partial agg below the exchange
+    assert "partial_sum" in p
+    s = plan(spark, "pricing_summary", "simple")
+    assert s.count("Exchange") == 1  # exactly one shuffle (the narrow agg key)
+
+
+def test_broadcast_dim_join_never_shuffles_fact(spark):
+    p = plan(spark, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in p
+    # the only Exchange is the post-join aggregation, not a join shuffle
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_multi_join_broadcasts_dims(spark):
+    p = plan(spark, "regional_revenue")
+    assert p.count("BroadcastHashJoin") >= 3  # region, nation, supplier
+    assert "CartesianProduct" not in p
+
+
+def test_suffix_theta_join_is_broadcast_nested_loop(spark):
+    p = plan(spark, "suffix_match_join")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_narrow_project_has_no_exchange(spark):
+    p = plan(spark, "filter_project")
+    assert "Exchange" not in p  # pure scan→filter→project, single stage
+
+
+def test_topk_per_group_partial_limit(spark):
+    # rank-filter pushdown: each partition pre-limits before the shuffle
+    p = plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in p
+
+
+def test_global_topk_is_take_ordered(spark):
+    p = plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in p  # never a full global sort
+
+
+def test_window_flag_single_shuffle(spark):
+    p = plan(spark, "window_unique_flag", "simple")
+    assert p.count("Exchange") == 1
+
+
+def test_rollup_single_shuffle(spark):
+    # grouping sets expand map-side: one expand + partial agg + one exchange
+    p = plan(spark, "rollup_totals", "simple")
+    assert "Expand" in p
+    assert p.count("Exchange") == 1
+
+
+def test_exact_dedup_semi_join(spark):
+    p = plan(spark, "exact_dedup")
+    assert "LeftSemi" in p
+
+
+def test_left_join_builds_broadcast_from_aggregated_side(spark):
+    p = plan(spark, "left_join_null_keep")
+    assert "BroadcastHashJoin" in p
+    assert "Join LeftOuter" in p or "BuildRight" in p
