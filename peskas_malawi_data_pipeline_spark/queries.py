@@ -436,6 +436,63 @@ def outlier_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("alert").cast("int").alias("alert"))
 
 
+@register("coalesce_suffix_groups", """
+SELECT o_orderkey,
+       round(coalesce(
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice END,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice END,
+         CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS price_val
+FROM orders
+""")
+def coalesce_suffix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — variadic coalesce over a column-name suffix group
+    (`coalesce(!!!select(., ends_with("n_hrs")))`, R/preprocessing.R:265-271):
+    the schema is inspected driver-side, the coalesce is one expression."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).alias("open_price_val"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).alias("done_price_val"),
+        F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice")).alias("pending_price_val"))
+    return wide.select(
+        "o_orderkey",
+        F.round(E.coalesce_by_suffix(wide, "_val"), 2).alias("price_val"))
+
+
+@register("outlier_alert_global", """
+WITH base AS (
+  SELECT ln(1 + value) AS y, value AS x
+  FROM events WHERE value IS NOT NULL AND value >= 0),
+med AS (SELECT median(y) AS med, max(abs(x)) AS absmax FROM base),
+madt AS (
+  SELECT median(abs(b.y - m.med)) AS mad_raw,
+         any_value(m.med) AS med, any_value(m.absmax) AS absmax
+  FROM base b, med m),
+bounds AS (
+  SELECT CASE WHEN absmax > 0 AND mad_raw > 0
+              THEN exp(med - 3.0 * 1.4826 * mad_raw) - 1 END AS lower_bound,
+         CASE WHEN absmax > 0 AND mad_raw > 0
+              THEN exp(med + 3.0 * 1.4826 * mad_raw) - 1 END AS upper_bound
+  FROM madt)
+SELECT e.event_id,
+       CASE WHEN e.value IS NOT NULL AND b.lower_bound IS NOT NULL
+                 AND e.value < b.lower_bound THEN 8
+            WHEN e.value IS NOT NULL AND b.upper_bound IS NOT NULL
+                 AND e.value > b.upper_bound THEN 9 END AS alert
+FROM events e, bounds b
+""")
+def outlier_alert_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the reference's TRUE global variant (whole-column LocScaleB
+    bounds, alert_outlier R/validation-functions.R:21-58): a 1-row bounds
+    relation cross-joined (broadcast) onto every row — the pattern used by
+    validate_nfishers/validate_nboats."""
+    ev = _t(spark, sf_dir, "events")
+    out = val_ops.alert_outlier(
+        ev, "value", alert_if_low=8, alert_if_high=9,
+        keys=[], k=3.0, logt=True, bounds_transform="expm1")
+    return out.select("event_id", F.col("alert").cast("int").alias("alert"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis extension (lang-id, quality, tokens, fingerprints)
 # ---------------------------------------------------------------------------
