@@ -23,7 +23,7 @@ from peskas_malawi_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 COUNT_ONLY = {"string_ops", "filter_project", "union_by_name", "reduce_full_join",
               "window_unique_flag", "outlier_alert", "time_bucket_agg",
               "grouped_mean_as_column", "minhash_lsh_pairs", "jaccard_pairs",
-              "exact_dedup", "simhash", "token_stats", "quality_scores",
+              "exact_dedup", "simhash", "simhash_pairs", "token_stats", "quality_scores",
               "lang_id", "embedding_near_dup"}
 
 

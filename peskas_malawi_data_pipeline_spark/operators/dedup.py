@@ -142,6 +142,41 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     return tmp.withColumn("simhash", value.cast("long")).drop("__th")
 
 
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 16, bands: int = 4,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: band the ``bits``-bit sketch into
+    ``bands`` contiguous bit-slices, self-join on (band index, band value) —
+    any pair within ``max_hamming`` of each other collides on ≥1 band when
+    ``max_hamming < bands`` (pigeonhole) — then verify with exact Hamming
+    distance (bit_count of xor, JVM-side).
+
+    Scale shape: sketch is a pure map; the only shuffle is the band
+    equi-join on small uniform integer keys; the verify runs only on
+    candidates. Returns (id_a, id_b, hamming).
+    """
+    assert bits % bands == 0
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash(df.select(id_col, text_col), text_col, bits)
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ])).alias("band_id", "band_val"))
+    left = banded.select(F.col("band_id"), F.col("band_val"),
+                         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    right = banded.select(F.col("band_id"), F.col("band_val"),
+                          F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    cand = (left.join(right, ["band_id", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
                   threshold: float = 0.0) -> DataFrame:

@@ -697,21 +697,46 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, shingle_n=3)
 
 
-@register("simhash", f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+_DUCK_SIMHASH_CTE = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 hs AS (SELECT doc_id,
   list_transform(list_distinct(t),
                  x -> CAST('0x' || substr(md5('sh:' || x), 1, 8) AS BIGINT)) AS h
-  FROM toks)
-SELECT doc_id, CAST({' + '.join(
+  FROM toks),
+sig AS (SELECT doc_id, CAST({' + '.join(
     f"(CASE WHEN coalesce(list_sum(list_transform(h, v -> CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN {2**b} ELSE 0 END)"
     for b in range(16))} AS BIGINT) AS simhash
-FROM hs
+FROM hs)"""
+
+
+@register("simhash", f"""
+WITH {_DUCK_SIMHASH_CTE}
+SELECT doc_id, simhash FROM sig
 """)
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash sketch per document (pure map, no shuffle)."""
     out = dedup_ops.simhash(_t(spark, sf_dir, "documents"), bits=16)
     return out.select("doc_id", "simhash")
+
+
+@register("simhash_pairs", f"""
+WITH {_DUCK_SIMHASH_CTE},
+bands AS (
+  SELECT doc_id, simhash, t.b AS band_id, (simhash >> (t.b * 4)) & 15 AS band_val
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""")
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup lookup: band the sketch (4×4 bits), equi-join on
+    band value (pigeonhole guarantees recall for hamming < bands), verify
+    exact Hamming with bit_count(xor) — completes the SimHash dedup path."""
+    return dedup_ops.simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=16, bands=4, max_hamming=3)
 
 
 @register("jaccard_pairs", f"""

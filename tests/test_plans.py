@@ -97,3 +97,25 @@ def test_left_join_builds_broadcast_from_aggregated_side(spark):
     p = plan(spark, "left_join_null_keep")
     assert "BroadcastHashJoin" in p
     assert "Join LeftOuter" in p or "BuildRight" in p
+
+
+def test_partitioned_write_gets_partition_pruning(spark, tmp_path):
+    """The lakehouse layout contract (SCALE.md §3): stage outputs partitioned
+    by a natural key give downstream reads partition pruning — the filter
+    lands in PartitionFilters and pruned partitions are never scanned."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.core import io as io_ops
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    ev = _t(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts").cast("string"))
+    path = str(tmp_path / "events_by_type")
+    io_ops.write_table(ev, path, partition_by=["event_type"])
+
+    scan = io_ops.read_table(spark, path).filter(F.col("event_type") == "click")
+    utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+    p = utils.explainString(scan._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [isnotnull(event_type" in p
+    # the predicate is satisfied entirely by pruning — no data-filter remains
+    assert scan.count() == ev.filter(F.col("event_type") == "click").count()
