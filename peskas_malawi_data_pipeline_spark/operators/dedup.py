@@ -224,6 +224,42 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= threshold))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Duplicate GROUPS from candidate pairs: connected components by
+    iterative min-label propagation — each node repeatedly adopts the
+    minimum label among itself and its neighbors until fixpoint, which is
+    the minimum id in its component (the canonical keeper).
+
+    This is the step that turns pairwise near-dup evidence (MinHash/SimHash/
+    Jaccard) into dedup decisions. Scale shape: each iteration is one join +
+    one aggregation, both on the node id; iterations = graph diameter in
+    min-label hops (dup clusters are shallow — boilerplate stars converge in
+    2-3); lineage is truncated per iteration with localCheckpoint so plans
+    don't grow. Returns (id, component) for every node in ``pairs``.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
+        new_comp = F.least(F.col("comp"), F.coalesce("nbr_comp", "comp"))
+        # changed-flag computed inside the same job as the update — one
+        # materialization + one trivial agg per iteration, no compare-join.
+        new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                      .select(F.col("id"), new_comp.alias("comp"),
+                              (new_comp < F.col("comp")).cast("int").alias("__chg"))
+                      .localCheckpoint(eager=True))
+        changed = new_labels.agg(F.sum("__chg")).first()[0]
+        labels = new_labels.drop("__chg")
+        if not changed:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              block_col: str | None = None,

@@ -676,8 +676,7 @@ def _duck_minhash(i: int) -> str:
             f"substr(md5('mh:' || x), 1, 8) AS BIGINT) * {a} + {b}) % {p}))")
 
 
-@register("minhash_lsh_pairs", f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+_DUCK_MINHASH_CTES = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
 sig AS (SELECT doc_id,
   {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(8))}
@@ -686,15 +685,43 @@ bands AS (
   {' UNION ALL '.join(
       f"SELECT doc_id, {b} AS band_id, CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key FROM sig"
       for b in range(4))}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+
+@register("minhash_lsh_pairs", f"""
+WITH {_DUCK_MINHASH_CTES}
+SELECT id_a, id_b FROM mh_pairs
 """)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (8 hashes, 4 bands of 2)."""
     return dedup_ops.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, shingle_n=3)
+
+
+@register("dedup_components", f"""
+WITH RECURSIVE {_DUCK_MINHASH_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+          UNION SELECT id_b, id_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+SELECT src AS id, CAST(min(dst) AS BIGINT) AS component
+FROM reach GROUP BY src
+""")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate GROUPS: connected components over the
+    MinHash candidate graph by iterative min-label propagation (the step
+    that turns pairwise evidence into keep/drop decisions at corpus scale).
+    The oracle computes the same components with a recursive-CTE closure."""
+    pairs = dedup_ops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, shingle_n=3)
+    return dedup_ops.connected_components(pairs)
 
 
 _DUCK_SIMHASH_CTE = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
@@ -772,6 +799,72 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_ops.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _corpus_clean_sql() -> str:
+    hits = {lang: _duck_lang_hits(lang, marks)
+            for lang, marks in T.LANG_MARKERS.items()}
+    langs = sorted(hits)
+    score_cols = ",\n         ".join(
+        f"{hits[lang]} AS hits_{lang}" for lang in langs)
+    g = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {g} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id, text, t, len(t) AS n_tokens,
+         {score_cols}
+  FROM toks),
+feat AS (
+  SELECT doc_id, n_tokens,
+         {case} AS lang_pred,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text,
+             '[\\.,;:!\\?"''\\(\\)\\[\\]\\{{\\}}]', '', 'g')) AS n_punct,
+         CASE WHEN len(t) > 0 THEN
+           CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is')))
+                AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM scored),
+q AS (
+  SELECT doc_id, n_tokens, fp,
+         CAST(floor((0.4 * least(n / 500.0, 1.0)
+           + 0.3 * (1.0 - least(CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE)/n ELSE 0.0 END * 5.0, 1.0))
+           + 0.3 * least(stop_ratio * 5.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
+  FROM feat
+  WHERE lang_pred = 'en' AND n_tokens BETWEEN 10 AND 2000),
+kept AS (SELECT q.*, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM q
+         WHERE quality_micro >= 300000)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_micro
+FROM kept WHERE doc_id = keeper
+"""
+
+
+@register("corpus_clean", _corpus_clean_sql())
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-corpus cleaning pipeline in one lazy plan:
+    language-ID filter (en) → token-count band → quality threshold →
+    exact-dedup survivors. All stages are pure column expressions over one
+    scan; the only shuffle is the dedup-keeper window on the fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    featured = docs.select(
+        "doc_id", "text",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        F.floor(T.quality_score(F.col("text")) * 1000000).cast("long")
+        .alias("quality_micro"),
+        T.fingerprint(F.col("text")).alias("fp"))
+    kept = featured.filter(
+        (F.col("lang_pred") == "en")
+        & F.col("n_tokens").between(10, 2000)
+        & (F.col("quality_micro") >= 300000))
+    w = Window.partitionBy("fp")
+    survivors = (kept.withColumn("keeper", F.min("doc_id").over(w))
+                 .filter(F.col("doc_id") == F.col("keeper")))
+    return survivors.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                            "quality_micro")
 
 
 # ---------------------------------------------------------------------------
