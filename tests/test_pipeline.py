@@ -244,3 +244,41 @@ def test_export_matched_tracks_buckets(spark, devices):
     assert rows[0].lat == pytest.approx(-14.101 - 0.0001 * 4.5)
     # distinct matched trip ids feed the point fetch fan-out (P12)
     assert [r.Trip for r in export.matched_trip_ids(merged).collect()] == [101]
+
+
+# -------------------------------------------------------------- plan shapes
+
+def _plan(df, mode="simple"):
+    spark = df.sparkSession
+    utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+    return utils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_preprocess_is_one_fused_pass(spark, raw):
+    """SURVEY §4.3: the gear-effort join fold is fused into coalesce
+    expressions — the whole stage is joinless and its only shuffle is the
+    final distinct(). (Built fresh — a cached fixture would render its own
+    exchange inside the InMemoryTableScan subtree.)"""
+    # the non-foldable filter keeps the plan canonically distinct from the
+    # cached `preprocessed` fixture, so the cache manager cannot substitute
+    # an InMemoryTableScan (whose rendering would hide/duplicate nodes)
+    p = _plan(preprocess.preprocess_landings(
+        raw.filter(F.length("form_name") > -1)))
+    assert "Join" not in p
+    assert p.count("Exchange") == 1  # distinct() only
+
+
+def test_merge_broadcasts_registry_and_inner_joins(spark, preprocessed, devices):
+    validated = validate.validate_landings(preprocessed)
+    merged = merge.merge_trips(validated, FX.trips_df(spark), devices)
+    p = _plan(merged)
+    assert "BroadcastNestedLoopJoin" in p  # imei suffix-match vs tiny registry
+    assert "CartesianProduct" not in p
+
+
+def test_validate_bounds_joins_are_broadcast(preprocessed):
+    validated = validate.validate_landings(preprocessed)
+    p = _plan(validated)
+    # every bounds relation (1 row or |groups| rows) broadcasts back; the
+    # 100 TB fact side must never shuffle for a validator join
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p

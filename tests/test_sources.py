@@ -1,0 +1,71 @@
+"""Offline tests for the source connectors (SURVEY §2.1 S1–S5): landing-zone
+JSON with corrupt-record absorption, distributed per-trip CSV fan-out with an
+injected fetcher, and the all-string device registry."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from peskas_malawi_data_pipeline_spark.sources import kobo, pds, sheets
+
+
+def test_kobo_landed_json_drops_corrupt(spark, tmp_path):
+    path = str(tmp_path / "subs.jsonl")
+    kobo.land_submissions(
+        [{"_id": "S1", "today": "2024-03-01", "n_boats": "3"},
+         {"_id": "S2", "today": "2024-03-02", "n_boats": "1"}], path)
+    with open(path, "a") as fh:
+        fh.write("{this is not json\n")
+
+    df = kobo.read_landed_json(
+        spark, path, schema="_id string, today string, n_boats string, "
+                            "_corrupt_record string")
+    rows = {r["_id"] for r in df.collect()}
+    assert rows == {"S1", "S2"}  # corrupt line absorbed, not fatal
+
+    kept = kobo.read_landed_json(
+        spark, path, schema="_id string, today string, n_boats string, "
+                            "_corrupt_record string", drop_corrupt=False)
+    # Spark disallows filtering raw JSON on the corrupt column alone; a
+    # cache materializes the parse first (the documented audit pattern).
+    kept.cache()
+    try:
+        assert kept.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    finally:
+        kept.unpersist()
+
+
+def test_pds_trip_point_fanout(spark, tmp_path):
+    trips_csv = tmp_path / "trips.csv"
+    trips_csv.write_text(
+        "Trip,IMEI,Device,Boat,Community,Started,Ended,Duration (Seconds),"
+        "Range (Meters),Distance (Meters),Last Seen,Tags\n"
+        "101,123456789,D1,B1,C1,2024-03-01 05:00:00,2024-03-01 09:00:00,"
+        "14400,1000.0,5000.0,2024-03-01 09:05:00,\n"
+        "102,999999999,D2,B2,C2,2024-03-02 05:00:00,2024-03-02 08:00:00,"
+        "10800,800.0,4000.0,2024-03-02 08:05:00,\n")
+    trips = pds.read_trips_csv(spark, str(trips_csv))
+    assert trips.count() == 2
+    assert dict(trips.dtypes)["Started"] == "timestamp"
+
+    points_dir = tmp_path / "points"
+    points_dir.mkdir()
+    (points_dir / "101.csv").write_text(
+        "Time,Lat,Lng,Speed (M/S),Range (Meters),Heading,Boat,Boat Name,Community\n"
+        "2024-03-01 05:01:00,-13.1,34.2,2.5,10.0,90.0,B1,Boat One,C1\n"
+        "2024-03-01 05:02:00,-13.2,34.3,2.6,11.0,91.0,B1,Boat One,C1\n")
+    # trip 102 has no file: the fetch fails quietly and yields zero rows
+    points = pds.fetch_trip_points(trips, pds.local_dir_fetcher(str(points_dir)))
+    got = points.collect()
+    assert len(got) == 2
+    assert {r["Trip"] for r in got} == {101}
+    assert dict(points.dtypes)["Time"] == "timestamp"
+
+
+def test_devices_registry_all_string(spark, tmp_path):
+    reg_csv = tmp_path / "devices.csv"
+    reg_csv.write_text("IMEI,device_id,boat_name,community,status\n"
+                       "123456789012345,D1,Boat One,C1,active\n")
+    reg = sheets.read_devices_csv(spark, str(reg_csv))
+    assert all(t == "string" for _, t in reg.dtypes)
+    assert reg.count() == 1
