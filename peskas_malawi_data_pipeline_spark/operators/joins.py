@@ -67,6 +67,34 @@ def suffix_match_join(facts: DataFrame, fact_key: str, fact_value: str,
                  F.min("__reg_value").alias("matched_value")))
 
 
+def salted_join(fact: DataFrame, dim: DataFrame, keys: Sequence[str],
+                salt_buckets: int = 16, how: str = "inner",
+                salt_source: Sequence[str] | None = None) -> DataFrame:
+    """Skew-busting equi-join: when a few hot key values dominate the fact
+    side but the dim side is too big to broadcast, replicate each dim row
+    into ``salt_buckets`` salted copies and scatter fact rows across them —
+    every hot key spreads over ``salt_buckets`` tasks instead of one
+    straggler. AQE's skew-join handles moderate skew automatically; this is
+    the explicit tool for extreme, KNOWN skew (SURVEY §7.1 step 7 salting
+    guidance; SCALE.md §4).
+
+    The fact-side salt is a deterministic hash of ``salt_source`` columns
+    (default: all non-key columns) — no RNG, so retries and oracle replays
+    are stable. Join semantics are identical to the unsalted join.
+    """
+    keys = list(keys)
+    if salt_source is None:
+        salt_source = [c for c in fact.columns if c not in keys]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_source]),
+                  F.lit(salt_buckets)).cast("int")
+    fact_salted = fact.withColumn("__salt", salt)
+    dim_salted = (dim.withColumn("__salt",
+                                 F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+                  .withColumn("__salt", F.col("__salt").cast("int")))
+    out = fact_salted.join(dim_salted, keys + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def grid_complete(df: DataFrame, key_a: str, key_b: str,
                   agg_exprs: Sequence[Column]) -> DataFrame:
     """U2 — `tidyr::complete(a, b)`: aggregate by (a, b), then expand to the

@@ -327,6 +327,45 @@ def grid_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", F.col("day").cast("string").alias("day"), "total")
 
 
+@register("sessionize", """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         -- per-value floor matches Spark's unix_timestamp truncation on
+         -- sub-second timestamps (floor of each, then subtract)
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tagged AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM tagged GROUP BY user_id, session_no
+""")
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits): lag to flag
+    session starts, running sum to number them, then per-session rollup —
+    the standard two-window + one-agg shape. One shuffle on user_id serves
+    both windows AND the final aggregate (same partitioning reused)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    tagged = ev.withColumn(
+        "session_no",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (tagged.groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+                 .alias("duration_s"))
+            .select("user_id", F.col("session_no").cast("long").alias("session_no"),
+                    "n_events", F.col("duration_s").cast("long").alias("duration_s")))
+
+
 # ---------------------------------------------------------------------------
 # Datetime ops (E12/E13 + A2 time buckets)
 # ---------------------------------------------------------------------------

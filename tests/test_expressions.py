@@ -80,3 +80,27 @@ def test_normalize_imei(spark):
     df = spark.createDataFrame([(-356938.0,), (123456789012345.0,), (None,)], ["imei"])
     out = df.select(E.normalize_imei(F.col("imei")).alias("v")).collect()
     assert [r.v for r in out] == ["356938", "123456789012345", None]
+
+
+def test_salted_join_equals_unsalted(spark):
+    """Skew tool correctness: salting redistributes work without changing
+    join semantics (operators.joins.salted_join)."""
+    from pyspark.sql import Row, functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [Row(k="hot", v=i) for i in range(200)]
+        + [Row(k="cold", v=i) for i in range(5)])
+    dim = spark.createDataFrame(
+        [Row(k="hot", label="H"), Row(k="cold", label="C"), Row(k="never", label="N")])
+
+    plain = fact.join(dim, "k").groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    salted = salted_join(fact, dim, ["k"], salt_buckets=8).groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    left_plain = fact.join(dim, "k", "left").count()
+    left_salted = salted_join(fact, dim, ["k"], salt_buckets=8, how="left").count()
+    assert left_plain == left_salted
