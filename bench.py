@@ -20,7 +20,10 @@ from peskas_malawi_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 
 # Wide per-row outputs are counted (no driver materialization); small
 # aggregates are collected.
-COUNT_ONLY = {"string_ops", "filter_project", "union_by_name", "reduce_full_join",
+COUNT_ONLY = {"string_ops", "sessionize", "hash_split", "split_to_columns",
+              "flatten_nested_struct", "left_join_null_keep", "json_extract",
+              "alert_fusion", "outlier_alert_global", "coalesce_suffix_groups",
+              "filter_project", "union_by_name", "reduce_full_join",
               "window_unique_flag", "outlier_alert", "time_bucket_agg",
               "grouped_mean_as_column", "minhash_lsh_pairs", "jaccard_pairs",
               "exact_dedup", "simhash", "simhash_pairs", "token_stats", "quality_scores",

@@ -670,6 +670,68 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(T.quality_score(F.col("text"))).alias("quality_micro"))
 
 
+_DUCK_H32 = "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+@register("hash_split", f"""
+SELECT doc_id,
+       CASE WHEN {_DUCK_H32} % 100 < 80 THEN 'train'
+            WHEN {_DUCK_H32} % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by id hash — the scalable
+    sampling primitive (no RNG: stable under retries, reproducible across
+    engines and runs; pure map, zero shuffle). md5-derived so the oracle
+    computes identical buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    h = T.hash32_md5(F.col("doc_id").cast("string"), "split:") % 100
+    split = (F.when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
+    return docs.select("doc_id", split.alias("split"))
+
+
+@register("quota_sample", f"""
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_DUCK_H32}, doc_id) AS rn
+  FROM documents) x
+WHERE rn <= 20
+""")
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (data-mixing): a deterministic hash order
+    makes 'random' per-group top-k reproducible — one shuffle on source,
+    partial top-k per partition via WindowGroupLimit."""
+    docs = _t(spark, sf_dir, "documents")
+    h = T.hash32_md5(F.col("doc_id").cast("string"), "split:")
+    out = agg_ops.top_k_per_group(
+        docs.select("source", "doc_id", h.alias("__h")),
+        ["source"], [F.col("__h"), F.col("doc_id")], k=20)
+    return out.select("source", "doc_id")
+
+
+@register("length_histogram", """
+SELECT CAST(least(floor(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                        x -> x <> '')) / 16), 8) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY 1
+""")
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bucket histogram (sequence-packing planning: how many
+    docs land in each length band, and the token mass per band). One
+    map-side-combined aggregation on a 9-value key."""
+    docs = _t(spark, sf_dir, "documents")
+    n = T.token_count(F.col("text"))
+    bucket = F.least(F.floor(n / 16), F.lit(8)).cast("long")
+    return (docs.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(n).cast("long").alias("total_tokens")))
+
+
 @register("fingerprint_groups", """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
        CAST(min(doc_id) AS BIGINT) AS keeper_id,
