@@ -2,8 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Each query executes to completion (collect on aggregates / count on wide
-outputs) so the measured time covers the full plan, not just planning.
+Every query is drained through the noop sink: unlike count() — whose
+column pruning can strip the projected expressions from a narrow plan and
+time a bare scan — noop evaluates every output column of every row while
+writing nothing, so the measured time covers the full computation.
 """
 
 from __future__ import annotations
@@ -18,18 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from peskas_malawi_data_pipeline_spark.core import get_spark  # noqa: E402
 from peskas_malawi_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 
-# Wide per-row outputs are counted (no driver materialization); small
-# aggregates are collected.
-COUNT_ONLY = {"string_ops", "sessionize", "hash_split", "split_to_columns",
-              "flatten_nested_struct", "left_join_null_keep", "json_extract",
-              "alert_fusion", "outlier_alert_global", "coalesce_suffix_groups",
-              "filter_project", "union_by_name", "reduce_full_join",
-              "window_unique_flag", "outlier_alert", "time_bucket_agg",
-              "grouped_mean_as_column", "minhash_lsh_pairs", "jaccard_pairs",
-              "exact_dedup", "simhash", "simhash_pairs", "token_stats", "quality_scores",
-              "lang_id", "embedding_near_dup"}
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -41,18 +31,14 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     for name, (fn, _sql) in REGISTRY.items():
         try:
-            fn(spark, warm_dir).count()
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in REGISTRY.items():
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        if name in COUNT_ONLY:
-            df.count()
-        else:
-            df.collect()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
