@@ -69,3 +69,30 @@ def test_devices_registry_all_string(spark, tmp_path):
     reg = sheets.read_devices_csv(spark, str(reg_csv))
     assert all(t == "string" for _, t in reg.dtypes)
     assert reg.count() == 1
+
+
+def test_config_profiles_and_env_interpolation(tmp_path, monkeypatch):
+    """S6 — YAML config: env interpolation with defaults, profile deep-merge
+    (reference config::get + R_CONFIG_ACTIVE, R/utils.R:65-77)."""
+    from peskas_malawi_data_pipeline_spark.core.config import load_config
+
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        "default:\n"
+        "  storage:\n"
+        "    path: ${DATA_ROOT:/tmp/data}\n"
+        "    collection: raw\n"
+        "  k_nfishers: 3\n"
+        "production:\n"
+        "  storage:\n"
+        "    path: ${DATA_ROOT}\n")
+    monkeypatch.delenv("DATA_ROOT", raising=False)
+    base = load_config(str(cfg))
+    assert base["storage"]["path"] == "/tmp/data"  # env default
+    assert base["k_nfishers"] == 3
+
+    monkeypatch.setenv("DATA_ROOT", "s3://bucket/landing")
+    prod = load_config(str(cfg), profile="production")
+    assert prod["storage"]["path"] == "s3://bucket/landing"  # interpolated
+    assert prod["storage"]["collection"] == "raw"            # deep-merged
+    assert prod["k_nfishers"] == 3
