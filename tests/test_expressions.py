@@ -104,3 +104,56 @@ def test_salted_join_equals_unsalted(spark):
     left_plain = fact.join(dim, "k", "left").count()
     left_salted = salted_join(fact, dim, ["k"], salt_buckets=8, how="left").count()
     assert left_plain == left_salted
+
+
+def test_text_functions_match_python_reference(spark):
+    """Differential test: the JVM column implementations of the text
+    extension agree with straightforward Python reference implementations
+    on adversarial inputs (unicode, empty, whitespace runs, punctuation
+    soup, long tokens)."""
+    import random
+    import re
+
+    from pyspark.sql import Row, functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    rng = random.Random(7)
+    pieces = ["the", "and", "of", "fish", "Ndunduma", "ücher", "名前", "a",
+              "x" * 300, "1,2.3!", "(bra)ck[ets]", "", " ", "\t", "\n\n",
+              "der", "und", "le", "la", "el", "que", "...", "?!?"]
+    texts = [" ".join(rng.choices(pieces, k=rng.randint(0, 40)))
+             for _ in range(200)] + ["", " ", "\t\n ", "one"]
+
+    def py_tokens(s):
+        return [t for t in re.split(r"\s+", s.strip().lower()) if t]
+
+    def py_punct_ratio(s):
+        if not len(s):
+            return 0.0
+        punct = len(re.findall(r"[\.,;:!\?\"'\(\)\[\]\{\}]", s))
+        return punct / len(s)
+
+    def py_stop_ratio(s):
+        t = py_tokens(s)
+        if not t:
+            return 0.0
+        return sum(1 for w in t if w in T.LANG_MARKERS["en"]) / len(t)
+
+    df = spark.createDataFrame([Row(i=i, text=s) for i, s in enumerate(texts)])
+    got = {r["i"]: r for r in df.select(
+        "i",
+        T.token_count(F.col("text")).alias("n"),
+        F.size(T.word_shingles(F.col("text"), 3)).alias("n_sh"),
+        T.punct_ratio(F.col("text")).alias("pr"),
+        T.stopword_ratio(F.col("text")).alias("sr"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).collect()}
+
+    for i, s in enumerate(texts):
+        r = got[i]
+        assert r["n"] == len(py_tokens(s)), (i, s)
+        assert r["n_sh"] >= 1                       # every doc gets ≥1 shingle
+        assert abs(r["pr"] - py_punct_ratio(s)) < 1e-12, (i, s)
+        assert abs(r["sr"] - py_stop_ratio(s)) < 1e-12, (i, s)
+        assert 0.0 <= r["q"] <= 1.0
