@@ -179,7 +179,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0,
+                  max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a blocking key
     (e.g. MinHash band bucket, source, or length band).
 
@@ -212,6 +213,15 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
     posts = sh.select(
         "__block", "id_a", F.size("sh_a").alias("n_a"),
         F.explode("sh_a").alias("__shingle"))
+    if max_shingle_df is not None:
+        # Stop-shingle capping (SCALE.md §4): a shingle present in more than
+        # max_shingle_df docs of a block contributes O(df²) join rows while
+        # carrying almost no similarity signal — drop it from the index.
+        # |∩| can only shrink, so capped Jaccard is a LOWER bound: no false
+        # positives are introduced, some hot-boilerplate pairs may be missed.
+        w_df = Window.partitionBy("__block", "__shingle")
+        posts = (posts.withColumn("__df", F.count(F.lit(1)).over(w_df))
+                 .filter(F.col("__df") <= max_shingle_df).drop("__df"))
     other = posts.select(F.col("__block"), F.col("__shingle"),
                          F.col("id_a").alias("id_b"), F.col("n_a").alias("n_b"))
     inter = (posts.join(other, ["__block", "__shingle"])

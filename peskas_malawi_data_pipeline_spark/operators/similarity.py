@@ -118,6 +118,55 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             n_centroids: int = 16, nprobe: int = 2,
+             query_id: str = "query_id", corpus_id: str = "corpus_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, then search only each query's ``nprobe``
+    closest lists. The 100 TB shape: centroid assignment is a broadcast
+    join + per-row argmax (narrow); the search is an equi-join on the list
+    id — candidate volume is |corpus|·nprobe/n_centroids instead of
+    |corpus| per query.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors —
+    deterministic (no RNG, reproducible across runs/engines); swap in
+    k-means centroids computed offline for better recall at equal cost.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = (corpus.orderBy(corpus_id).limit(n_centroids)
+             .select(F.col(corpus_id).alias("__cent_seed"), vd.alias("__cv")))
+    cents = cents.select(
+        F.row_number().over(Window.orderBy("__cent_seed")).alias("centroid_id"),
+        F.col("__cv").alias("__cent_vec"),
+        l2_norm(F.col("__cv")).alias("__cent_norm"))
+
+    def assign(df: DataFrame, id_col: str, n_lists: int) -> DataFrame:
+        """id → its n_lists nearest centroid ids (rank ≤ n_lists)."""
+        base = df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd).alias("__n"))
+        scored = base.crossJoin(F.broadcast(cents))
+        denom = F.col("__n") * F.col("__cent_norm")
+        sim = F.when(denom > 0, dot(F.col("__v"), F.col("__cent_vec")) / denom)
+        w = Window.partitionBy(id_col).orderBy(F.desc_nulls_last(sim),
+                                               F.col("centroid_id"))
+        return (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= n_lists)
+                .select(id_col, "centroid_id", "__v", "__n"))
+
+    corpus_lists = assign(corpus.select(corpus_id, vec_col), corpus_id, 1) \
+        .withColumnRenamed("__v", "__cv2").withColumnRenamed("__n", "__cn2")
+    query_lists = assign(queries.select(query_id, vec_col), query_id, nprobe)
+
+    cand = query_lists.join(corpus_lists, "centroid_id") \
+        .filter(F.col(query_id) != F.col(corpus_id))
+    denom = F.col("__n") * F.col("__cn2")
+    sim = F.round(F.when(denom > 0, dot(F.col("__v"), F.col("__cv2")) / denom), 6)
+    scored = cand.select(query_id, corpus_id, sim.alias("cosine")).distinct()
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
                        query_id: str = "query_id", corpus_id: str = "corpus_id",
                        vec_col: str = "embedding") -> DataFrame:

@@ -136,3 +136,51 @@ def test_frame_sample_plan(spark):
     out = M.frame_sample_plan(df, every_s=1.0).collect()
     assert [r.frame_index for r in out] == [0, 1, 2]
     assert out[2].sample_ts_s == 2.0
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+
+    exact = S.brute_force_topk(q, c, k=5)
+    approx = S.ivf_topk(q, c, k=5, n_centroids=8, nprobe=3)
+
+    truth = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    got = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    # deterministic data + deterministic centroids -> stable recall;
+    # nprobe=3 of 8 lists must recover a solid share of the true top-5
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall
+    # every approx hit must carry the exact cosine (verified, not sketched)
+    exact_cos = {(r.query_id, r.corpus_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.corpus_id) in exact_cos:
+            assert r.cosine == exact_cos[(r.query_id, r.corpus_id)]
+
+
+def test_jaccard_stop_shingle_cap_is_lower_bound(spark):
+    from pyspark.sql import Row
+
+    from peskas_malawi_data_pipeline_spark.operators import dedup as D
+
+    # "common ngram x1.." shingles appear in every doc; capping drops them
+    docs = spark.createDataFrame([
+        Row(doc_id=i, block="b",
+            text=f"common ngram shared by every doc plus unique tail {i} "
+                 f"more unique words {i} {i+100} {i+200}")
+        for i in range(6)
+    ])
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_pairs(docs, "block", threshold=0.01).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in D.jaccard_pairs(docs, "block", threshold=0.01,
+                                       max_shingle_df=3).collect()}
+    assert set(capped) <= set(full)          # no new pairs appear
+    for pair, j in capped.items():
+        assert j <= full[pair] + 1e-12       # capped similarity only shrinks
