@@ -12,7 +12,9 @@ from peskas_malawi_data_pipeline_spark.core import get_spark
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
     spark = get_spark("tests", master="local[4]",
-                      extra_conf={"spark.sql.shuffle.partitions": "4"})
+                      extra_conf={"spark.sql.shuffle.partitions": "4",
+                                  "spark.sql.warehouse.dir":
+                                      "/tmp/peskas_test_warehouse"})
     yield spark
 
 

@@ -13,6 +13,9 @@ nested-loop, never a shuffled cartesian.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from peskas_malawi_data_pipeline_spark.queries import REGISTRY
 
 from conftest import SF_DIR
@@ -97,6 +100,41 @@ def test_left_join_builds_broadcast_from_aggregated_side(spark):
     p = plan(spark, "left_join_null_keep")
     assert "BroadcastHashJoin" in p
     assert "Join LeftOuter" in p or "BuildRight" in p
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """SCALE.md §3: landings and trips bucketed by the merge key join with
+    ZERO exchanges — the pipeline's only fact⋈fact join becomes co-located.
+    (Bucket pruning also applies; bucket count would be sized to the
+    cluster at 100 TB.)"""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    ev = _t(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    left = ev.select("user_id", "day", "event_id", "value")
+    right = ev.select("user_id", "day", F.col("value").alias("v2"))
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df in [("b_left", left), ("b_right", right)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        (df.write.mode("overwrite").format("parquet")
+         .bucketBy(8, "user_id", "day").sortBy("user_id", "day")
+         .saveAsTable(name))
+    joined = spark.table("b_left").join(spark.table("b_right"),
+                                        ["user_id", "day"])
+    # disable auto-broadcast so the plan shows the sort-merge path a
+    # 100 TB fact⋈fact join would take (restore after planning)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+        p = utils.explainString(joined._jdf.queryExecution(), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p        # bucketing satisfies the distribution
+    assert "SelectedBucketsCount" in p
 
 
 def test_partitioned_write_gets_partition_pruning(spark, tmp_path):
