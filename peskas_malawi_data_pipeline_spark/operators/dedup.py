@@ -270,6 +270,70 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_rounds: int = 12) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewrites (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14) — converges in O(log² n) rounds regardless of graph
+    diameter, vs. diameter-many rounds for plain min-label propagation
+    (``connected_components``). The 100 TB choice when dup chains can be
+    long (shingled boilerplate, transitive near-dup chains), where
+    diameter-bound propagation would run tens of iterations.
+
+    Each round is two edge rewrites; each rewrite is ONE window-aggregate
+    shuffle on the node id plus a distinct. Edges only ever move toward the
+    component minimum, so the edge set shrinks toward a star per component;
+    fixpoint is detected with an order-independent checksum (count +
+    xxhash64 sum) instead of a compare-join. Returns (id, component) for
+    every node appearing in ``pairs`` — identical output contract to
+    ``connected_components``.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        """Both orientations, self-loops dropped, deduped."""
+        fwd = df.select(F.col("src"), F.col("dst"))
+        return (fwd.union(fwd.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+                .filter(F.col("src") != F.col("dst")).distinct())
+
+    edges = canon(pairs.select(F.col(id_a).alias("src"),
+                               F.col(id_b).alias("dst")))
+    nodes = edges.select(F.col("src").alias("id")).distinct() \
+        .localCheckpoint(eager=True)
+
+    prev_chk = None
+    for _ in range(max_rounds):
+        # large-star: every neighbor v > u re-points at m = min(Γ(u) ∪ {u})
+        w = Window.partitionBy("src")
+        m = F.least(F.min("dst").over(w), F.col("src"))
+        large = (edges.withColumn("m", m)
+                 .filter(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        edges = canon(large).localCheckpoint(eager=True)
+        # small-star: smaller neighbors L = {v < u} and u itself re-point at
+        # min(L); emitted per edge (v, m) plus one (u, m) per node.
+        lo = edges.filter(F.col("dst") < F.col("src"))
+        mn = F.min("dst").over(Window.partitionBy("src"))
+        lo = lo.withColumn("m", mn)
+        small = (lo.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .union(lo.select(F.col("src"), F.col("m").alias("dst"))))
+        edges = canon(small).localCheckpoint(eager=True)
+        # decimal accumulator: a long sum of 64-bit hashes overflows ANSI
+        cnt, hsh = edges.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(27,0)"))).first()
+        chk = (cnt, hsh)
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+
+    comp = edges.groupBy("src").agg(F.min("dst").alias("__mn"))
+    return (nodes.join(comp, nodes.id == comp.src, "left")
+            .select(F.col("id"),
+                    F.least(F.coalesce(F.col("__mn"), F.col("id")),
+                            F.col("id")).alias("component")))
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              block_col: str | None = None,

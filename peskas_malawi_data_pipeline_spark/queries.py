@@ -803,7 +803,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, shingle_n=3)
 
 
-@register("dedup_components", f"""
+_DUCK_COMPONENTS_SQL = f"""
 WITH RECURSIVE {_DUCK_MINHASH_CTES},
 edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
           UNION SELECT id_b, id_a FROM mh_pairs),
@@ -814,7 +814,10 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
 SELECT src AS id, CAST(min(dst) AS BIGINT) AS component
 FROM reach GROUP BY src
-""")
+"""
+
+
+@register("dedup_components", _DUCK_COMPONENTS_SQL)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate GROUPS: connected components over the
     MinHash candidate graph by iterative min-label propagation (the step
@@ -823,6 +826,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ops.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, shingle_n=3)
     return dedup_ops.connected_components(pairs)
+
+
+@register("dedup_components_star", _DUCK_COMPONENTS_SQL)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate groups via alternating large-star/small-star rewrites
+    (O(log² n) rounds, diameter-independent) — the 100 TB variant for long
+    transitive dup chains. Oracle: identical recursive-CTE closure, since
+    both algorithms label every node with its component minimum."""
+    pairs = dedup_ops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, shingle_n=3)
+    return dedup_ops.connected_components_star(pairs)
 
 
 _DUCK_SIMHASH_CTE = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
@@ -1022,6 +1036,58 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
     out = sim_ops.lsh_topk(q, c, k=3, n_axis_planes=8)
+    return out.select("query_id", "corpus_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+# cosine(v, centroid) with per-side norms multiplied the same way the Spark
+# op does (norm(v) * norm(cent)), so the doubles match bit-for-bit
+_DUCK_IVF_ASSIGN = ("CASE WHEN sqrt(list_dot_product(v, v)) * en > 0 THEN "
+                    "list_dot_product(v, ev) / "
+                    "(sqrt(list_dot_product(v, v)) * en) END")
+
+
+@register("ann_ivf_topk", f"""
+WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY corpus_id) AS centroid_id,
+                 v AS ev, sqrt(list_dot_product(v, v)) AS en
+          FROM (SELECT * FROM c ORDER BY corpus_id LIMIT 8)),
+ca AS (SELECT corpus_id, v, centroid_id,
+              row_number() OVER (PARTITION BY corpus_id
+                  ORDER BY ({_DUCK_IVF_ASSIGN}) DESC NULLS LAST, centroid_id) AS r
+       FROM c, cents),
+clists AS (SELECT corpus_id, centroid_id, v AS cv FROM ca WHERE r = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 20),
+qa AS (SELECT query_id, v, centroid_id,
+              row_number() OVER (PARTITION BY query_id
+                  ORDER BY ({_DUCK_IVF_ASSIGN}) DESC NULLS LAST, centroid_id) AS r
+       FROM q, cents),
+qlists AS (SELECT query_id, centroid_id, v AS qv FROM qa WHERE r <= 2),
+s AS (SELECT DISTINCT query_id, corpus_id,
+             round(CASE WHEN sqrt(list_dot_product(qv, qv)) *
+                             sqrt(list_dot_product(cv, cv)) > 0 THEN
+                   list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                   END, 6) AS cosine
+      FROM qlists JOIN clists USING (centroid_id)
+      WHERE query_id <> corpus_id),
+r2 AS (SELECT query_id, corpus_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, corpus_id) AS rank
+       FROM s)
+SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r2 WHERE rank <= 3
+""")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into inverted lists by
+    nearest centroid (broadcast argmax), queries probe their nprobe=2
+    nearest of 8 lists — candidate volume |corpus|·nprobe/n_centroids.
+    Oracle replays the exact same list construction and probing in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = sim_ops.ivf_topk(q, c, k=3, n_centroids=8, nprobe=2)
     return out.select("query_id", "corpus_id", "cosine",
                       F.col("rank").cast("long").alias("rank"))
 

@@ -184,3 +184,25 @@ def test_jaccard_stop_shingle_cap_is_lower_bound(spark):
     assert set(capped) <= set(full)          # no new pairs appear
     for pair, j in capped.items():
         assert j <= full[pair] + 1e-12       # capped similarity only shrinks
+
+
+def test_connected_components_star_long_chain(spark):
+    """Large-star/small-star must collapse a 60-node path graph (diameter
+    59) within its O(log² n) round budget — plain min-label propagation
+    would need ~59 iterations. Also: identical output contract on a small
+    multi-component graph."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["id_a", "id_b"])
+    out = D.connected_components_star(chain, max_rounds=8)
+    rows = out.collect()
+    assert len(rows) == 60
+    assert {r.component for r in rows} == {0}
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["id_a", "id_b"])
+    star = {(r.id, r.component)
+            for r in D.connected_components_star(pairs).collect()}
+    prop = {(r.id, r.component)
+            for r in D.connected_components(pairs).collect()}
+    assert star == prop
