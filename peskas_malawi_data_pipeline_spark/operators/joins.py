@@ -108,3 +108,26 @@ def grid_complete(df: DataFrame, key_a: str, key_b: str,
     grid = (df.select(key_a).distinct()
             .crossJoin(df.select(key_b).distinct()))
     return grid.join(agged, [key_a, key_b], "left")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column,
+              broadcast_right: bool = False) -> DataFrame:
+    """EXISTS filter: rows of ``left`` with at least one match in ``right``,
+    left columns only, no row duplication (unlike inner join + distinct —
+    which at 100 TB would explode row counts before collapsing them).
+    Shuffles only the join keys of ``right``; broadcast when the filter set
+    is small (a keep-list of ids is the typical shape).
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column,
+              broadcast_right: bool = False) -> DataFrame:
+    """NOT EXISTS filter: rows of ``left`` with no match in ``right``
+    (dplyr ``anti_join``; the reference uses the full-join-then-filter-NULL
+    idiom for the same effect — SURVEY §2.6 J7 note). NULL-safe per SQL
+    NOT EXISTS: right-side NULL keys never eliminate left rows.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, "left_anti")

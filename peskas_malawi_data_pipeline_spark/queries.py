@@ -20,6 +20,7 @@ from .functions import text as T
 from .operators import aggregates as agg_ops
 from .operators import dedup as dedup_ops
 from .operators import joins as join_ops
+from .operators import packing as pack_ops
 from .operators import relational as rel_ops
 from .operators import similarity as sim_ops
 from .operators import validation as val_ops
@@ -192,6 +193,61 @@ def join_inner_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@register("semi_join_exists", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""")
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (TPC-H Q4 shape): orders in a window with
+    at least one late shipment, counted by priority. Semi join never
+    duplicates the left side — at 100 TB the alternative inner-join+distinct
+    would multiply every order by its matching lineitems before collapsing.
+    The date window is pushed to the orders scan; the correlated non-equi
+    predicate rides the semi join condition."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))))
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")))
+    kept = join_ops.semi_join(o, l, cond)
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"))
+
+
+@register("anti_join_missing", """
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS acctbal_total
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+GROUP BY c.c_nationkey
+""")
+def anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (TPC-H Q22 shape): customers with no
+    high-value order, per nation. The right side reduces to a bag of keys
+    after its filter — only o_custkey shuffles (column pruning), and the
+    left side is never duplicated. Account balances sum through
+    DECIMAL(18,2) for order-insensitive totals."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 300000)
+         .select(F.col("o_custkey").alias("c_custkey")))
+    kept = join_ops.anti_join(c, o, ["c_custkey"])
+    return kept.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(_dec(F.col("c_acctbal"))).cast("double"), 2)
+        .alias("acctbal_total"))
 
 
 @register("reduce_full_join", """
@@ -732,6 +788,83 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(n).cast("long").alias("total_tokens")))
 
 
+_DUCK_PACK_BASE = f"""
+toks AS (SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS tok,
+         CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 8 AS INT) AS shard
+         FROM documents)"""
+
+
+@register("pack_chunks", f"""
+WITH {_DUCK_PACK_BASE}
+SELECT doc_id, tok AS n_tokens, shard,
+       CAST(floor(coalesce(sum(tok) OVER w, 0) / 256) AS BIGINT) AS bin_id,
+       CAST(coalesce(sum(tok) OVER w, 0) % 256 AS BIGINT) AS bin_offset
+FROM toks
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+""")
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents laid back-to-back per
+    md5 shard, stream cut every 256 tokens — pure window arithmetic over an
+    exclusive running sum; one shuffle, no Python. The LLM-pretraining
+    packing scheme where documents may straddle window boundaries."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("tok"))
+    return pack_ops.pack_concat_chunks(docs, "tok", target=256, n_shards=8)
+
+
+@register("pack_greedy", f"""
+WITH RECURSIVE {_DUCK_PACK_BASE},
+seq AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM toks),
+rec(shard, rn, doc_id, tok, bin, fill) AS (
+  SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT), tok FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.tok,
+         CASE WHEN r.fill + s.tok <= 256 THEN r.bin ELSE r.bin + 1 END,
+         CASE WHEN r.fill + s.tok <= 256 THEN r.fill + s.tok ELSE s.tok END
+  FROM rec r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1)
+SELECT doc_id, tok AS n_tokens, shard, bin AS bin_id
+FROM rec
+""")
+def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy boundary-respecting packing (documents never straddle bins):
+    the per-document bin/fill recurrence is sequential within a shard, so it
+    runs as Arrow-batched applyInPandas per md5 shard — parallel across
+    shards, deterministic within. Oracle replays the identical recurrence
+    with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("tok"))
+    return pack_ops.pack_greedy_sequential(docs, "tok", target=256, n_shards=8)
+
+
+@register("pack_utilization", f"""
+WITH RECURSIVE {_DUCK_PACK_BASE},
+seq AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM toks),
+rec(shard, rn, doc_id, tok, bin, fill) AS (
+  SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT), tok FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.tok,
+         CASE WHEN r.fill + s.tok <= 256 THEN r.bin ELSE r.bin + 1 END,
+         CASE WHEN r.fill + s.tok <= 256 THEN r.fill + s.tok ELSE s.tok END
+  FROM rec r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1)
+SELECT shard, bin AS bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS tokens,
+       (CAST(sum(tok) AS BIGINT) * 1000000) // 256 AS util_micro
+FROM rec GROUP BY shard, bin
+""")
+def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill statistics per packed bin (docs, tokens, utilization in integer
+    micro-units) — the packing-efficiency report that decides whether the
+    greedy budget is sized right for the corpus."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("tok"))
+    packed = pack_ops.pack_greedy_sequential(docs, "tok", target=256, n_shards=8)
+    return pack_ops.bin_utilization(packed, target=256)
+
+
 @register("fingerprint_groups", """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
        CAST(min(doc_id) AS BIGINT) AS keeper_id,
@@ -1167,6 +1300,58 @@ def streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("time_bucket"),
         "event_type", "n",
         F.round(F.col("__total").cast("double"), 2).alias("total_value"))
+
+
+@register("streaming_sessionize", """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tagged AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered)
+SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS session_start_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM tagged GROUP BY user_id, session_no
+""")
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming (applyInPandasWithState): gap-based
+    sessionization — the aggregation no built-in streaming window expresses.
+    Per-user state holds only the OPEN session, evicted by event-time
+    timeout once the watermark passes last_event + gap; sessions key on
+    their start epoch (eviction-stable, unlike ordinals). Drained through
+    the foreachBatch upsert sink, the result equals the BATCH two-window
+    sessionization exactly — same batch↔stream contract as
+    ``streaming_time_bucket``, proven here for custom state."""
+    import os
+    import tempfile
+
+    from .streaming import ingest_stream as st
+    from .streaming import stateful as sf
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="peskas_stream_sess_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(landing, "events.parquet"))
+
+    raw = st.stream_from_parquet_dir(
+        spark, landing,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string")
+    ev = (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+          .withWatermark("ts", "30 minutes")
+          .select("user_id", "ts", "event_id"))
+    sessions = sf.stateful_sessionize(ev, gap_s=1800)
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    st.run_available_now_upsert(sessions, out, ckpt)
+    return st.read_upsert_result(spark, out, ["user_id", "session_start_s"])
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,101 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+Gap-based sessionization is the canonical aggregation Structured Streaming's
+built-in windows cannot express (session extent depends on the data, not the
+clock grid), so it runs as an arbitrary-stateful operator: per-user state
+carries the OPEN session; every micro-batch emits the current totals of each
+session it touched, and a ``foreachBatch`` upsert log resolves to exactly
+the batch sessionization (latest batch id wins per session).
+
+Scale/state design:
+- Sessions are keyed by ``(user_id, session_start_s)`` — NOT an ordinal
+  session number. Ordinals depend on how many sessions preceded, so state
+  eviction would reset the counter and a re-appearing user would overwrite
+  earlier rows in the sink. Start-epoch keys are stable under eviction.
+- State is one fixed-size tuple per user (open session only); closed
+  sessions leave the store the moment the gap passes — via event-time
+  timeout (``GroupStateTimeout.EventTimeTimeout``): the watermark passing
+  ``last_event + gap`` proves no in-order event can ever extend the session
+  (a younger event would be late and dropped), so removal is safe AND
+  consistent with what the sink already holds.
+- Per-group work is vectorized (numpy diff/cumsum + pandas groupby), not a
+  Python per-row loop — the group recurrence is sequential only in its
+  carried scalars.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = ("user_id long, session_start_s long, "
+                         "n_events long, duration_s long")
+_STATE_SCHEMA = "start_s long, last_s long, n long"
+
+
+def _epoch_s(ts: pd.Series) -> np.ndarray:
+    """floor(epoch(ts)) — matches unix_timestamp truncation in the batch
+    plan and floor(epoch()) in the oracle."""
+    return ts.values.astype("datetime64[ns]").astype("int64") // 1_000_000_000
+
+
+def stateful_sessionize(events: DataFrame, gap_s: int = 1800,
+                        user_col: str = "user_id",
+                        ts_col: str = "ts") -> DataFrame:
+    """Streaming sessionization over a watermarked event stream: one output
+    row per (user, session) with its running totals; feed through the
+    upsert sink for exact batch parity.
+    """
+
+    def fn(key: Tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session can never
+            # grow again and its totals are already in the sink
+            state.remove()
+            return
+        user_id = key[0]
+        start_s, last_s, n = state.get if state.exists else (None, None, 0)
+
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values([ts_col, "event_id"], kind="mergesort")
+        secs = _epoch_s(pdf[ts_col])
+
+        prev = np.empty_like(secs)
+        prev[0] = last_s if last_s is not None else np.iinfo("int64").min // 2
+        prev[1:] = secs[:-1]
+        new_flag = (secs - prev) > gap_s
+        seg = np.cumsum(new_flag)          # 0 = continuation of carried session
+
+        frame = pd.DataFrame({"seg": seg, "s": secs})
+        agg = frame.groupby("seg")["s"].agg(["size", "min", "max"])
+
+        out = []
+        for seg_id, row in agg.iterrows():
+            if seg_id == 0:                # extends the carried open session
+                n += int(row["size"])
+                last_s = int(row["max"])
+            else:                          # a fresh session in this batch
+                start_s, last_s = int(row["min"]), int(row["max"])
+                n = int(row["size"])
+            out.append((user_id, start_s, n, last_s - start_s))
+
+        state.update((int(start_s), int(last_s), int(n)))
+        # expire the open session the moment the watermark proves it closed
+        timeout_ms = (last_s + gap_s + 1) * 1000
+        state.setTimeoutTimestamp(max(timeout_ms,
+                                      state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(out, columns=["user_id", "session_start_s",
+                                         "n_events", "duration_s"])
+
+    return (events.groupBy(user_col).applyInPandasWithState(
+        fn, outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA, outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout))

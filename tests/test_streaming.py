@@ -36,3 +36,58 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
             for r in batch.collect()}
     assert got == want
     assert (101, dt.datetime(2024, 3, 5, 4, 0)) in got
+
+
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionization with state carried ACROSS
+    micro-batches: file 2 extends a session opened in file 1 (same session
+    key, grown totals), opens new sessions after the gap, and the drained
+    upsert log equals batch two-window sessionization."""
+    from peskas_malawi_data_pipeline_spark.streaming import stateful
+
+    t0 = dt.datetime(2024, 3, 5, 8, 0, 0)
+
+    def ev(eid, user, minutes):
+        return Row(event_id=eid, user_id=user,
+                   ts=t0 + dt.timedelta(minutes=minutes))
+
+    # batch 1: u1 session A (0,10 min); u2 session (5 min)
+    b1 = spark.createDataFrame([ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5)])
+    # batch 2: u1 extends A (35 min: gap 25 < 30), then a NEW session at
+    # 120 min; u2 idle past the gap -> its state may be evicted, then a new
+    # session at 130 min must still key correctly (no ordinal collision)
+    b2 = spark.createDataFrame([ev(4, 1, 35), ev(5, 1, 120), ev(6, 2, 130)])
+
+    # plain files (not Spark output dirs — the file source ignores nested
+    # directories), microsecond timestamps, ordered mtimes for batch order
+    import time
+    src = tmp_path / "sess_landing"
+    src.mkdir()
+    b1.toPandas().to_parquet(str(src / "f1.parquet"),
+                             coerce_timestamps="us",
+                             allow_truncated_timestamps=True)
+    time.sleep(1.1)
+    b2.toPandas().to_parquet(str(src / "f2.parquet"),
+                             coerce_timestamps="us",
+                             allow_truncated_timestamps=True)
+
+    stream = (spark.readStream.schema("event_id long, user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src))
+              .withWatermark("ts", "30 minutes"))
+    sessions = stateful.stateful_sessionize(stream, gap_s=1800)
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    ingest_stream.run_available_now_upsert(sessions, out, ckpt)
+    result = ingest_stream.read_upsert_result(
+        spark, out, ["user_id", "session_start_s"])
+    got = {(r.user_id, r.session_start_s): (r.n_events, r.duration_s)
+           for r in result.collect()}
+
+    e = int(t0.timestamp())
+    want = {
+        (1, e): (3, 35 * 60),            # events 1,2,4 — grown across batches
+        (1, e + 120 * 60): (1, 0),       # event 5
+        (2, e + 5 * 60): (1, 0),         # event 3
+        (2, e + 130 * 60): (1, 0),       # event 6, after possible eviction
+    }
+    assert got == want
