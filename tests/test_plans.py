@@ -157,3 +157,37 @@ def test_partitioned_write_gets_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in p
     # the predicate is satisfied entirely by pruning — no data-filter remains
     assert scan.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_semi_join_pushdown_and_type(spark):
+    """semi_join_exists: the date window reaches the orders scan as pushed
+    filters, and the join is a real LeftSemi (left side never duplicated) —
+    not an inner join + distinct."""
+    p = plan(spark, "semi_join_exists")
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "Distinct" not in p
+
+
+def test_anti_join_prunes_filter_side_to_keys(spark):
+    """anti_join_missing: LeftAnti join, and the orders side is pruned to
+    (o_custkey, o_totalprice) at the scan — the 100 TB filter side shuffles
+    keys, not rows."""
+    p = plan(spark, "anti_join_missing")
+    assert "LeftAnti" in p
+    orders_reads = [l for l in p.splitlines()
+                    if l.strip().startswith("ReadSchema") and "o_custkey" in l]
+    assert orders_reads and all(
+        "o_orderpriority" not in l and "o_orderdate" not in l
+        for l in orders_reads)
+    assert "GreaterThan(o_totalprice,300000.0)" in p
+
+
+def test_pack_chunks_single_shuffle(spark):
+    """Concat-chunk packing is one shuffle (the per-shard sort) and no
+    Python: the window arithmetic stays JVM-side."""
+    p = plan(spark, "pack_chunks", mode="simple")
+    # exactly one hash exchange (the shard window); the RoundRobin exchange
+    # is the loader's single-row-group parallelization, local-harness only
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Python" not in p and "ArrowEval" not in p
