@@ -11,7 +11,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -131,3 +131,51 @@ def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column,
     """
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on, "left_anti")
+
+
+def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: Sequence[str] = (), prefix: str = "r_",
+              tolerance_s: int | None = None) -> DataFrame:
+    """Backward as-of join: each left row picks the single right row with
+    the greatest ``right_ts`` ≤ its ``left_ts`` within the same key group
+    (DuckDB/kdb ``ASOF JOIN``, pandas ``merge_asof`` — an operator Spark
+    has no built-in for). Left-outer semantics: unmatched left rows keep
+    NULL matches.
+
+    Spark-first shape: NOT a range join (which explodes every candidate
+    pair before pruning) — both sides are tagged and unioned, then ONE
+    window per key, ordered by (ts, side), carries the last right-row
+    struct forward (``last(ignorenulls=True)``); left rows then read their
+    match from the carried value. One shuffle on the key, linear work in
+    |left|+|right|, skew bounded by per-key row counts. Right rows sort
+    before left rows at equal ts, so an exactly-simultaneous right row
+    matches (ASOF ``>=``).
+
+    ``right`` must be unique per (keys, right_ts) — pre-dedupe otherwise
+    (a duplicate would make "the" match ambiguous in any engine).
+    ``tolerance_s`` drops matches older than the window (merge_asof
+    tolerance): the join stays left-outer, the stale match becomes NULL.
+    Matched right columns come back as ``{prefix}{col}`` plus
+    ``{prefix}{right_ts}``.
+    """
+    keys = list(keys)
+    rv = F.struct(F.col(right_ts).alias("__rts"),
+                  *[F.col(c) for c in value_cols])
+    r = right.select(*keys, F.col(right_ts).alias("__ts"),
+                     rv.alias("__rv"), F.lit(0).alias("__side"))
+    l = (left.withColumn("__ts", F.col(left_ts))
+         .withColumn("__side", F.lit(1)))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(*keys).orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    u = u.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1)
+    m = F.col("__m")
+    if tolerance_s is not None:
+        m = F.when(
+            F.unix_timestamp(F.col(left_ts))
+            - F.unix_timestamp(m.getField("__rts")) <= tolerance_s, m)
+    picked = [m.getField("__rts").alias(f"{prefix}{right_ts}")] + [
+        m.getField(c).alias(f"{prefix}{c}") for c in value_cols]
+    return out.select(*[F.col(c) for c in left.columns], *picked)

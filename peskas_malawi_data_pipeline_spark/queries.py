@@ -223,6 +223,35 @@ def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"))
 
 
+@register("asof_join_latest_view", """
+WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, v.view_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS lag_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (joins.asof_join): each purchase matched to the user's
+    latest view at-or-before it — the temporal operator Spark lacks as a
+    built-in, expressed as union + one last-carry-forward window instead of
+    an exploding range join. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    out = join_ops.asof_join(purchases, views, keys=["user_id"],
+                             value_cols=["view_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("r_view_id").alias("view_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("r_ts"))
+        .cast("long").alias("lag_s"))
+
+
 @register("anti_join_missing", """
 SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
        round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)

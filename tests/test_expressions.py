@@ -157,3 +157,41 @@ def test_text_functions_match_python_reference(spark):
         assert abs(r["pr"] - py_punct_ratio(s)) < 1e-12, (i, s)
         assert abs(r["sr"] - py_stop_ratio(s)) < 1e-12, (i, s)
         assert 0.0 <= r["q"] <= 1.0
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right ts <= left ts; equal-ts right row
+    matches; no prior right row -> NULL; tolerance drops stale matches."""
+    from pyspark.sql import Row
+
+    from peskas_malawi_data_pipeline_spark.operators.joins import asof_join
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(s):
+        return t + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=at(0)),        # before any right row -> NULL
+         Row(k=1, ts=at(100)),      # matches right at 100 (equal ts)
+         Row(k=1, ts=at(250)),      # matches right at 200
+         Row(k=2, ts=at(500))])     # other key, matches its own right
+    right = spark.createDataFrame(
+        [Row(k=1, ts=at(100), v=10),
+         Row(k=1, ts=at(200), v=20),
+         Row(k=2, ts=at(400), v=40),
+         Row(k=3, ts=at(0), v=99)])  # unrelated key never leaks
+
+    out = {(r.k, r.ts): (r.r_v, r.r_ts)
+           for r in asof_join(left, right, keys=["k"],
+                              value_cols=["v"]).collect()}
+    assert out[(1, at(0))] == (None, None)
+    assert out[(1, at(100))] == (10, at(100))
+    assert out[(1, at(250))] == (20, at(200))
+    assert out[(2, at(500))] == (40, at(400))
+
+    tol = {(r.k, r.ts): r.r_v
+           for r in asof_join(left, right, keys=["k"], value_cols=["v"],
+                              tolerance_s=60).collect()}
+    assert tol[(1, at(250))] == 20          # 50 s old: inside tolerance
+    assert tol[(2, at(500))] is None        # 100 s old: dropped

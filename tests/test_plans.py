@@ -191,3 +191,12 @@ def test_pack_chunks_single_shuffle(spark):
     # is the loader's single-row-group parallelization, local-harness only
     assert p.count("Exchange hashpartitioning") == 1
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_asof_join_is_single_window_not_range_join(spark):
+    """asof_join: one hash exchange on the key (the window), never a
+    broadcast-nested-loop or cartesian over the time ranges."""
+    p = plan(spark, "asof_join_latest_view", mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2   # groupBy + window share the user key
+    assert "Window" in p
