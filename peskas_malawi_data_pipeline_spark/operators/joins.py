@@ -179,3 +179,36 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
     picked = [m.getField("__rts").alias(f"{prefix}{right_ts}")] + [
         m.getField(c).alias(f"{prefix}{c}") for c in value_cols]
     return out.select(*[F.col(c) for c in left.columns], *picked)
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  keys: Sequence[str], point_s: str = "ts_s",
+                  start_s: str = "start_s", end_s: str = "end_s",
+                  bucket_s: int = 600,
+                  end_inclusive: bool = False) -> DataFrame:
+    """Range join: each point row paired with every interval (same keys)
+    containing its timestamp. All time columns are epoch-second longs
+    (callers convert with ``unix_timestamp`` — integer comparisons are
+    exact and engine-portable).
+
+    Spark plans a naive ``p.ts BETWEEN i.start AND i.end`` as a broadcast
+    nested loop (quadratic per key) — unusable at 100 TB. This operator
+    buckets time instead: every interval is exploded to the coarse buckets
+    it overlaps (``sequence`` + ``explode``; blowup = interval length ÷
+    ``bucket_s``, bounded by choosing the bucket near the typical interval
+    length), points map to exactly one bucket, and the pair-up becomes an
+    EQUI-join on (keys, bucket) with a residual range filter. A point
+    meets each covering interval in exactly one bucket (its own), so no
+    dedup is needed.
+    """
+    keys = list(keys)
+    i = intervals.withColumn(
+        "__b", F.explode(F.sequence(
+            F.floor(F.col(start_s) / bucket_s),
+            F.floor(F.col(end_s) / bucket_s))))
+    p = points.withColumn("__b", F.floor(F.col(point_s) / bucket_s))
+    upper = (F.col(point_s) <= F.col(end_s) if end_inclusive
+             else F.col(point_s) < F.col(end_s))
+    return (p.join(i, keys + ["__b"])
+            .filter((F.col(point_s) >= F.col(start_s)) & upper)
+            .drop("__b"))

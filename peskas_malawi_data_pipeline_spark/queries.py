@@ -252,6 +252,39 @@ def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("lag_s"))
 
 
+@register("interval_join_clicks", """
+WITH e AS (SELECT event_id, user_id, floor(epoch(ts)) AS e_s FROM events
+           WHERE event_type = 'error'),
+c AS (SELECT user_id, floor(epoch(ts)) AS c_s FROM events
+      WHERE event_type = 'click')
+SELECT e.event_id, CAST(count(c.c_s) AS BIGINT) AS n_clicks
+FROM e LEFT JOIN c ON e.user_id = c.user_id
+                  AND c.c_s >= e.e_s AND c.c_s < e.e_s + 600
+GROUP BY e.event_id
+""")
+def interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via interval bucketing (joins.interval_join): clicks
+    landing inside the 10-minute window after each error, counted per
+    error. Spark would plan the raw BETWEEN join as a broadcast nested
+    loop (quadratic per key); bucketing time turns it into an equi-join on
+    (user, bucket) with a residual filter. Left-outer at the query level:
+    errors with zero clicks keep a 0 count."""
+    ev = _t(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id",
+                      F.unix_timestamp("ts").alias("start_s"))
+              .withColumn("end_s", F.col("start_s") + 600))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.unix_timestamp("ts").alias("ts_s")))
+    pairs = join_ops.interval_join(clicks, errors, keys=["user_id"],
+                                   bucket_s=600)
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("__n"))
+    return (errors.join(counts, "event_id", "left")
+            .select("event_id",
+                    F.coalesce(F.col("__n"), F.lit(0)).alias("n_clicks")))
+
+
 @register("anti_join_missing", """
 SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
        round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)

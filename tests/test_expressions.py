@@ -195,3 +195,31 @@ def test_asof_join_semantics(spark):
                               tolerance_s=60).collect()}
     assert tol[(1, at(250))] == 20          # 50 s old: inside tolerance
     assert tol[(2, at(500))] is None        # 100 s old: dropped
+
+
+def test_interval_join_buckets_match_between(spark):
+    """Bucketed interval join equals the naive BETWEEN join, including
+    intervals spanning multiple buckets and bucket-boundary points."""
+    from pyspark.sql import Row
+
+    from peskas_malawi_data_pipeline_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [Row(k=1, ts_s=s) for s in [0, 99, 100, 599, 600, 1200, 1800]]
+        + [Row(k=2, ts_s=500)])
+    intervals = spark.createDataFrame(
+        [Row(k=1, iid=1, start_s=0, end_s=600),      # spans 1 bucket
+         Row(k=1, iid=2, start_s=100, end_s=1500),   # spans 3 buckets
+         Row(k=2, iid=3, start_s=400, end_s=401),    # tiny
+         Row(k=2, iid=4, start_s=501, end_s=900)])   # starts after point
+
+    got = {(r.k, r.ts_s, r.iid)
+           for r in interval_join(points, intervals, keys=["k"],
+                                  bucket_s=600).collect()}
+    want = set()
+    for p in [(1, s) for s in [0, 99, 100, 599, 600, 1200, 1800]] + [(2, 500)]:
+        for k, iid, a, b in [(1, 1, 0, 600), (1, 2, 100, 1500),
+                             (2, 3, 400, 401), (2, 4, 501, 900)]:
+            if p[0] == k and a <= p[1] < b:
+                want.add((k, p[1], iid))
+    assert got == want

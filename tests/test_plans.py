@@ -200,3 +200,12 @@ def test_asof_join_is_single_window_not_range_join(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("Exchange hashpartitioning") <= 2   # groupBy + window share the user key
     assert "Window" in p
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """interval_join_clicks: the range predicate rides an EQUI-join on
+    (user, bucket) — never the broadcast-nested-loop Spark would plan for a
+    raw BETWEEN join."""
+    p = plan(spark, "interval_join_clicks", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
