@@ -303,16 +303,19 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
 
     prev_chk = None
     for _ in range(max_rounds):
-        # large-star: every neighbor v > u re-points at m = min(Γ(u) ∪ {u})
+        # large-star: every neighbor v > u re-points at m = min(Γ(u) ∪ {u}).
+        # Emitted edges always run big→small, which is exactly the
+        # orientation small-star consumes — both phases compose lazily into
+        # ONE plan per round, materialized once (a single lineage-truncating
+        # checkpoint per round, not one per phase).
         w = Window.partitionBy("src")
         m = F.least(F.min("dst").over(w), F.col("src"))
         large = (edges.withColumn("m", m)
                  .filter(F.col("dst") > F.col("src"))
                  .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
-        edges = canon(large).localCheckpoint(eager=True)
         # small-star: smaller neighbors L = {v < u} and u itself re-point at
         # min(L); emitted per edge (v, m) plus one (u, m) per node.
-        lo = edges.filter(F.col("dst") < F.col("src"))
+        lo = canon(large).filter(F.col("dst") < F.col("src"))
         mn = F.min("dst").over(Window.partitionBy("src"))
         lo = lo.withColumn("m", mn)
         small = (lo.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
