@@ -252,6 +252,56 @@ def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("lag_s"))
 
 
+@register("funnel_stages", """
+WITH x AS (SELECT user_id, ts, event_type,
+  min(CASE WHEN event_type = 'view' THEN ts END)
+    OVER (PARTITION BY user_id) AS v FROM events),
+y AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v
+                        AND floor(epoch(ts)) - floor(epoch(v)) <= 604800
+                   THEN ts END)
+    OVER (PARTITION BY user_id) AS c FROM x),
+z AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c
+                        AND floor(epoch(ts)) - floor(epoch(c)) <= 604800
+                   THEN ts END)
+    OVER (PARTITION BY user_id) AS p FROM y),
+u AS (SELECT user_id, max(v) AS v, max(c) AS c, max(p) AS p
+      FROM z GROUP BY user_id)
+SELECT CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2
+            WHEN v IS NOT NULL THEN 1 ELSE 0 END AS stage,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
+""")
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click within 7 days → purchase within 7
+    days) per user, counted by the furthest stage reached. Each stage's
+    timestamp is a conditional-min window gated on the previous stage — three stacked
+    Window operators over the SAME user partitioning plus the final
+    aggregate, so the whole funnel costs ONE shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    d = ev.withColumn(
+        "v", F.min(F.when(F.col("event_type") == "view", t)).over(w))
+    week = 604800
+    d = d.withColumn(
+        "c", F.min(F.when((F.col("event_type") == "click")
+                          & (t >= F.col("v"))
+                          & (F.unix_timestamp(t)
+                             - F.unix_timestamp("v") <= week), t)).over(w))
+    d = d.withColumn(
+        "p", F.min(F.when((F.col("event_type") == "purchase")
+                          & (t >= F.col("c"))
+                          & (F.unix_timestamp(t)
+                             - F.unix_timestamp("c") <= week), t)).over(w))
+    per_user = d.groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p"))
+    stage = (F.when(F.col("p").isNotNull(), 3)
+             .when(F.col("c").isNotNull(), 2)
+             .when(F.col("v").isNotNull(), 1).otherwise(0))
+    return (per_user.groupBy(stage.alias("stage"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
 @register("interval_join_clicks", """
 WITH e AS (SELECT event_id, user_id, floor(epoch(ts)) AS e_s FROM events
            WHERE event_type = 'error'),

@@ -209,3 +209,12 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     p = plan(spark, "interval_join_clicks", mode="simple")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_funnel_single_user_shuffle(spark):
+    """funnel_stages: three chained conditional-min windows + the per-user
+    rollup all reuse ONE user_id partitioning; the only other exchange is
+    the tiny final stage-count."""
+    p = plan(spark, "funnel_stages", mode="simple")
+    assert p.count("Window") == 3
+    assert p.count("Exchange hashpartitioning") <= 2
