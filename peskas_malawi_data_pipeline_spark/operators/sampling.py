@@ -1,0 +1,62 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Weighted systematic sampling: order rows by a deterministic md5 key
+("random" but reproducible — no RNG, identical across runs and engines),
+lay their integer weights end-to-end on a number line, and select every row
+whose weight interval contains a sampling point ``offset + k·stride``.
+Selection probability is proportional to weight, variance is lower than
+independent Bernoulli draws, and the arithmetic is all integer — exact in
+any engine, so the whole operator is oracle-checkable.
+
+Scale shape: the prefix sum is TWO-LEVEL — per-shard cumulative sums
+(shuffle on the shard key) plus a shard-offset table that is tiny
+(``n_shards`` rows, single-partition window over it is free) and broadcast
+back. No global single-partition window ever touches row-scale data; the
+global order is (shard, key, id), deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def weighted_systematic_sample(df: DataFrame, weight_col: str, n: int,
+                               id_col: str = "doc_id",
+                               n_shards: int = 8) -> DataFrame:
+    """≈``n`` rows sampled with probability proportional to the integer
+    ``weight_col`` (systematic/low-variance; rows heavier than the stride
+    are always selected). Returns the input columns plus ``sample_key``.
+    """
+    key = TX.hash32_md5(F.col(id_col).cast("string"), seed="samp:")
+    base = (df.withColumn("__key", key)
+            .withColumn("__shard", (F.col("__key") % n_shards).cast("int")))
+
+    w_local = (Window.partitionBy("__shard").orderBy("__key", id_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    base = base.withColumn("__local_cum", F.sum(weight_col).over(w_local))
+
+    totals = base.groupBy("__shard").agg(F.sum(weight_col).alias("__shard_w"))
+    w_off = (Window.orderBy("__shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "__shard", F.coalesce(F.sum("__shard_w").over(w_off), F.lit(0))
+        .alias("__shard_off"))
+    grand = totals.agg(F.sum("__shard_w").alias("__total"))
+
+    g = (base.join(F.broadcast(offsets), "__shard")
+         .crossJoin(F.broadcast(grand))
+         .withColumn("__ci", F.col("__shard_off") + F.col("__local_cum"))
+         .withColumn("__ce", F.col("__ci") - F.col(weight_col))
+         .withColumn("__stride",
+                     F.greatest(F.lit(1), F.expr(f"__total div {n}")))
+         .withColumn("__off", F.expr("__stride div 2")))
+
+    # sampling points strictly below x, all-integer (`div`, never `/`)
+    npts = ("(CASE WHEN {x} <= __off THEN 0 "
+            "ELSE (({x} - __off - 1) div __stride) + 1 END)")
+    return (g.filter(F.expr(f"{npts.format(x='__ci')} > "
+                            f"{npts.format(x='__ce')}"))
+            .select(*df.columns, F.col("__key").alias("sample_key")))

@@ -21,6 +21,7 @@ from .operators import aggregates as agg_ops
 from .operators import dedup as dedup_ops
 from .operators import joins as join_ops
 from .operators import packing as pack_ops
+from .operators import sampling as samp_ops
 from .operators import relational as rel_ops
 from .operators import similarity as sim_ops
 from .operators import validation as val_ops
@@ -975,6 +976,37 @@ def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.token_count(F.col("text")).alias("tok"))
     packed = pack_ops.pack_greedy_sequential(docs, "tok", target=256, n_shards=8)
     return pack_ops.bin_utilization(packed, target=256)
+
+
+@register("weighted_sample", f"""
+WITH base AS (SELECT doc_id,
+  CAST(len({_DUCK_TOKS}) AS BIGINT) AS w,
+  CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       AS BIGINT) AS key
+  FROM documents),
+tot AS (SELECT greatest(1, sum(w) // 50) AS stride FROM base),
+cum AS (SELECT doc_id, w, key,
+        sum(w) OVER (ORDER BY key % 8, key, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS ci
+        FROM base)
+SELECT doc_id, w AS n_tokens, key AS sample_key
+FROM cum, tot
+WHERE (CASE WHEN ci <= stride // 2 THEN 0
+            ELSE (ci - stride // 2 - 1) // stride + 1 END)
+    > (CASE WHEN ci - w <= stride // 2 THEN 0
+            ELSE (ci - w - stride // 2 - 1) // stride + 1 END)
+""")
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling (~50 docs, probability ∝ token count):
+    deterministic md5 ordering, integer number-line arithmetic, and a
+    TWO-LEVEL prefix sum (per-shard cumsum + tiny broadcast shard offsets)
+    so no row-scale data ever passes through a single-partition window.
+    The oracle's plain global window is mathematically identical because
+    the global order is (shard, key, id) in both."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return samp_ops.weighted_systematic_sample(
+        docs, "n_tokens", n=50, id_col="doc_id", n_shards=8)
 
 
 @register("fingerprint_groups", """

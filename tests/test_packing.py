@@ -59,3 +59,41 @@ def test_packing_partition_layout_independent(spark):
                                                 target=256,
                                                 n_shards=4).collect()))
     assert a == b
+
+
+def test_weighted_systematic_sample_matches_reference(spark):
+    """Differential vs a pure-Python replay of the number-line walk: the
+    selected set is exactly the systematic sample (a row heavier than the
+    stride absorbs several sampling points but appears once), deterministic
+    and partition-layout independent."""
+    import hashlib
+
+    from peskas_malawi_data_pipeline_spark.operators import sampling as SM
+
+    sizes = [10] * 200 + [5000]              # one dominant heavy doc
+    df = _docs(spark, sizes)
+    out = SM.weighted_systematic_sample(df, "tok", n=20, id_col="doc_id")
+    got = {r.doc_id for r in out.collect()}
+
+    def key(i):
+        return int(hashlib.md5(f"samp:{i}".encode()).hexdigest()[:8], 16)
+
+    order = sorted(range(len(sizes)), key=lambda i: (key(i) % 8, key(i), i))
+    total = sum(sizes)
+    stride = max(1, total // 20)
+    off = stride // 2
+
+    def npts(x):
+        return 0 if x <= off else (x - off - 1) // stride + 1
+
+    want, cum = set(), 0
+    for i in order:
+        ce, cum = cum, cum + sizes[i]
+        if npts(cum) > npts(ce):
+            want.add(i)
+    assert got == want
+    assert 200 in got                        # heavy doc (> stride) kept
+
+    again = {r.doc_id for r in SM.weighted_systematic_sample(
+        df.repartition(13), "tok", n=20, id_col="doc_id").collect()}
+    assert got == again
