@@ -253,6 +253,33 @@ def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("lag_s"))
 
 
+@register("min_price_supplier", """
+WITH w AS (SELECT l_partkey, l_suppkey, l_extendedprice,
+                  min(l_extendedprice) OVER (PARTITION BY l_partkey) AS mp
+           FROM lineitem)
+SELECT l_partkey, CAST(min(l_suppkey) AS BIGINT) AS suppkey,
+       round(mp, 2) AS min_price
+FROM w WHERE l_extendedprice = mp
+GROUP BY l_partkey, mp
+""")
+def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated min-subquery shape, decorrelated: the supplier
+    achieving each part's minimum price. Expressed as a per-part window min
+    + filter rather than aggregate-then-self-join — the window, the filter,
+    and the tie-breaking rollup all reuse ONE l_partkey partitioning, so
+    the whole lookup is a single data shuffle (the self-join form would
+    shuffle lineitem twice). Ties resolve to the lowest suppkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    d = li.select("l_partkey", "l_suppkey", "l_extendedprice",
+                  F.min("l_extendedprice").over(w).alias("mp"))
+    return (d.filter(F.col("l_extendedprice") == F.col("mp"))
+            .groupBy("l_partkey", "mp")
+            .agg(F.min("l_suppkey").alias("suppkey"))
+            .select("l_partkey", "suppkey",
+                    F.round("mp", 2).alias("min_price")))
+
+
 @register("funnel_stages", """
 WITH x AS (SELECT user_id, ts, event_type,
   min(CASE WHEN event_type = 'view' THEN ts END)
@@ -1444,6 +1471,58 @@ def streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("time_bucket"),
         "event_type", "n",
         F.round(F.col("__total").cast("double"), 2).alias("total_value"))
+
+
+@register("streaming_enriched_rollup", """
+WITH dim(event_type, category) AS (VALUES
+  ('click', 'engage'), ('view', 'engage'),
+  ('purchase', 'convert'), ('signup', 'convert'), ('error', 'ops'))
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                               * 1000000), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       coalesce(d.category, 'other') AS category,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e LEFT JOIN dim d USING (event_type)
+GROUP BY 1, 2
+""")
+def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream left-joins a broadcast
+    static dimension (event_type → category) BEFORE the windowed rollup —
+    the standard streaming enrichment shape (dimension re-read per
+    micro-batch, no state needed for the join side). Drained through the
+    upsert sink for exact batch parity like the other streaming twins."""
+    import os
+    import tempfile
+
+    from .streaming import ingest_stream as st
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="peskas_stream_enrich_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(landing, "events.parquet"))
+
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"),
+         ("purchase", "convert"), ("signup", "convert"), ("error", "ops")],
+        ["event_type", "category"])
+
+    raw = st.stream_from_parquet_dir(
+        spark, landing,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string")
+    ev = (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+          .join(F.broadcast(dim), "event_type", "left")
+          .withColumn("category", F.coalesce("category", F.lit("other"))))
+    agged = (ev.withWatermark("ts", "30 minutes")
+             .groupBy(F.window("ts", "60 minutes").alias("win"), "category")
+             .agg(F.count(F.lit(1)).alias("n")))
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    st.run_available_now_upsert(agged, out, ckpt)
+    resolved = st.read_upsert_result(spark, out, ["win", "category"])
+    return resolved.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_bucket"), "category", "n")
 
 
 @register("streaming_sessionize", """

@@ -218,3 +218,12 @@ def test_funnel_single_user_shuffle(spark):
     p = plan(spark, "funnel_stages", mode="simple")
     assert p.count("Window") == 3
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_min_price_supplier_single_data_shuffle(spark):
+    """min_price_supplier: window min + filter + rollup reuse one
+    l_partkey partitioning — a single data shuffle, where the
+    aggregate-then-self-join decorrelation would shuffle lineitem twice."""
+    p = plan(spark, "min_price_supplier", mode="simple")
+    assert "Join" not in p                    # no self-join decorrelation
+    assert p.count("Exchange hashpartitioning") == 1
