@@ -253,6 +253,79 @@ def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("lag_s"))
 
 
+@register("pivot_event_counts", """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY user_id
+""")
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tidyr ``pivot_wider``: per-user event counts spread to one column
+    per event type, expressed as conditional aggregation (one
+    ``sum(when(...))`` per declared value) — ONE partial-agg shuffle
+    (plan-checked). ``DataFrame.pivot`` with discovered values costs an
+    extra distinct-collection job AND a second exchange (it aggregates by
+    (user, type) first, then pivots); declaring the columns collapses the
+    whole reshape into the aggregate itself — the 100 TB rule for pivots."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    return ev.groupBy("user_id").agg(
+        *[F.sum(F.when(F.col("event_type") == k, 1).otherwise(0))
+          .cast("long").alias(k) for k in kinds])
+
+
+@register("unpivot_metrics", """
+WITH agg AS (SELECT l_returnflag,
+                    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE), 2) AS qty,
+                    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                               AS DOUBLE), 2) AS price
+             FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'price' AS metric, price AS value FROM agg
+""")
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tidyr ``pivot_longer``: aggregated metric columns melted to
+    (metric, value) rows via ``stack`` — a zero-shuffle projection over the
+    aggregate (the unpivot itself never reshuffles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2)
+                .alias("qty"),
+                F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2)
+                .alias("price")))
+    return agg.select(
+        "l_returnflag",
+        F.expr("stack(2, 'qty', qty, 'price', price) AS (metric, value)"))
+
+
+@register("percentile_bands", """
+SELECT o_orderpriority,
+       CAST(floor(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
+       CAST(floor(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_cents,
+       CAST(floor(quantile_cont(o_totalprice, 0.99) * 100) AS BIGINT) AS p99_cents
+FROM orders GROUP BY o_orderpriority
+""")
+def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (p50/p90/p99 of order value per
+    priority): Spark's JVM ``percentile`` aggregate vs DuckDB
+    ``quantile_cont`` — both linear-interpolate the same way, and
+    floor-cents output makes the compare integer-exact. The documented
+    scale swap is ``percentile_approx`` (SCALE.md §6); the exact form is
+    the oracle-checked default."""
+    o = _t(spark, sf_dir, "orders")
+    def band(p, name):
+        return (F.floor(F.expr(f"percentile(o_totalprice, {p})") * 100)
+                .cast("long").alias(name))
+    return (o.groupBy("o_orderpriority")
+            .agg(band(0.5, "p50_cents"), band(0.9, "p90_cents"),
+                 band(0.99, "p99_cents")))
+
+
 @register("min_price_supplier", """
 WITH w AS (SELECT l_partkey, l_suppkey, l_extendedprice,
                   min(l_extendedprice) OVER (PARTITION BY l_partkey) AS mp

@@ -227,3 +227,11 @@ def test_min_price_supplier_single_data_shuffle(spark):
     p = plan(spark, "min_price_supplier", mode="simple")
     assert "Join" not in p                    # no self-join decorrelation
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_declared_pivot_single_shuffle(spark):
+    """pivot_event_counts: declaring the pivot values keeps the pivot ONE
+    partial-agg shuffle — no distinct-collection job, no second exchange."""
+    p = plan(spark, "pivot_event_counts", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan(spark, "pivot_event_counts")
