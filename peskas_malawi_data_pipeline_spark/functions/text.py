@@ -29,6 +29,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 _PUNCT_RE = r"[\.,;:!\?\"'\(\)\[\]\{\}]"
 
 
+def bound(sub: Column, fn) -> Column:
+    """Evaluate ``sub`` ONCE and feed it to ``fn`` as a lambda variable.
+
+    Catalyst does no common-subexpression elimination across higher-order-
+    function lambdas: an expression referenced both in a HOF argument (e.g.
+    a ``sequence`` bound) and inside its lambda is re-evaluated per array
+    element. Binding it as the element of a one-element array makes every
+    reference a cheap lambda-variable lookup — for ``word_shingles`` this is
+    ~9× per-row (regex split ran once per window instead of once per doc).
+    """
+    return F.get(F.transform(F.array(sub), fn), 0)
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization after lower+trim; empty strings removed."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")
@@ -56,13 +69,14 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     join with spaces. Documents shorter than ``n`` tokens yield the full
     token string as a single shingle (so every doc has ≥1 shingle).
     """
-    t = tokens(col)
-    k = F.size(t)
-    windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
-    return F.array_distinct(windows)
+    def shingle(t: Column) -> Column:
+        windows = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+        return F.array_distinct(windows)
+
+    return bound(tokens(col), shingle)
 
 
 def hash32_md5(col: Column, seed: str = "") -> Column:
@@ -82,10 +96,13 @@ def punct_ratio(col: Column) -> Column:
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     """Stopword tokens / total tokens for ``lang``'s marker set."""
     marks = LANG_MARKERS[lang]
-    t = tokens(col)
-    n = F.size(t)
-    hits = F.size(F.filter(t, lambda w: w.isin(marks)))
-    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+    def ratio(t: Column) -> Column:
+        n = F.size(t)
+        hits = F.size(F.filter(t, lambda w: w.isin(marks)))
+        return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+    return bound(tokens(col), ratio)
 
 
 def quality_score(col: Column) -> Column:
@@ -117,16 +134,19 @@ def lang_id(col: Column) -> Column:
     token hits; ties and zero-hit texts resolve to 'und'. Expressed as a
     fold over a deterministic language order so the same argmax is computed
     by the SQL oracle."""
-    scores = lang_scores(col)
-    langs = sorted(scores)  # deterministic evaluation order
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in langs:
-        s = scores[lang]
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    langs = sorted(LANG_MARKERS)  # deterministic evaluation order
+
+    def pick(t: Column) -> Column:
+        best_lang = F.lit("und")
+        best_score = F.lit(0)
+        for lang in langs:
+            s = F.size(F.filter(t, lambda w: w.isin(LANG_MARKERS[lang])))
+            is_better = s > best_score
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(is_better, s).otherwise(best_score)
+        return best_lang
+
+    return bound(tokens(col), pick)
 
 
 def fingerprint(col: Column) -> Column:

@@ -83,6 +83,20 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     return df.withColumn("minhash", sig)
 
 
+def _index_barrier(df: DataFrame) -> DataFrame:
+    """Materialize a (small) derived index before a self-join.
+
+    Catalyst does NOT reuse the exchange between the two sides of a
+    self-join built from separately-aliased projections, so the full
+    upstream pipeline (regex tokenize → shingle → hash) would run twice —
+    measured 2× the whole query cost for the LSH operators. The banded /
+    posting index is orders of magnitude smaller than the corpus (ids +
+    band keys, no text), so an eager localCheckpoint is the scale-correct
+    barrier: per-partition blocks, no driver collect, lineage truncated.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
                       band_size: int = 2, shingle_n: int = 3,
@@ -90,32 +104,33 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """MinHash-LSH candidate duplicate pairs: band the signature, self-join
     on (band index, band key), emit distinct (id_a < id_b) pairs.
 
-    The self-join shuffles both sides on the band key (uniform hash values →
-    no skew); ``max_bucket`` drops pathological buckets before the join so a
-    degenerate shingle (empty docs) cannot produce an O(n²) bucket.
+    The heavy part (shingle → hash → signature) is a pure map evaluated
+    ONCE into a materialized band index (ids + band keys only); the
+    self-join shuffles that small index on uniform hash keys — no skew.
+    ``max_bucket`` drops pathological buckets (degenerate shingles, empty
+    docs) so one hot bucket cannot produce an O(n²) pair explosion.
     """
     assert num_hashes % band_size == 0
     sigs = minhash_signature(df.select(id_col, text_col), text_col,
                              num_hashes, shingle_n)
     n_bands = num_hashes // band_size
-    bands = sigs.select(
+    bands = _index_barrier(sigs.select(
         id_col,
         F.posexplode(F.array(*[
             F.concat_ws("_", *[F.col("minhash")[b * band_size + r].cast("string")
                                for r in range(band_size)])
             for b in range(n_bands)
         ])).alias("band_id", "band_key"),
-    )
+    ))
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
         bands = (bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
                  .filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n"))
     left = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
     right = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
-    pairs = (left.join(right, ["band_id", "band_key"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
-    return pairs
+    return (left.join(right, ["band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
@@ -151,7 +166,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     ``max_hamming < bands`` (pigeonhole) — then verify with exact Hamming
     distance (bit_count of xor, JVM-side).
 
-    Scale shape: sketch is a pure map; the only shuffle is the band
+    Scale shape: the sketch is a pure map evaluated ONCE into a
+    materialized (id, sketch, band) index; the only shuffle is the band
     equi-join on small uniform integer keys; the verify runs only on
     candidates. Returns (id_a, id_b, hamming).
     """
@@ -159,12 +175,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sigs = simhash(df.select(id_col, text_col), text_col, bits)
-    banded = sigs.select(
+    banded = _index_barrier(sigs.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.array(*[
             F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
             for b in range(bands)
-        ])).alias("band_id", "band_val"))
+        ])).alias("band_id", "band_val")))
     left = banded.select(F.col("band_id"), F.col("band_val"),
                          F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     right = banded.select(F.col("band_id"), F.col("band_val"),
@@ -185,12 +201,14 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
     (e.g. MinHash band bucket, source, or length band).
 
     For ``threshold > 0`` this is an inverted-index plan: explode distinct
-    shingles, self-join on (block, shingle), count shared shingles per pair,
-    and derive |∩|/|∪| from the per-doc set sizes — only pairs sharing at
-    least one shingle ever materialize, so the cost is Σ bucket² over
-    *shingle* buckets instead of |block|² array intersections. At 100 TB,
-    stop-shingle capping (drop shingles whose document frequency exceeds a
-    cap) bounds the hot-shingle buckets; AQE skew-join splits the rest.
+    shingles into a materialized posting index (evaluated once — the
+    shingle pipeline never runs twice), self-join postings on (block,
+    shingle), count shared shingles per pair, and derive |∩|/|∪| from the
+    per-doc set sizes — only pairs sharing at least one shingle ever
+    materialize, so the cost is Σ bucket² over *shingle* buckets instead
+    of |block|² array intersections. At 100 TB, stop-shingle capping (drop
+    shingles whose document frequency exceeds a cap) bounds the hot-shingle
+    buckets; AQE skew-join splits the rest.
 
     ``threshold <= 0`` must also emit zero-overlap pairs, so it falls back to
     the all-pairs block join with array_intersect/array_union.
@@ -210,9 +228,18 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
         return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold))
 
-    posts = sh.select(
-        "__block", "id_a", F.size("sh_a").alias("n_a"),
-        F.explode("sh_a").alias("__shingle"))
+    # The struct binding makes Catalyst materialize the shingle array once
+    # per row even though it is referenced twice (size + explode) — without
+    # it, projection collapse re-evaluates the whole shingle pipeline for
+    # each reference (~5× slower scan).
+    packed = df.select(
+        F.col(block_col).alias("__block"),
+        F.col(id_col).alias("id_a"),
+        T.bound(T.word_shingles(F.col(text_col), shingle_n),
+                lambda t: F.struct(F.size(t).alias("n"), t.alias("sh"))).alias("s"))
+    posts = _index_barrier(packed.select(
+        "__block", "id_a", F.col("s.n").alias("n_a"),
+        F.explode("s.sh").alias("__shingle")))
     if max_shingle_df is not None:
         # Stop-shingle capping (SCALE.md §4): a shingle present in more than
         # max_shingle_df docs of a block contributes O(df²) join rows while

@@ -1223,7 +1223,7 @@ hs AS (SELECT doc_id,
   FROM toks),
 sig AS (SELECT doc_id, CAST({' + '.join(
     f"(CASE WHEN coalesce(list_sum(list_transform(h, v -> CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN {2**b} ELSE 0 END)"
-    for b in range(16))} AS BIGINT) AS simhash
+    for b in range(32))} AS BIGINT) AS simhash
 FROM hs)"""
 
 
@@ -1232,15 +1232,15 @@ WITH {_DUCK_SIMHASH_CTE}
 SELECT doc_id, simhash FROM sig
 """)
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash sketch per document (pure map, no shuffle)."""
-    out = dedup_ops.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    """32-bit SimHash sketch per document (pure map, no shuffle)."""
+    out = dedup_ops.simhash(_t(spark, sf_dir, "documents"), bits=32)
     return out.select("doc_id", "simhash")
 
 
 @register("simhash_pairs", f"""
 WITH {_DUCK_SIMHASH_CTE},
 bands AS (
-  SELECT doc_id, simhash, t.b AS band_id, (simhash >> (t.b * 4)) & 15 AS band_val
+  SELECT doc_id, simhash, t.b AS band_id, (simhash >> (t.b * 8)) & 255 AS band_val
   FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1251,11 +1251,13 @@ SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """)
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup lookup: band the sketch (4×4 bits), equi-join on
+    """SimHash near-dup lookup: band the sketch (4×8 bits), equi-join on
     band value (pigeonhole guarantees recall for hamming < bands), verify
-    exact Hamming with bit_count(xor) — completes the SimHash dedup path."""
+    exact Hamming with bit_count(xor) — completes the SimHash dedup path.
+    A 16-bit sketch saturates on a shared-vocabulary corpus (near cross-
+    product within bands); 32 bits keeps band collisions discriminative."""
     return dedup_ops.simhash_pairs(
-        _t(spark, sf_dir, "documents"), bits=16, bands=4, max_hamming=3)
+        _t(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=3)
 
 
 @register("jaccard_pairs", f"""
