@@ -62,6 +62,20 @@ def bpe_ish_token_count(col: Column) -> Column:
     return words + symbols
 
 
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-grams of ``col`` as array<string>, duplicates KEPT (unlike
+    ``word_shingles``) — the repetition-analysis primitive: the gap between
+    total and distinct n-grams is the repeated-content mass. Documents
+    shorter than ``n`` tokens yield one n-gram of the full token string."""
+    def windows(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+
+    return bound(tokens(col), windows)
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``col`` as array<string>.
 
@@ -69,14 +83,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     join with spaces. Documents shorter than ``n`` tokens yield the full
     token string as a single shingle (so every doc has ≥1 shingle).
     """
-    def shingle(t: Column) -> Column:
-        windows = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        )
-        return F.array_distinct(windows)
-
-    return bound(tokens(col), shingle)
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def hash32_md5(col: Column, seed: str = "") -> Column:
@@ -147,6 +154,21 @@ def lang_id(col: Column) -> Column:
         return best_lang
 
     return bound(tokens(col), pick)
+
+
+def dup_ngram_ratio(col: Column, n: int = 1) -> Column:
+    """Repeated-content ratio (Gopher-style repetition signal): the
+    fraction of word n-grams that are repeats of an earlier occurrence,
+    ``1 − distinct/total`` (0 for empty text). ``n=1`` measures duplicate
+    tokens, ``n≥2`` duplicated phrases — high values flag boilerplate and
+    degenerate generations in a training-data pipeline."""
+    def ratio(g: Column) -> Column:
+        tot = F.size(g)
+        dup = (tot - F.size(F.array_distinct(g))).cast("double")
+        return F.when(tot > 0, dup / tot).otherwise(F.lit(0.0))
+
+    src = tokens(col) if n == 1 else word_ngrams(col, n)
+    return bound(src, ratio)
 
 
 def fingerprint(col: Column) -> Column:

@@ -1982,3 +1982,200 @@ def hof_transform_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformed = F.transform(F.col("embedding"), lambda x: x.cast("double") * 2 + 1)
     total = F.aggregate(transformed, F.lit(0.0), lambda acc, v: acc + v)
     return emb.select("vec_id", F.round(total, 5).alias("transformed_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data analytics extensions: repetition, n-gram stats, tf-idf,
+# frame-spec windows, ntile, set operations
+# ---------------------------------------------------------------------------
+
+@register("repetition_ratio", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+g AS (SELECT doc_id, t,
+        list_transform(range(1, greatest(len(t)-1,1)+1),
+                       i -> array_to_string(t[i:i+1], ' ')) AS b
+      FROM toks)
+SELECT doc_id,
+  CAST(floor(CASE WHEN len(t) > 0
+    THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+    ELSE 0.0 END * 1000000) AS BIGINT) AS dup_token_micro,
+  CAST(floor(CASE WHEN len(b) > 0
+    THEN CAST(len(b) - len(list_distinct(b)) AS DOUBLE) / len(b)
+    ELSE 0.0 END * 1000000) AS BIGINT) AS dup_bigram_micro
+FROM g
+""")
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of tokens / bigrams
+    that repeat an earlier occurrence. Pure per-row map (no shuffle);
+    micro-floored for cross-engine determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.floor(T.dup_ngram_ratio(F.col("text"), 1) * 1e6).cast("long")
+         .alias("dup_token_micro"),
+        F.floor(T.dup_ngram_ratio(F.col("text"), 2) * 1e6).cast("long")
+         .alias("dup_bigram_micro"))
+
+
+@register("ngram_topk", f"""
+WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, source, {_DUCK_SHINGLES} AS s FROM toks),
+x AS (SELECT source, u.ngram AS ngram FROM sh, UNNEST(s) AS u(ngram)),
+c AS (SELECT source, ngram, count(*) AS doc_freq FROM x GROUP BY 1, 2),
+r AS (SELECT source, ngram, doc_freq,
+        row_number() OVER (PARTITION BY source ORDER BY doc_freq DESC, ngram)
+          AS rank
+      FROM c)
+SELECT source, ngram, CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+""")
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-10 trigrams per source by document frequency —
+    the boilerplate-discovery scan of a training-data pipeline (the output
+    feeds stop-shingle lists for jaccard_pairs' max_shingle_df).
+
+    Scale shape: explode distinct per-doc shingles → partial-agg count on
+    (source, ngram) — map-side combine absorbs the explosion — then a
+    per-source top-k window on the (much smaller) count table."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(T.word_shingles(F.col("text"), 3)).alias("ngram"))
+    counts = sh.groupBy("source", "ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("source").orderBy(F.desc("doc_freq"), F.asc("ngram"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("source", "ngram", "doc_freq", "rank"))
+
+
+@register("tfidf_topk", f"""
+WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
+x AS (SELECT doc_id, source, u.token AS token FROM toks, UNNEST(t) AS u(token)),
+tc AS (SELECT doc_id, source, token, count(*) AS cnt FROM x GROUP BY 1, 2, 3),
+tl AS (SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS doc_len FROM tc),
+dfreq AS (SELECT source, token, count(*) AS df FROM tc GROUP BY 1, 2),
+ndocs AS (SELECT source, count(DISTINCT doc_id) AS n FROM tc GROUP BY 1),
+scored AS (
+  SELECT tl.doc_id, tl.token,
+         (CAST(tl.cnt AS DOUBLE) / tl.doc_len)
+           * ((ndocs.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS score
+  FROM tl
+  JOIN dfreq ON tl.source = dfreq.source AND tl.token = dfreq.token
+  JOIN ndocs ON tl.source = ndocs.source),
+r AS (SELECT doc_id, token, score,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token)
+          AS rank
+      FROM scored)
+SELECT doc_id, token, CAST(floor(score * 1000000) AS BIGINT) AS score_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""")
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms by tf·idf within each source.
+
+    idf uses the BM25 rational form (N − df + 0.5)/(df + 0.5) instead of a
+    log: integer-derived rational arithmetic is bit-identical across
+    engines, while libm log implementations are not. Two aggregations
+    (term counts, doc frequencies) + one broadcast-sized per-source doc
+    count; the ranking window partitions by doc_id — no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    x = docs.select("doc_id", "source",
+                    F.explode(T.tokens(F.col("text"))).alias("token"))
+    tc = x.groupBy("doc_id", "source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    tl = tc.withColumn("doc_len", F.sum("cnt").over(Window.partitionBy("doc_id")))
+    dfreq = tc.groupBy("source", "token").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = tc.groupBy("source").agg(F.count_distinct("doc_id").alias("n"))
+    scored = (tl.join(dfreq, ["source", "token"])
+              .join(F.broadcast(ndocs), "source")
+              .select("doc_id", "token",
+                      ((F.col("cnt").cast("double") / F.col("doc_len"))
+                       * ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                       ).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "token",
+                    F.floor(F.col("score") * 1e6).cast("long").alias("score_micro"),
+                    "rank"))
+
+
+@register("moving_sum_7d", """
+WITH d AS (
+  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT prio, strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev AS DOUBLE) AS rev,
+       CAST(sum(rev) OVER (PARTITION BY prio ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rev_7d,
+       CAST(count(*) OVER (PARTITION BY prio ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_7d
+FROM d
+""")
+def moving_sum_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (ROWS BETWEEN): 7-day trailing revenue per order
+    priority over the daily rollup. Decimal-exact sums (order-insensitive),
+    cast to double only on output. The window partitions by priority, so
+    the sort is per-group — no global sort at scale."""
+    o = _t(spark, sf_dir, "orders")
+    d = (o.groupBy(F.col("o_orderpriority").alias("prio"),
+                   F.to_date("o_orderdate").alias("day"))
+         .agg(F.sum(_dec(F.col("o_totalprice"))).alias("rev")))
+    w = (Window.partitionBy("prio").orderBy("day").rowsBetween(-6, 0))
+    return d.select(
+        "prio", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("rev"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"))
+
+
+@register("ntile_deciles", """
+WITH d AS (
+  SELECT ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile, c_acctbal
+  FROM customer)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(c_acctbal), 2) AS lo,
+       round(max(c_acctbal), 2) AS hi
+FROM d GROUP BY decile
+""")
+def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bands of customer balance via ntile over a totally-ordered
+    window (custkey tie-break makes the assignment deterministic).
+
+    The empty-partition global sort is the known scale caveat: at 100 TB
+    ntile is computed as range-partitioned sort + per-partition offsets
+    from the partition-size prefix sum (same two-pass shape as
+    sampling.weighted_systematic_sample); the single-window form here is
+    correct and simplest at survey scale."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    d = c.select(F.ntile(10).over(w).cast("long").alias("decile"), "c_acctbal")
+    return (d.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("c_acctbal"), 2).alias("lo"),
+                 F.round(F.max("c_acctbal"), 2).alias("hi")))
+
+
+@register("order_status_setops", """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'both' AS seg, o_custkey FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+UNION ALL
+SELECT 'f_only' AS seg, o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+""")
+def order_status_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (engine completeness — the
+    reference uses neither, SURVEY §2.9): customers with both fulfilled
+    and open orders vs. fulfilled-only. Both ops plan as hash
+    semi-/anti-joins on the distinct key sets."""
+    orders = _t(spark, sf_dir, "orders")
+    f = (orders.filter(F.col("o_orderstatus") == "F")
+         .select("o_custkey").distinct())
+    o = (orders.filter(F.col("o_orderstatus") == "O")
+         .select("o_custkey").distinct())
+    both = f.intersect(o).select(F.lit("both").alias("seg"), "o_custkey")
+    f_only = f.subtract(o).select(F.lit("f_only").alias("seg"), "o_custkey")
+    return both.unionByName(f_only)

@@ -140,6 +140,18 @@ def test_text_functions_match_python_reference(spark):
             return 0.0
         return sum(1 for w in t if w in T.LANG_MARKERS["en"]) / len(t)
 
+    def py_ngrams(s, n):
+        t = py_tokens(s)
+        if len(t) <= n:
+            return [" ".join(t)]
+        return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+
+    def py_dup_ratio(s, n):
+        g = py_tokens(s) if n == 1 else py_ngrams(s, n)
+        if not g:
+            return 0.0
+        return (len(g) - len(set(g))) / len(g)
+
     df = spark.createDataFrame([Row(i=i, text=s) for i, s in enumerate(texts)])
     got = {r["i"]: r for r in df.select(
         "i",
@@ -148,6 +160,8 @@ def test_text_functions_match_python_reference(spark):
         T.punct_ratio(F.col("text")).alias("pr"),
         T.stopword_ratio(F.col("text")).alias("sr"),
         T.quality_score(F.col("text")).alias("q"),
+        T.dup_ngram_ratio(F.col("text"), 1).alias("dup1"),
+        T.dup_ngram_ratio(F.col("text"), 2).alias("dup2"),
     ).collect()}
 
     for i, s in enumerate(texts):
@@ -157,6 +171,8 @@ def test_text_functions_match_python_reference(spark):
         assert abs(r["pr"] - py_punct_ratio(s)) < 1e-12, (i, s)
         assert abs(r["sr"] - py_stop_ratio(s)) < 1e-12, (i, s)
         assert 0.0 <= r["q"] <= 1.0
+        assert abs(r["dup1"] - py_dup_ratio(s, 1)) < 1e-12, (i, s)
+        assert abs(r["dup2"] - py_dup_ratio(s, 2)) < 1e-12, (i, s)
 
 
 def test_asof_join_semantics(spark):
