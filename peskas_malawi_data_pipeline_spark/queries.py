@@ -2179,3 +2179,122 @@ def order_status_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = f.intersect(o).select(F.lit("both").alias("seg"), "o_custkey")
     f_only = f.subtract(o).select(F.lit("f_only").alias("seg"), "o_custkey")
     return both.unionByName(f_only)
+
+
+@register("streaming_dedup", """
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` as a stateful streaming
+    operator — each (user_id, event_type) key is emitted on first arrival
+    and suppressed thereafter (the incremental form of exact_dedup for a
+    continuously-landing corpus). Drained with availableNow into parquet;
+    the surviving key set equals batch DISTINCT exactly, whatever arrival
+    order the micro-batches took. At scale the dedup state is the distinct
+    key set, hash-partitioned across executors; with an event-time bound,
+    ``dropDuplicatesWithinWatermark`` caps it."""
+    import os
+    import tempfile
+
+    from .streaming import ingest_stream as st
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="peskas_stream_dedup_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(landing, "events.parquet"))
+
+    raw = st.stream_from_parquet_dir(
+        spark, landing,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string")
+    deduped = raw.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"])
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    st.run_available_now(deduped, out, ckpt)
+    return spark.read.parquet(out)
+
+
+@register("embedding_centroids", """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT label, t.i AS dim,
+             CAST(floor(v[t.i + 1] * 1000000) AS BIGINT) AS q
+      FROM e, UNNEST(range(0, len(v))) AS t(i))
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) // count(*) AS BIGINT) AS centroid_micro
+FROM x GROUP BY label, dim
+""")
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-wise class centroids over the embedding column — the
+    aggregation step of k-means / class-prototype computation, expressed as
+    posexplode → (label, dim) partial-agg sum. Components are quantized to
+    integer micros BEFORE summing: bigint sums are order-insensitive, so
+    the result is deterministic under any partitioning (a raw double sum
+    would be association-dependent and engine-divergent). Scale shape: the
+    shuffle carries |labels|·|dims| partial sums, not vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 1e6).cast("long")))
+        .alias("dim", "q"))
+    return (x.groupBy("label", F.col("dim").cast("int").alias("dim"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 # divide-then-cast truncates toward zero, matching DuckDB's
+                 # `//` on negative sums (-7//2 = -3, not floor's -4); sums
+                 # stay < 2^53 so the double division is exact
+                 (F.sum("q") / F.count(F.lit(1)))
+                 .cast("long").alias("centroid_micro")))
+
+
+@register("triangle_count", f"""
+WITH {_DUCK_MINHASH_CTES}
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM mh_pairs e1
+JOIN mh_pairs e2 ON e2.id_a = e1.id_b
+JOIN mh_pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+""")
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the MinHash candidate-pair graph — the density
+    probe that distinguishes tight duplicate cliques from chain artifacts
+    before committing to transitive dedup groups. Edges arrive canonically
+    ordered (id_a < id_b), so each triangle a<b<c is found exactly once by
+    the two-hop equi-join; both joins shuffle on node ids. At corpus scale
+    the standard refinement orders by degree instead of id to bound the
+    wedge fan-out of hub nodes."""
+    pairs = dedup_ops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, shingle_n=3)
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register("cube_totals", """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id: all 2^2 aggregation granularities in one
+    pass (SURVEY §2.7 notes grouping sets come free with Spark — this pins
+    the exact semantics, including the grouping-bit layout, against the
+    oracle). NULL group keys are labeled '(all)' on both engines so the
+    subtotal rows compare deterministically."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2)
+                 .alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+                    "gid", "n", "sum_qty"))
