@@ -235,3 +235,46 @@ def test_declared_pivot_single_shuffle(spark):
     p = plan(spark, "pivot_event_counts", mode="simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan(spark, "pivot_event_counts")
+
+
+def test_ngram_topk_partial_agg_before_shuffle(spark):
+    """ngram_topk: the shingle explosion is absorbed by map-side combine —
+    the (source, ngram) counts partial-aggregate below their exchange, and
+    the rank window rides the same partitioning-compatible count table
+    (one agg shuffle + one window shuffle, nothing more)."""
+    p = plan(spark, "ngram_topk")
+    assert "partial_count" in p
+    s = plan(spark, "ngram_topk", mode="simple")
+    assert s.count("Exchange hashpartitioning") <= 2
+
+
+def test_tfidf_broadcasts_per_source_doc_counts(spark):
+    """tfidf_topk: the tiny per-source doc-count table broadcasts; the term
+    and doc-frequency aggregations do not cartesian or nested-loop."""
+    p = plan(spark, "tfidf_topk", mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_moving_sum_no_global_sort(spark):
+    """moving_sum_7d: the frame-spec window sorts within priority
+    partitions only — a global (single-partition) exchange would serialize
+    the whole series through one task at scale."""
+    p = plan(spark, "moving_sum_7d", mode="simple")
+    assert "Exchange SinglePartition" not in p
+
+
+def test_cube_single_shuffle_with_partial_agg(spark):
+    """cube_totals: all four granularities expand BEFORE one partial-agg
+    shuffle (the Expand operator), not one aggregation pass each."""
+    p = plan(spark, "cube_totals", mode="simple")
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan(spark, "cube_totals")
+
+
+def test_repetition_ratio_no_exchange(spark):
+    """repetition_ratio: a pure per-row map — no shuffle anywhere (the
+    documents round-robin repartition is the only exchange)."""
+    p = plan(spark, "repetition_ratio", mode="simple")
+    assert p.count("Exchange") <= 1  # only the small-file spread repartition
