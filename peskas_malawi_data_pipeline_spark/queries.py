@@ -1540,7 +1540,8 @@ def streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n"),
                   F.sum(_dec(F.col("value"))).alias("__total")))
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-    st.run_available_now_upsert(agged, out, ckpt)
+    with st.stream_state_partitions(spark, 8):
+        st.run_available_now_upsert(agged, out, ckpt)
     resolved = st.read_upsert_result(spark, out, ["win", "event_type"])
     return resolved.select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("time_bucket"),
@@ -1593,7 +1594,8 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.window("ts", "60 minutes").alias("win"), "category")
              .agg(F.count(F.lit(1)).alias("n")))
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-    st.run_available_now_upsert(agged, out, ckpt)
+    with st.stream_state_partitions(spark, 8):
+        st.run_available_now_upsert(agged, out, ckpt)
     resolved = st.read_upsert_result(spark, out, ["win", "category"])
     return resolved.select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss")
@@ -1648,7 +1650,8 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("user_id", "ts", "event_id"))
     sessions = sf.stateful_sessionize(ev, gap_s=1800)
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-    st.run_available_now_upsert(sessions, out, ckpt)
+    with st.stream_state_partitions(spark, 8):
+        st.run_available_now_upsert(sessions, out, ckpt)
     return st.read_upsert_result(spark, out, ["user_id", "session_start_s"])
 
 
@@ -2212,7 +2215,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = raw.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"])
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-    st.run_available_now(deduped, out, ckpt)
+    with st.stream_state_partitions(spark, 8):
+        st.run_available_now(deduped, out, ckpt)
     return spark.read.parquet(out)
 
 
