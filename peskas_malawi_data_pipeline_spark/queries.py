@@ -2302,3 +2302,64 @@ def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
                     F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
                     "gid", "n", "sum_qty"))
+
+
+@register("gap_fill_daily", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+          FROM daily GROUP BY 1),
+grid AS (SELECT event_type, CAST(u.d AS DATE) AS day
+         FROM spans, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d))
+SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN daily d
+  ON g.event_type = d.event_type AND g.day = d.day
+""")
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: zero-fill missing days per event type
+    between that type's own first and last day — the per-key variant of U2
+    grid completion, built from `sequence()` + explode instead of a cross
+    join, so the grid is exactly Σ_key span_days rows (a global cross join
+    would materialize |keys| × |all days| and mostly discard it). The
+    explode runs on the |keys|-row span table — negligible — and the fill
+    join is a left join back on (key, day)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    return (grid.join(daily, ["event_type", "day"], "left")
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+
+
+@register("value_percent_rank", """
+WITH r AS (
+  SELECT event_id, event_type, value,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM events WHERE value > 100
+  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+SELECT event_id, event_type,
+       CAST(floor(pr * 1000000) AS BIGINT) AS pr_micro,
+       CAST(floor(cd * 1000000) AS BIGINT) AS cd_micro
+FROM r
+""")
+def value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per event type (relative standing of each
+    high-value event). The event_id tie-break makes the ordering total, so
+    both functions are exact integer rationals — identical doubles in any
+    engine — micro-floored on output. One partitioned sort, no global
+    exchange."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 100)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.floor(F.percent_rank().over(w) * 1e6).cast("long").alias("pr_micro"),
+        F.floor(F.cume_dist().over(w) * 1e6).cast("long").alias("cd_micro"))

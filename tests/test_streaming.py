@@ -91,3 +91,52 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
         (2, e + 130 * 60): (1, 0),       # event 6, after possible eviction
     }
     assert got == want
+
+
+def test_restart_resumes_from_checkpoint(spark, tmp_path):
+    """The 2-day-cron bridge, end to end: drain, STOP, land more data,
+    drain again against the SAME checkpoint. The second run must recover
+    source progress + watermark from the checkpoint and the resolved
+    upsert log must equal the batch rollup over everything landed.
+
+    The second landing must move FORWARD in event time: the restored
+    watermark survives the restart, so data older than it is (correctly)
+    discarded as late — landing day-2 trips after day-1 trips mirrors the
+    production cadence."""
+    import time
+
+    points = FX.points_df(spark)
+    first = points.filter(F.col("Trip") == 101)    # Mar 5 trip
+    second = points.filter(F.col("Trip") == 102)   # Mar 6 trip
+    src, out, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
+    (tmp_path / "landing").mkdir()
+    first.toPandas().to_parquet(f"{src}/f1.parquet", coerce_timestamps="us",
+                                allow_truncated_timestamps=True)
+
+    def drain():
+        stream = ingest_stream.stream_from_parquet_dir(spark, src, points.schema)
+        rollup = ingest_stream.windowed_track_rollup(stream, minutes=10)
+        ingest_stream.run_available_now_upsert(rollup, out, ckpt)
+
+    drain()                                  # run 1: only f1 exists
+    n_first = spark.read.parquet(out).count()
+    time.sleep(1.1)                          # distinct mtime → new file seen
+    second.toPandas().to_parquet(f"{src}/f2.parquet", coerce_timestamps="us",
+                                 allow_truncated_timestamps=True)
+    drain()                                  # run 2: same checkpoint, new file
+
+    log = spark.read.parquet(out)
+    assert log.count() > n_first             # second drain appended
+    assert log.select("_batch_id").distinct().count() >= 2
+
+    result = ingest_stream.read_upsert_result(spark, out, ["Trip", "time_bucket"])
+    got = {(r.Trip, r.time_bucket): (r.n_pings, round(r.lat, 9))
+           for r in result.collect()}
+    batch = (points
+             .groupBy("Trip", F.window("Time", "10 minutes").alias("win"))
+             .agg(F.avg("Lat").alias("lat"), F.count(F.lit(1)).alias("n_pings"))
+             .select("Trip", F.col("win.start").alias("time_bucket"),
+                     "lat", "n_pings"))
+    want = {(r.Trip, r.time_bucket): (r.n_pings, round(r.lat, 9))
+            for r in batch.collect()}
+    assert got == want
