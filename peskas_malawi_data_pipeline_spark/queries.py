@@ -2363,3 +2363,81 @@ def value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         F.floor(F.percent_rank().over(w) * 1e6).cast("long").alias("pr_micro"),
         F.floor(F.cume_dist().over(w) * 1e6).cast("long").alias("cd_micro"))
+
+
+@register("kmeans_assign", """
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+           FROM embeddings),
+cents AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 4),
+dists AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.q) + 1),
+                  i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))) AS d2
+  FROM e, cents c),
+r AS (SELECT vec_id, cid, d2,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, CAST(d2 AS BIGINT) AS d2
+FROM r WHERE rn = 1
+""")
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means assignment step: every vector joins the broadcast centroid
+    set, squared distance via zip_with (JVM higher-order, no UDF), argmin
+    by (distance, centroid id) row_number. Components quantize to integer
+    micros first, so distances are exact bigints — deterministic argmin in
+    any engine. Scale shape: k centroids broadcast; the corpus never
+    shuffles; with embedding_centroids as the update step this is one full
+    Lloyd iteration, all in DataFrame ops."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda v: F.floor(v.cast("double") * 1e6).cast("long"))
+        .alias("q"))
+    cents = (q.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq")))
+    d2 = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    dists = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", d2.alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").cast("long").alias("centroid_id"),
+                    F.col("d2").cast("long").alias("d2")))
+
+
+@register("cumulative_distinct_users", """
+WITH first_touch AS (
+  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY 1, 2),
+daily_new AS (
+  SELECT event_type, first_day AS day, count(*) AS new_users
+  FROM first_touch GROUP BY 1, 2)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM daily_new
+""")
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user counts per event type WITHOUT a windowed
+    COUNT(DISTINCT) (which no engine supports): decompose into first-touch
+    (min day per user) + daily new-user counts + a cumulative sum. Two
+    narrow aggregations and one tiny per-type window — the standard
+    rewrite that turns an O(days × users) running-distinct into O(users)."""
+    ev = _t(spark, sf_dir, "events")
+    first_touch = (ev.groupBy("event_type", "user_id")
+                   .agg(F.min(F.to_date("ts")).alias("day")))
+    daily_new = (first_touch.groupBy("event_type", "day")
+                 .agg(F.count(F.lit(1)).alias("new_users")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return daily_new.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"))
