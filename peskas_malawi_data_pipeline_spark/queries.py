@@ -2441,3 +2441,49 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"))
+
+
+_PII_INJECT = " contact me at test.user@example.com or +1 555-123-4567"
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+
+
+@register("pii_scrub", f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN '{_PII_INJECT}' ELSE '' END AS t
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+  FROM aug)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+       md5(scrubbed) AS scrubbed_md5
+FROM s
+""")
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email/phone patterns (RE2-safe
+    regexes — no lookaround — so Java and RE2 engines match identically).
+    Deterministic PII is injected into every 7th document inside the query
+    itself, identically on both engines, because the synthetic corpus
+    contains none. Pure per-row map at scan speed; the md5 of the scrubbed
+    text proves byte-identical redaction, not just equal counts."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_PII_INJECT)).otherwise(F.lit("")))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).cast("long")
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).cast("long")
+         .alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"))

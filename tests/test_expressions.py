@@ -239,3 +239,23 @@ def test_interval_join_buckets_match_between(spark):
             if p[0] == k and a <= p[1] < b:
                 want.add((k, p[1], iid))
     assert got == want
+
+
+def test_word_shingles_tokenizes_once(spark):
+    """Regression guard for the bound() CSE fix: Catalyst re-evaluates a
+    subexpression referenced both as a HOF argument and inside its lambda
+    once PER ARRAY ELEMENT, so the tokenizer must appear exactly once in
+    the shingle/repetition expressions (measured 9× slower otherwise —
+    SCALE.md §5.1)."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    df = spark.range(1).select(F.lit("a b c d").alias("text"))
+    for col in (T.word_shingles(F.col("text"), 3),
+                T.word_ngrams(F.col("text"), 2),
+                T.dup_ngram_ratio(F.col("text"), 2),
+                T.stopword_ratio(F.col("text")),
+                T.lang_id(F.col("text"))):
+        plan = df.select(col.alias("c"))._jdf.queryExecution().analyzed().toString()
+        assert plan.count("split(") == 1, plan
