@@ -2487,3 +2487,30 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_phones"),
         F.length(scrubbed).cast("long").alias("scrubbed_len"),
         F.md5(scrubbed).alias("scrubbed_md5"))
+
+
+@register("edit_distance_verify", f"""
+WITH {_DUCK_MINHASH_CTES},
+t AS (SELECT doc_id, substr(text, 1, 120) AS s FROM documents)
+SELECT p.id_a, p.id_b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+FROM mh_pairs p
+JOIN t a ON a.doc_id = p.id_a
+JOIN t b ON b.doc_id = p.id_b
+""")
+def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage over LSH candidates: Levenshtein on a
+    fixed text prefix, computed ONLY for the candidate pairs. The payload
+    joins happen AFTER candidate generation — ids flow through the LSH
+    pipeline, text is fetched late by two id-keyed joins — the pattern
+    that keeps the O(len²) distance kernel and the text shuffle off the
+    full pair space at corpus scale. Prefix capping bounds the kernel cost
+    per pair."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, shingle_n=3)
+    t = docs.select("doc_id", F.substring("text", 1, 120).alias("s"))
+    return (pairs
+            .join(t.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+            .join(t.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+            .select("id_a", "id_b",
+                    F.levenshtein("sa", "sb").cast("long").alias("edit_dist")))
