@@ -2514,3 +2514,9 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(t.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
             .select("id_a", "id_b",
                     F.levenshtein("sa", "sb").cast("long").alias("edit_dist")))
+
+
+# Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
+# imported for its registration side effects (must stay the last statement:
+# it imports back from this module).
+from . import queries_tpch  # noqa: E402,F401  (registration side effects)

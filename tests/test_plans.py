@@ -278,3 +278,59 @@ def test_repetition_ratio_no_exchange(spark):
     documents round-robin repartition is the only exchange)."""
     p = plan(spark, "repetition_ratio", mode="simple")
     assert p.count("Exchange") <= 1  # only the small-file spread repartition
+
+
+def test_q6_all_predicates_pushed(spark):
+    """forecast_revenue_delta: every range predicate reaches the parquet
+    scan (row-group min/max pruning at scale) and only the 4 referenced
+    columns are read."""
+    p = plan(spark, "forecast_revenue_delta")
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed
+    read = next(l for l in p.splitlines() if l.startswith("ReadSchema"))
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    """supplier_part_variety: the NOT IN subquery plans as a broadcast
+    LEFT ANTI hash join — the fact side never shuffles for the exclusion."""
+    p = plan(spark, "supplier_part_variety")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q17_decorrelates_to_single_lineitem_pass(spark):
+    """small_quantity_revenue: the correlated AVG subquery must NOT become
+    a second aggregate+self-join of lineitem — one window over partkey,
+    one scan of lineitem."""
+    p = plan(spark, "small_quantity_revenue", mode="simple")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+
+
+def test_q18_having_join_back_reuses_partitioning(spark):
+    """large_volume_orders: the aggregate on l_orderkey and the join back
+    to orders share the key — lineitem shuffles exactly once."""
+    p = plan(spark, "large_volume_orders", mode="simple")
+    # one exchange for the groupBy(l_orderkey); orders/customer side joins
+    # must not introduce a second lineitem shuffle
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q21_one_agg_one_window_no_self_join(spark):
+    """sole_return_suppliers: the EXISTS/NOT-EXISTS pair decorrelates into
+    one aggregation + one window — lineitem is scanned ONCE, never
+    self-joined."""
+    p = plan(spark, "sole_return_suppliers", mode="simple")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+
+
+def test_q11_scalar_threshold_is_broadcast_not_collect(spark):
+    """revenue_concentration: the global-total threshold joins back as a
+    broadcast nested loop of a ONE-ROW aggregate — no shuffled cartesian."""
+    p = plan(spark, "revenue_concentration", mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
