@@ -61,3 +61,26 @@ def add_version(filename: str, extension: str = "", sha_nchar: int = 7,
     if extension and not extension.startswith("."):
         extension = "." + extension
     return f"{filename}{sep}{version}{extension}"
+
+
+def upsert_partitions(df: DataFrame, path: str,
+                      partition_by: list[str]) -> None:
+    """Incremental partition upsert — the 100 TB alternative to
+    truncate-and-load.
+
+    The reference rewrites every collection on each 2-day cron run
+    (`R/storage.R:89`); at scale that is a full-table rewrite for a
+    trailing-edge change. With dynamic partition overwrite, only the
+    partitions PRESENT in ``df`` are replaced — untouched partitions
+    (historic ``landing_date``s) keep their files, so a daily incremental
+    run costs O(new data), not O(table). Readers see partition-level
+    atomicity (each partition directory swaps whole).
+    """
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.write.mode("overwrite").partitionBy(*partition_by)
+         .format("parquet").save(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)

@@ -2516,6 +2516,75 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.levenshtein("sa", "sb").cast("long").alias("edit_dist")))
 
 
+@register("streaming_stream_join", """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT) AS lag_s
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+""")
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermark-bounded state: each click
+    matched to the same user's views from the preceding 30 minutes, both
+    sides arriving as streams.
+
+    The time-range condition + both watermarks let Spark bound the join
+    state (a view is dropped once the click watermark passes its ts + 30
+    min — without the range the state would grow forever). Inner-join
+    matches are final on emission, so the append-mode drain equals the
+    batch interval join exactly — extending the engine's batch↔stream
+    parity contract to the two-stateful-inputs case. At 100 TB both sides
+    shuffle once on user_id; state per key = the open 30-minute window of
+    views, not history."""
+    import os
+    import tempfile
+
+    from .streaming import ingest_stream as st
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="peskas_stream_join_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(landing, "events.parquet"))
+
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+
+    def side(alias_user, alias_ts, alias_id, etype):
+        raw = st.stream_from_parquet_dir(spark, landing, schema)
+        return (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .filter(F.col("event_type") == etype)
+                .select(F.col("user_id").alias(alias_user),
+                        F.col("ts").alias(alias_ts),
+                        F.col("event_id").alias(alias_id))
+                .withWatermark(alias_ts, "30 minutes"))
+
+    views = side("user_id", "v_ts", "view_id", "view")
+    clicks = side("c_user", "c_ts", "click_id", "click")
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner")
+    out_df = joined.select(
+        "user_id", "view_id", "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts"))
+        .cast("long").alias("lag_s"))
+
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    with st.stream_state_partitions(spark, 8):
+        st.run_available_now(out_df, out, ckpt)
+    # explicit schema: a zero-match drain leaves no data files to infer from
+    return spark.read.schema(
+        "user_id long, view_id long, click_id long, lag_s long").parquet(out)
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

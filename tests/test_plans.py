@@ -334,3 +334,66 @@ def test_q11_scalar_threshold_is_broadcast_not_collect(spark):
     p = plan(spark, "revenue_concentration", mode="simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: when the fact is partitioned on the join
+    key and the dim side carries a selective filter, the fact scan is
+    pruned at RUNTIME by the dim's key set (dynamicpruningexpression in the
+    plan) — at 100 TB this is the difference between scanning 2 partitions
+    and scanning all of them, without any literal filter on the fact."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.core import io as io_ops
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    ev = _t(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_part")
+    io_ops.write_table(ev, path, partition_by=["event_type"])
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        ["event_type", "weight"]).filter(F.col("weight") >= 5.0)
+    fact = io_ops.read_table(spark, path)
+    joined = fact.join(F.broadcast(dim), "event_type")
+
+    utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+    p = utils.explainString(joined._jdf.queryExecution(), "formatted")
+    assert "dynamicpruningexpression" in p
+    assert joined.count() == ev.filter(
+        F.col("event_type").isin("purchase", "signup")).count()
+
+
+def test_upsert_partitions_touches_only_present_partitions(spark, tmp_path):
+    """core.io.upsert_partitions: dynamic partition overwrite replaces ONLY
+    the partitions present in the incremental frame — the O(new data)
+    alternative to the reference's truncate-and-load (R/storage.R:89)."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.core import io as io_ops
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    ev = (_t(spark, SF_DIR, "events")
+          .select("event_id", "event_type", "value"))
+    path = str(tmp_path / "events_upsert")
+    io_ops.write_table(ev, path, partition_by=["event_type"])
+    before_click = spark.read.parquet(path).filter(
+        F.col("event_type") == "click").count()
+
+    # incremental run: only 'view' rows, values rewritten
+    incr = (ev.filter(F.col("event_type") == "view")
+            .withColumn("value", F.lit(0.0)))
+    n_view = incr.count()
+    io_ops.upsert_partitions(incr, path, ["event_type"])
+
+    after = spark.read.parquet(path)
+    # untouched partition intact
+    assert after.filter(F.col("event_type") == "click").count() == before_click
+    # upserted partition fully replaced (same rows, new values)
+    view = after.filter(F.col("event_type") == "view")
+    assert view.count() == n_view
+    assert view.agg(F.sum("value")).collect()[0][0] == 0.0
+    # static overwrite mode restored on the session
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode") != "dynamic"
