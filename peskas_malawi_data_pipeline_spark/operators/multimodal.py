@@ -100,3 +100,46 @@ def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
                     F.posexplode(frames).alias("frame_index", "__i"))
             .withColumn("sample_ts_s", F.col("frame_index") * every_s)
             .drop("__i"))
+
+
+def resize_images(df: DataFrame, max_side: int = 512,
+                  decode: str = "fake") -> DataFrame:
+    """Resize stage over MEDIA_SCHEMA image rows via ``mapInPandas``.
+
+    The metadata arithmetic is real: aspect-preserving integer downscale so
+    the longer side equals ``max_side`` (``new_w = w*max_side // max(w,h)``);
+    images already within bounds pass through untouched (no upscale). The
+    pixel kernel is stubbed (no PIL in this container): ``decode='fake'``
+    replaces a downscaled payload with the deterministic 32-byte
+    ``sha256(payload + b"|WxH")`` digest, keeping the plumbing —
+    batch shape, struct metadata rewrite, binary output schema — real and
+    oracle-checkable; ``decode='real'`` raises where the codec would run.
+    """
+    if decode not in {"fake", "real"}:
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "image codecs (PIL) unavailable in this environment; "
+                    "use decode='fake' for plumbing tests")
+            rows = []
+            for rec in pdf.to_dict("records"):
+                had_meta = rec["meta"] is not None
+                meta = dict(rec["meta"]) if had_meta else {}
+                w, h = meta.get("width"), meta.get("height")
+                payload = rec["payload"]
+                if (w is not None and h is not None
+                        and max(w, h) > max_side and payload is not None):
+                    m = max(w, h)
+                    new_w = max(1, (w * max_side) // m)
+                    new_h = max(1, (h * max_side) // m)
+                    payload = hashlib.sha256(
+                        bytes(payload) + f"|{new_w}x{new_h}".encode()).digest()
+                    meta["width"], meta["height"] = new_w, new_h
+                rows.append({**rec, "payload": payload,
+                             "meta": meta if had_meta else None})
+            yield pd.DataFrame(rows, columns=pdf.columns)
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)

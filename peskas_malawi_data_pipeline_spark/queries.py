@@ -2585,6 +2585,55 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, view_id long, click_id long, lag_s long").parquet(out)
 
 
+@register("multimodal_resize", """
+WITH media AS (
+  SELECT doc_id, text,
+         320 + (doc_id * 7) % 1600 AS w,
+         240 + (doc_id * 13) % 1200 AS h
+  FROM documents),
+sized AS (
+  SELECT doc_id, text, w, h, greatest(w, h) AS m,
+         CASE WHEN greatest(w, h) > 512
+              THEN greatest(1, w * 512 // greatest(w, h)) ELSE w END AS new_w,
+         CASE WHEN greatest(w, h) > 512
+              THEN greatest(1, h * 512 // greatest(w, h)) ELSE h END AS new_h
+  FROM media)
+SELECT doc_id, new_w, new_h,
+       CASE WHEN m > 512
+            THEN sha256(text || '|' || CAST(new_w AS VARCHAR) || 'x'
+                        || CAST(new_h AS VARCHAR))
+            ELSE lower(hex(CAST(text AS BLOB))) END AS payload_hex
+FROM sized
+""")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing end-to-end (operators.multimodal.resize_images):
+    documents packed as image rows with synthetic integer dimensions, pushed
+    through the Arrow-batched mapInPandas resize stage. The aspect-preserving
+    integer downscale arithmetic is real and oracle-verified; the pixel
+    kernel is the deterministic sha256 stub, so payload bytes are verified
+    too (the no-resize branch passes the original payload through)."""
+    from .operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("image/png").alias("mime_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("uri"),
+        F.struct(
+            (F.lit(320) + (F.col("doc_id") * 7) % 1600).cast("long").alias("width"),
+            (F.lit(240) + (F.col("doc_id") * 13) % 1200).cast("long").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+            F.lit(None).cast("long").alias("sample_rate")).alias("meta"))
+    resized = mm.resize_images(media, max_side=512, decode="fake")
+    return resized.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("meta.width").alias("new_w"),
+        F.col("meta.height").alias("new_h"),
+        F.lower(F.hex(F.col("payload"))).alias("payload_hex"))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

@@ -206,3 +206,29 @@ def test_connected_components_star_long_chain(spark):
     prop = {(r.id, r.component)
             for r in D.connected_components(pairs).collect()}
     assert star == prop
+
+
+def test_multimodal_resize_downscale_and_passthrough(spark):
+    import hashlib
+
+    rows = [
+        Row(media_id=1, modality="image", mime_type="image/png",
+            payload=bytearray(b"big"), uri=None,
+            meta=Row(width=1024, height=768, duration_s=None, sample_rate=None)),
+        Row(media_id=2, modality="image", mime_type="image/png",
+            payload=bytearray(b"small"), uri=None,
+            meta=Row(width=100, height=50, duration_s=None, sample_rate=None)),
+        Row(media_id=3, modality="image", mime_type=None,
+            payload=None, uri="s3://b/x.png", meta=None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           M.resize_images(df, max_side=512, decode="fake").collect()}
+    # downscaled: 1024x768 -> 512x384, payload replaced by the digest stub
+    assert (out[1].meta.width, out[1].meta.height) == (512, 384)
+    assert bytes(out[1].payload) == hashlib.sha256(b"big|512x384").digest()
+    # within bounds: untouched payload and dims (no upscale)
+    assert (out[2].meta.width, out[2].meta.height) == (100, 50)
+    assert bytes(out[2].payload) == b"small"
+    # NULL payload/meta row passes through
+    assert out[3].payload is None and out[3].meta is None
