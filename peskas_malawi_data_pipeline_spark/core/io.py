@@ -84,3 +84,29 @@ def upsert_partitions(df: DataFrame, path: str,
          .format("parquet").save(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
+    """Small-files compaction: rewrite a table directory into
+    ``target_files`` files and atomically swap it in. Returns the data-file
+    count after compaction.
+
+    Streaming/incremental sinks accrete many small files per partition
+    over time; at 100 TB scan cost is dominated by per-file open/footer
+    overhead once files shrink below a row group. Compaction = read →
+    ``repartition(n)`` → write to a side directory → directory swap (a
+    table-format catalog — Delta/Iceberg — would do the swap as a metadata
+    commit instead; same plan underneath).
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(path)
+               if f.endswith(".parquet") and not f.startswith("."))

@@ -73,3 +73,30 @@ def time_bucket_agg(df: DataFrame, ts_col: str, minutes: int,
 
     bucketed = df.withColumn(bucket_name, floor_time(F.col(ts_col), minutes))
     return bucketed.groupBy(bucket_name, *keys).agg(*exprs)
+
+
+def salted_two_stage_agg(df: DataFrame, keys: Sequence[str], value: Column,
+                         salt_source: Sequence[str],
+                         salt_buckets: int = 16) -> DataFrame:
+    """Skew-busting aggregation: sum/count of ``value`` per ``keys`` computed
+    as partial aggregates over (keys, salt) first, then a final merge over
+    ``keys`` alone.
+
+    With an extreme hot key, a single-stage groupBy sends every hot row to
+    one reducer; the salted partial stage spreads them over
+    ``salt_buckets`` tasks, and the final stage merges ``salt_buckets``
+    rows per key — the explicit analogue of map-side combine for the case
+    where a combiner can't absorb the skew (e.g. high-cardinality
+    composite values). Salt is a deterministic hash (no RNG): retries and
+    oracle replays are stable. Result is identical to the unsalted
+    aggregate (SCALE.md §4).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_source]),
+                  F.lit(salt_buckets)).cast("int")
+    partial = (df.withColumn("__salt", salt)
+               .groupBy(*list(keys), "__salt")
+               .agg(F.sum(value).alias("__psum"),
+                    F.count(F.lit(1)).alias("__pcnt")))
+    return (partial.groupBy(*list(keys))
+            .agg(F.sum("__psum").alias("value_sum"),
+                 F.sum("__pcnt").alias("n")))

@@ -2634,6 +2634,74 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.col("payload"))).alias("payload_hex"))
 
 
+@register("salted_skew_agg", """
+SELECT event_type,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""")
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-busting two-stage aggregation (aggregates.salted_two_stage_agg):
+    partial sums over (key, salt) spread a hot key across salt_buckets
+    tasks before the final merge over the key alone — the explicit tool
+    for extreme known skew where AQE's split isn't enough (SCALE.md §4).
+    The oracle is the plain GROUP BY: salting must not change results
+    (DECIMAL sums make the two different addition orders bit-identical)."""
+    ev = _t(spark, sf_dir, "events")
+    out = agg_ops.salted_two_stage_agg(
+        ev, ["event_type"], _dec(F.col("value")),
+        salt_source=["event_id"], salt_buckets=16)
+    return out.select(
+        "event_type",
+        F.round(F.col("value_sum").cast("double"), 2).alias("value_sum"),
+        "n")
+
+
+@register("embedding_quantize", """
+WITH q AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           AS maxabs
+  FROM embeddings)
+SELECT vec_id,
+       round(maxabs, 6) AS scale_maxabs,
+       CAST(list_sum(list_transform(embedding,
+              x -> floor(CAST(x AS DOUBLE) * 127.0 / maxabs))) AS BIGINT)
+         AS code_sum,
+       CAST(list_min(list_transform(embedding,
+              x -> floor(CAST(x AS DOUBLE) * 127.0 / maxabs))) AS BIGINT)
+         AS code_min,
+       CAST(list_max(list_transform(embedding,
+              x -> floor(CAST(x AS DOUBLE) * 127.0 / maxabs))) AS BIGINT)
+         AS code_max
+FROM q
+WHERE maxabs > 0
+""")
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the storage/IO
+    lever for 100 TB vector corpora (4x smaller than float32, and the
+    form ANN candidate scans want). Per-vector max-abs scale, codes =
+    floor(x * 127 / maxabs): pure higher-order functions, no Python; all
+    arithmetic is float→double promotion + floor, bit-identical across
+    engines (verified per-element via the code checksum/min/max)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x))).cast("double")
+    qdf = emb.withColumn("__maxabs", maxabs).filter(F.col("__maxabs") > 0)
+    codes = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127.0 / F.col("__maxabs")))
+    qdf = qdf.withColumn("__codes", codes)
+    return qdf.select(
+        "vec_id",
+        F.round("__maxabs", 6).alias("scale_maxabs"),
+        F.aggregate("__codes", F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("code_sum"),
+        F.array_min("__codes").alias("code_min"),
+        F.array_max("__codes").alias("code_max"))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

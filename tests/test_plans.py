@@ -397,3 +397,59 @@ def test_upsert_partitions_touches_only_present_partitions(spark, tmp_path):
     # static overwrite mode restored on the session
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode") != "dynamic"
+
+
+def test_runtime_bloom_filter_prunes_fact_rows(spark):
+    """Runtime bloom-filter join pruning (the shuffle-join analogue of DPP):
+    with a selective dim filter and a non-broadcast join, Spark injects a
+    might_contain(bloom) predicate into the FACT scan — at 100 TB the fact
+    side drops non-matching rows before the shuffle instead of after the
+    join. Plan-checked with the feature's size thresholds relaxed (local
+    parquet is tiny; on a cluster the defaults govern)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        p = (spark.read.parquet(f"{SF_DIR}/part.parquet")
+             .filter(F.col("p_size") == 3))
+        j = li.join(p, li.l_partkey == p.p_partkey)
+        utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+        plan = utils.explainString(j._jdf.queryExecution(), "formatted")
+        assert "might_contain" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_compact_table_reduces_files_keeps_rows(spark, tmp_path):
+    """core.io.compact_table: a many-small-files table rewrites to the
+    target file count with identical contents (row count + value sum)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.core import io as io_ops
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    ev = _t(spark, SF_DIR, "events").select("event_id", "value")
+    path = str(tmp_path / "small_files")
+    ev.repartition(64).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 32
+    total = ev.count()
+    vsum = ev.agg(F.sum("event_id")).collect()[0][0]
+
+    n_after = io_ops.compact_table(spark, path, target_files=4)
+    assert n_after <= 6
+    back = spark.read.parquet(path)
+    assert back.count() == total
+    assert back.agg(F.sum("event_id")).collect()[0][0] == vsum
