@@ -17,6 +17,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The driver machine-parses stdout as ONE JSON object, but the JVM writes
+# launch noise to fd 1 ("WARNING: Using incubator modules: …") which broke
+# parsing in round 1 (BENCH_r01 "parsed": null). Redirect the REAL stdout fd
+# to stderr before the JVM inherits it — Python prints and every JVM byte
+# land on stderr — and keep a dup of the original stdout for the final JSON.
+_REAL_STDOUT = os.dup(1)
+os.dup2(2, 1)
+
 from peskas_malawi_data_pipeline_spark.core import get_spark  # noqa: E402
 from peskas_malawi_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 
@@ -43,13 +51,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }, separators=(",", ":"))
+    os.write(_REAL_STDOUT, (payload + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -35,19 +35,70 @@ PREFIXES = [
     "vessels/",
 ]
 
-# Gear-effort suffix groups (E2, R/preprocessing.R:265-271): canonical
-# column <- every raw effort column that feeds it, coalesced in order.
-EFFORT_GROUPS: dict[str, list[str]] = {
-    "gear_hrs": ["longline_effort_hrs", "handline_effort_hrs", "hours_fished_gear"],
-    "gear_n_sets": ["mosquito_effort_sets", "kambuzi_effort_sets",
-                    "mosquito_effort", "kambuzi_seine_effort"],
-    "gear_n_hooks": ["longline_effort_hooks", "handline_effort_hooks",
-                     "longline_effort", "handline_effort"],
-    "gear_n_hauls": ["fish_trap_effort_hauls", "chilimira_effort_hauls",
-                     "chilimira_hauls", "num_hauls", "fish_trap_effort",
-                     "chilimira_effort", "chikwekwesa_effort", "wogo_effort",
-                     "other_gear_effort"],
-    "gear_length": ["gear_length_m", "gear_length"],
+# The five Kobo form names that gate the per-form gear-effort branches
+# (E3, R/preprocessing.R:94-249).
+FORM_ECAS = "FISHERIES eCAS DATA"
+FORM_2024A = "FieldDataApp-2024A"
+FORM_2024 = "FieldDataApp-2024"
+FORM_2023F = "FieldDataApp-2023F"
+FORM_SSF = "Malawi SSF"
+
+# Per-form gear-effort case_when blocks (E3, R/preprocessing.R:94-249):
+# intermediate column -> ordered (form-set, source raw column) branches.
+# First matching form wins; unmatched forms yield NULL (`TRUE ~ NA`).
+# Keys are listed in the reference's full-join frame order — the suffix
+# coalesce below depends on it. Quirk Q2 (SURVEY §8): `ceffort` is defined
+# twice (R:179-193 vs :196-210) and the SECOND block wins, including its
+# typo'd `chilmira_n_hrs` output name (which still feeds gear_hrs because
+# the suffix scan matches `ends_with("n_hrs")`).
+EFFORT_BLOCKS: dict[str, list[tuple[tuple[str, ...], str]]] = {
+    # meffort (R:98-106)
+    "mosquito_n_sets": [((FORM_ECAS,), "mosquito_effort_sets"),
+                        ((FORM_2023F,), "mosquito_effort")],
+    # llffort (R:108-127)
+    "longline_n_hooks": [((FORM_ECAS,), "longline_effort_hooks"),
+                         ((FORM_2024,), "longline_effort"),
+                         ((FORM_2023F,), "longline_effort")],
+    "longline_n_hrs": [((FORM_ECAS,), "longline_effort_hrs")],
+    # fteffort (R:129-141)
+    "fishtrap_n_hauls": [((FORM_ECAS,), "fish_trap_effort_hauls"),
+                         ((FORM_2024A,), "fish_trap_effort"),
+                         ((FORM_2023F,), "fish_trap_effort")],
+    # hlffort (R:143-163)
+    "handline_n_hooks": [((FORM_ECAS,), "handline_effort_hooks")],
+    "handline_n_hrs": [((FORM_ECAS,), "handline_effort_hrs"),
+                       ((FORM_2023F,), "handline_effort")],
+    # keffort (R:166-177)
+    "kambuzi_n_sets": [((FORM_ECAS,), "kambuzi_effort_sets"),
+                       ((FORM_2023F,), "kambuzi_seine_effort")],
+    # ceffort — effective SECOND block (Q2, R:196-210)
+    "chilimira_n_hauls": [((FORM_ECAS,), "chilimira_effort_hauls"),
+                          ((FORM_SSF, FORM_2024, FORM_2024A, FORM_2023F),
+                           "chilimira_hauls")],
+    "chilmira_n_hrs": [((FORM_2024, FORM_2023F), "chilimira_effort")],
+    # cheffort (R:212-227)
+    "chikwekwesa_n_sets": [((FORM_2024,), "chikwekwesa_effort"),
+                           ((FORM_2023F,), "chikwekwesa_effort")],
+    "chikwekwesa_length": [((FORM_2024A,), "chikwekwesa_effort")],
+    # weffort (R:229-237)
+    "wogo_n_sets": [((FORM_2023F,), "wogo_effort")],
+    # oeffort (R:239-248)
+    "other_n_hrs": [((FORM_2024, FORM_2023F), "other_gear_effort")],
+}
+
+# Suffix-group coalesce after the fold (E2, R/preprocessing.R:265-271):
+# `coalesce(!!!select(., ends_with(suffix)))` over the joined frame, so feed
+# order = frame column order. `n_hauls` (the raw `num_hauls` rename,
+# R:81) sits in the merged_data slice and therefore coalesces FIRST into
+# gear_n_hauls; gear_length's only `*length` column is chikwekwesa_length.
+EFFORT_SUFFIX_GROUPS: dict[str, list[str]] = {
+    "gear_hrs": ["longline_n_hrs", "handline_n_hrs", "chilmira_n_hrs",
+                 "other_n_hrs"],
+    "gear_n_sets": ["mosquito_n_sets", "kambuzi_n_sets",
+                    "chikwekwesa_n_sets", "wogo_n_sets"],
+    "gear_n_hooks": ["longline_n_hooks", "handline_n_hooks"],
+    "gear_n_hauls": ["n_hauls", "fishtrap_n_hauls", "chilimira_n_hauls"],
+    "gear_length": ["chikwekwesa_length"],
 }
 
 VESSEL_TYPE_RECODE = {
@@ -123,8 +174,10 @@ def _harmonized_columns(df: DataFrame) -> dict[str, F.Column]:
         "trip_length": E.to_double_flex(c("hours_fished")),
         "tracker_imei": c("imei_number", "tracker_imei"),
         "gear": c("gear_type", "gear_type_other"),
-        "gear_depth": E.to_double_flex(c("gear_depth_m", "gear_depth")),
-        "mesh_size_mm": E.to_double_flex(c("gear_mesh_size_mm", "gear_mesh_size")),
+        # coalesce order follows the reference exactly (R/preprocessing.R:80-81):
+        # gear_mesh_size / gear_depth first, their _mm/_m variants second
+        "gear_depth": E.to_double_flex(c("gear_depth", "gear_depth_m")),
+        "mesh_size_mm": E.to_double_flex(c("gear_mesh_size", "gear_mesh_size_mm")),
         "trader_sex": c("trader_sex", "buyer_sex"),
         "trader_transport_mode": c("transport_mode", "trans", "transothers"),
         "food_destination": c("dest", "food_destination"),
@@ -141,26 +194,72 @@ def _harmonized_columns(df: DataFrame) -> dict[str, F.Column]:
     return cols
 
 
+def _form_branch_expr(df: DataFrame,
+                      branches: list[tuple[tuple[str, ...], str]]) -> F.Column:
+    """One E3 per-form case_when: first matching form_name branch wins,
+    unmatched forms are NULL (`TRUE ~ NA_character_`). Source columns a form
+    dialect never shipped are absent from the union frame — R sees them as
+    all-NA columns, the engine substitutes a typed NULL literal."""
+    expr: F.Column | None = None
+    for forms, src in branches:
+        col = F.col(f"`{src}`") if src in df.columns else F.lit(None).cast("string")
+        cond = (F.col("form_name") == forms[0]) if len(forms) == 1 \
+            else F.col("form_name").isin(*forms)
+        expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+    return expr
+
+
+def _effort_intermediates(df: DataFrame) -> dict[str, F.Column]:
+    """The 13 per-gear intermediate columns of the nine E3 transmute blocks
+    (R/preprocessing.R:94-249), plus `n_hauls` (= raw num_hauls, R:81)."""
+    inter = {name: _form_branch_expr(df, branches)
+             for name, branches in EFFORT_BLOCKS.items()}
+    inter["n_hauls"] = (F.col("num_hauls") if "num_hauls" in df.columns
+                        else F.lit(None).cast("string"))
+    return inter
+
+
 def _effort_columns(df: DataFrame) -> dict[str, F.Column]:
-    """The fused gear-effort normalization (SURVEY §4.3): per-suffix
-    coalesce across every feeding raw column that exists — replaces the
-    reference's 10-way full-join fold, zero shuffles."""
-    return {
-        out: E.to_double_flex(E.coalesce_cols(df, *sources))
-        for out, sources in EFFORT_GROUPS.items()
-    }
+    """The fused gear-effort normalization (SURVEY §4.3): the nine per-form
+    E3 blocks and the per-suffix E2 coalesce composed as plain column
+    expressions — replaces the reference's 10-way full-join fold
+    (R/preprocessing.R:252-271) with zero shuffles, same values."""
+    inter = _effort_intermediates(df)
+    out = {}
+    for name, feeds in EFFORT_SUFFIX_GROUPS.items():
+        exprs = [inter[f] for f in feeds]
+        merged = exprs[0] if len(exprs) == 1 else F.coalesce(*exprs)
+        out[name] = E.to_double_flex(merged)
+    return out
 
 
 def gear_effort_join_fold(df: DataFrame, keys=("form_name", "survey_id")) -> DataFrame:
-    """The literal J1 formulation (reduce of full joins over per-suffix
-    frames, R/preprocessing.R:252-264) — kept for parity testing against the
-    fused expressions; never the production path."""
-    frames = []
-    for out, sources in EFFORT_GROUPS.items():
-        frame = df.select(
-            *keys, E.to_double_flex(E.coalesce_cols(df, *sources)).alias(out))
-        frames.append(frame)
-    return join_ops.reduce_join(frames, list(keys), "full")
+    """The literal J1 formulation (reduce of full joins over the nine
+    per-gear transmute frames, R/preprocessing.R:252-264, then the
+    ends_with-suffix coalesce :265-271) — kept for parity testing against
+    the fused expressions; never the production path."""
+    inter = _effort_intermediates(df)
+    # merged_data slice carries n_hauls (R:253); each E3 block is its own
+    # keyed frame, joined back by (form_name, survey_id).
+    frames = [df.select(*keys, inter["n_hauls"].alias("n_hauls"))]
+    block_names = list(EFFORT_BLOCKS)
+    # group intermediate columns back into their source transmute blocks
+    blocks = [["mosquito_n_sets"], ["longline_n_hooks", "longline_n_hrs"],
+              ["fishtrap_n_hauls"], ["handline_n_hooks", "handline_n_hrs"],
+              ["kambuzi_n_sets"], ["chilimira_n_hauls", "chilmira_n_hrs"],
+              ["chikwekwesa_n_sets", "chikwekwesa_length"], ["wogo_n_sets"],
+              ["other_n_hrs"]]
+    assert sorted(c for b in blocks for c in b) == sorted(block_names)
+    for cols in blocks:
+        frames.append(df.select(*keys, *[inter[c].alias(c) for c in cols]))
+    joined = join_ops.reduce_join(frames, list(keys), "full")
+    suffix = {"gear_hrs": "n_hrs", "gear_n_sets": "n_sets",
+              "gear_n_hooks": "n_hooks", "gear_n_hauls": "n_hauls",
+              "gear_length": "length"}
+    return joined.select(
+        *keys,
+        *[E.to_double_flex(E.coalesce_by_suffix(joined, sfx)).alias(out)
+          for out, sfx in suffix.items()])
 
 
 def preprocess_landings(raw: DataFrame) -> DataFrame:

@@ -48,11 +48,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read the raw int64 and truncate to microseconds
+        # events.parquet may store TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects) or plain TIMESTAMP(MICROS) — the
+        # harness has shipped both. nanosAsLong turns a NANOS column into
+        # raw int64 which the dtype check below truncates to microseconds
         # (exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does, keeping
-        # oracle parity). Integer `div` — a double intermediate would lose
-        # precision at 1.7e18 ns.
+        # oracle parity); a MICROS column reads as `timestamp` untouched.
+        # Integer `div` — a double intermediate would lose precision at
+        # 1.7e18 ns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
@@ -1523,18 +1526,13 @@ def streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import ingest_stream as st
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     work = tempfile.mkdtemp(prefix="peskas_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
                os.path.join(landing, "events.parquet"))
 
-    raw = st.stream_from_parquet_dir(
-        spark, landing,
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string")
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = st.stream_events_dir(spark, landing)
     agged = (ev.withWatermark("ts", "30 minutes")
              .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
              .agg(F.count(F.lit(1)).alias("n"),
@@ -1571,7 +1569,6 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import ingest_stream as st
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     work = tempfile.mkdtemp(prefix="peskas_stream_enrich_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
@@ -1583,11 +1580,7 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("purchase", "convert"), ("signup", "convert"), ("error", "ops")],
         ["event_type", "category"])
 
-    raw = st.stream_from_parquet_dir(
-        spark, landing,
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string")
-    ev = (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = (st.stream_events_dir(spark, landing)
           .join(F.broadcast(dim), "event_type", "left")
           .withColumn("category", F.coalesce("category", F.lit("other"))))
     agged = (ev.withWatermark("ts", "30 minutes")
@@ -1634,18 +1627,13 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import ingest_stream as st
     from .streaming import stateful as sf
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     work = tempfile.mkdtemp(prefix="peskas_stream_sess_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
                os.path.join(landing, "events.parquet"))
 
-    raw = st.stream_from_parquet_dir(
-        spark, landing,
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string")
-    ev = (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = (st.stream_events_dir(spark, landing)
           .withWatermark("ts", "30 minutes")
           .select("user_id", "ts", "event_id"))
     sessions = sf.stateful_sessionize(ev, gap_s=1800)
@@ -2201,17 +2189,13 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import ingest_stream as st
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     work = tempfile.mkdtemp(prefix="peskas_stream_dedup_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
                os.path.join(landing, "events.parquet"))
 
-    raw = st.stream_from_parquet_dir(
-        spark, landing,
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string")
+    raw = st.stream_events_dir(spark, landing)
     deduped = raw.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"])
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
@@ -2545,19 +2529,15 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import ingest_stream as st
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     work = tempfile.mkdtemp(prefix="peskas_stream_join_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
                os.path.join(landing, "events.parquet"))
 
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
-
     def side(alias_user, alias_ts, alias_id, etype):
-        raw = st.stream_from_parquet_dir(spark, landing, schema)
-        return (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = st.stream_events_dir(spark, landing)
+        return (raw
                 .filter(F.col("event_type") == etype)
                 .select(F.col("user_id").alias(alias_user),
                         F.col("ts").alias(alias_ts),

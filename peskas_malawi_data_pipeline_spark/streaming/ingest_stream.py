@@ -52,6 +52,39 @@ def stream_from_parquet_dir(spark: SparkSession, path: str,
     return spark.readStream.schema(schema).parquet(path)
 
 
+_EVENTS_SCHEMA = ("event_id long, ts {}, user_id long, event_type string, "
+                  "value double, props string")
+
+
+def stream_events_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Stream an `events` landing directory with ``ts`` normalized to
+    TIMESTAMP whatever the writer's physical unit.
+
+    Parquet writers disagree on timestamp units: TIMESTAMP(MICROS/MILLIS)
+    Spark reads natively, TIMESTAMP(NANOS) its vectorized reader rejects
+    unless ``legacy.parquet.nanosAsLong`` turns the column into a raw int64
+    (then truncated to µs here, matching DuckDB's TIMESTAMP_NS→TIMESTAMP
+    cast). A streaming source's user-supplied schema silently reinterprets
+    the physical int64, so the unit MUST be sniffed from a footer — one
+    metadata read per stream start, not per batch."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    unit = "us"
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if files:
+        t = pq.read_schema(files[0]).field("ts").type
+        unit = getattr(t, "unit", "us")
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(_EVENTS_SCHEMA.format("long")).parquet(path)
+        # integer div — a double intermediate loses precision at 1.7e18 ns
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(_EVENTS_SCHEMA.format("timestamp")).parquet(path)
+
+
 def windowed_track_rollup(points: DataFrame, minutes: int = 10,
                           watermark: str = "30 minutes") -> DataFrame:
     """Streaming twin of export.export_matched_tracks's rollup (E13+A2):

@@ -104,23 +104,106 @@ def test_preprocess_gillnets_normalized(preprocessed):
         assert g.gillnet_length_m == 100.0
 
 
-def test_gear_effort_fusion_matches_join_fold(spark, raw):
-    """SURVEY §4.3 rewrite parity: fused per-suffix coalesce == literal
-    10-way full-join fold."""
-    df = raw.withColumn("survey_id", F.concat_ws(
-        "-", "submission_id", "vessel_number", "catch_number"))
-    folded = preprocess.gear_effort_join_fold(df).collect()
-    fused = df.select(
-        "form_name", "survey_id",
-        *[preprocess.E.to_double_flex(
-            preprocess.E.coalesce_cols(df, *srcs)).alias(out)
-          for out, srcs in preprocess.EFFORT_GROUPS.items()]).collect()
-    key = lambda r: (r.form_name, r.survey_id)  # noqa: E731
-    fold_map = {key(r): r for r in folded}
-    for r in fused:
-        fr = fold_map[key(r)]
-        for out in preprocess.EFFORT_GROUPS:
-            assert getattr(r, out) == getattr(fr, out), (r.survey_id, out)
+EFFORT_SOURCE_COLS = [
+    "num_hauls", "fish_trap_effort_hauls", "chilimira_effort_hauls",
+    "chilimira_hauls", "longline_effort_hooks", "longline_effort",
+    "handline_effort_hooks", "longline_effort_hrs", "handline_effort_hrs",
+    "chilimira_effort", "mosquito_effort_sets", "mosquito_effort",
+    "kambuzi_effort_sets", "kambuzi_seine_effort", "chikwekwesa_effort",
+    "wogo_effort", "other_gear_effort", "fish_trap_effort", "handline_effort",
+]
+
+
+@pytest.fixture(scope="module")
+def effort_raw(spark):
+    """One row per form with MULTIPLE feeding columns populated with
+    distinct values — exercises the per-form E3 branch selection where a
+    blind suffix coalesce would pick a different source (VERDICT r01 §1)."""
+    full = {c: str(i + 1) for i, c in enumerate(EFFORT_SOURCE_COLS)}
+    rows = []
+    for i, (form, vals) in enumerate([
+        (preprocess.FORM_ECAS, full),
+        (preprocess.FORM_2023F, {**full, "num_hauls": None}),
+        (preprocess.FORM_2024, {c: full[c] for c in (
+            "chilimira_hauls", "chilimira_effort", "longline_effort",
+            "chikwekwesa_effort", "other_gear_effort")}),
+        (preprocess.FORM_2024A, {c: full[c] for c in (
+            "chikwekwesa_effort", "fish_trap_effort", "chilimira_hauls")}),
+        (preprocess.FORM_SSF, {c: full[c] for c in (
+            "chilimira_hauls", "chilimira_effort", "longline_effort_hooks")}),
+    ]):
+        rows.append(Row(form_name=form, submission_id=f"E{i}",
+                        vessel_number=1, catch_number=1,
+                        **{c: vals.get(c) for c in EFFORT_SOURCE_COLS}))
+    schema = ("form_name string, submission_id string, vessel_number int, "
+              "catch_number int, " +
+              ", ".join(f"{c} string" for c in EFFORT_SOURCE_COLS))
+    return spark.createDataFrame(rows, schema)
+
+
+def test_gear_effort_fusion_matches_join_fold(spark, raw, effort_raw):
+    """SURVEY §4.3 rewrite parity: fused per-form-branch + per-suffix
+    coalesce == literal 10-way full-join fold, on both the synthetic raw
+    corpus and the adversarial multi-source frame."""
+    for base in (raw, effort_raw):
+        df = base.withColumn("survey_id", F.concat_ws(
+            "-", "submission_id", "vessel_number", "catch_number"))
+        folded = preprocess.gear_effort_join_fold(df).collect()
+        eff = preprocess._effort_columns(df)
+        fused = df.select("form_name", "survey_id",
+                          *[c.alias(n) for n, c in eff.items()]).collect()
+        key = lambda r: (r.form_name, r.survey_id)  # noqa: E731
+        fold_map = {key(r): r for r in folded}
+        assert len(fold_map) == len(folded)
+        for r in fused:
+            fr = fold_map[key(r)]
+            for out in preprocess.EFFORT_SUFFIX_GROUPS:
+                assert getattr(r, out) == getattr(fr, out), (r.survey_id, out)
+
+
+def test_gear_effort_per_form_branches(effort_raw):
+    """E3 per-form semantics incl. quirk Q2 (R/preprocessing.R:94-249).
+    Source values: num_hauls=1, fish_trap_effort_hauls=2, chilimira_hauls=4,
+    longline_effort_hooks=5, longline_effort=6, longline_effort_hrs=8,
+    chilimira_effort=10, mosquito_effort_sets=11, mosquito_effort=12,
+    chikwekwesa_effort=15, other_gear_effort=17, fish_trap_effort=18,
+    handline_effort=19."""
+    out = {r.form_name: r for r in
+           preprocess.preprocess_landings(effort_raw).collect()}
+    ecas = out[preprocess.FORM_ECAS]
+    # two sources populated per suffix group: the per-form branch picks the
+    # eCAS column, and raw num_hauls (merged_data slice) wins gear_n_hauls
+    assert ecas.gear_n_hauls == 1.0      # num_hauls, NOT fish_trap(2)/chilimira(3)
+    assert ecas.gear_n_hooks == 5.0      # longline_effort_hooks, NOT longline_effort(6)
+    assert ecas.gear_hrs == 8.0          # longline_effort_hrs first in suffix order
+    assert ecas.gear_n_sets == 11.0      # mosquito_effort_sets, NOT mosquito_effort(12)
+    assert ecas.gear_length is None      # chikwekwesa_length is 2024A-only
+
+    f23 = out[preprocess.FORM_2023F]
+    assert f23.gear_n_hauls == 18.0      # num_hauls NULL -> fish_trap_effort
+    assert f23.gear_n_hooks == 6.0       # longline_effort (2023F branch)
+    assert f23.gear_hrs == 19.0          # handline_effort via handline_n_hrs
+    assert f23.gear_n_sets == 12.0       # mosquito_effort (2023F branch)
+
+    f24 = out[preprocess.FORM_2024]
+    # Q2: the SECOND ceffort block includes FieldDataApp-2024 in the
+    # chilimira_hauls branch (the first block did not) and routes
+    # chilimira_effort through the typo'd chilmira_n_hrs, which still
+    # feeds gear_hrs via the ends_with("n_hrs") scan
+    assert f24.gear_n_hauls == 4.0       # chilimira_hauls — 2nd block effective
+    assert f24.gear_hrs == 10.0          # chilimira_effort via chilmira_n_hrs
+    assert f24.gear_n_sets == 15.0       # chikwekwesa_effort
+    assert f24.gear_n_hooks == 6.0       # longline_effort
+
+    f24a = out[preprocess.FORM_2024A]
+    assert f24a.gear_length == 15.0      # chikwekwesa_effort -> *length* (2024A only)
+    assert f24a.gear_n_sets is None      # chikwekwesa n_sets branch excludes 2024A
+    assert f24a.gear_n_hauls == 18.0     # fish_trap_effort before chilimira_hauls
+
+    ssf = out[preprocess.FORM_SSF]
+    assert ssf.gear_n_hauls == 4.0       # chilimira_hauls (SSF in 2nd ceffort block)
+    assert ssf.gear_hrs is None          # chilmira_n_hrs branch excludes SSF
+    assert ssf.gear_n_hooks is None      # longline_effort_hooks is eCAS-only
 
 
 # ------------------------------------------------------------ validate
