@@ -169,17 +169,29 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
                        query_id: str = "query_id", corpus_id: str = "corpus_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_queries: int = 10_000) -> DataFrame:
     """Arrow-vectorized brute-force top-k: queries collected to a numpy
-    matrix (they are the small side by construction), corpus streamed through
+    matrix (they must be the small side), corpus streamed through
     ``mapInPandas`` in Arrow batches, numpy matmul per batch, per-batch
     partial top-k, final exact top-k by window. The fast path when dims are
     large enough that per-element HOF evaluation dominates.
+
+    ``max_queries`` guards the driver materialization: collecting an
+    unbounded query frame OOMs the driver, so more than ``max_queries``
+    rows raises instead of silently collecting. Raise the cap explicitly
+    for a bigger (still driver-sized) query set, or use :func:`cosine_topk`
+    / the LSH/IVF variants when the query side is itself corpus-scale.
     """
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id, vec_col).collect()
+    qrows = queries.select(query_id, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_pandas collects the query side to the driver, but it "
+            f"has more than max_queries={max_queries} rows; raise max_queries "
+            f"explicitly or use cosine_topk/ann_lsh/ann_ivf for large query sets")
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype="float64")
     qnorm = np.linalg.norm(qmat, axis=1)

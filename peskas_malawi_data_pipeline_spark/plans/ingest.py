@@ -25,7 +25,28 @@ from ..operators import structural as struct
 FORM_LAYOUTS = {
     "dialect_a": ("group_vessel_data", "group_catch", "group_gillnets"),
     "dialect_b": ("vessels", "fish_repeat", "group_gillnets"),
+    # full-path variants for schema-pinned Kobo exports, where repeat-group
+    # children are keyed by their "/"-joined group path (form_schemas)
+    "dialect_a_kobo": ("group_vessel_data", "group_vessel_data/group_catch",
+                       "group_vessel_data/group_gillnets"),
+    "dialect_b_kobo": ("vessels", "vessels/fish_repeat",
+                       "vessels/group_gillnets"),
 }
+
+# Prefixes the reference's per-form ingestion bares BEFORE bind_rows
+# (process_survey extracts these groups' children unqualified,
+# R/ingestion.R:146-152,173-184,218-222) — stripping them per form lets
+# unionByName merge the same logical column across dialects (e.g. dialect-A
+# `group_vessel_data/group_vessel/vessel_type` and SSF `vessels/vessel_type`
+# both become `vessel_type`). The group_location/gear_data/market prefixes
+# survive to the raw table (FIXTURES.md F2) and are stripped in preprocess.
+INGEST_STRIP_PREFIXES = [
+    "group_vessel_data/group_vessel/",
+    "group_vessel_data/group_gear/",
+    "group_vessel_data/group_trade/",
+    "vessels/group_species/",
+    "vessels/",
+]
 
 
 def ingest_form(raw: DataFrame, form_name: str, layout: str = "dialect_a") -> DataFrame:
@@ -54,6 +75,7 @@ def ingest_form(raw: DataFrame, form_name: str, layout: str = "dialect_a") -> Da
         df = struct.explode_indexed(df, catch_col, "catch_number")
         df = _expand_struct(df, catch_col)
 
+    df = rel.strip_prefixes(df, INGEST_STRIP_PREFIXES)
     df = rel.rename(df, {"_id": "submission_id"})
     return df.withColumn("form_name", F.lit(form_name))
 
@@ -92,3 +114,20 @@ def ingest_landings(forms: dict[str, tuple[DataFrame, str]]) -> DataFrame:
     flattened = [ingest_form(df, form_name, layout)
                  for form_name, (df, layout) in forms.items()]
     return rel.union_by_name(flattened)
+
+
+def ingest_landed_forms(spark, paths: dict[str, str]) -> DataFrame:
+    """Production ingest entry: form_name → landed JSON path, each read with
+    its pinned schema (sources.form_schemas, SURVEY §7.1 step 1) and its
+    structural dialect, then union-widened. Column set is schema-stable —
+    independent of which fields this batch of submissions happens to
+    populate."""
+    from ..sources import form_schemas as FS
+    from ..sources import kobo
+
+    forms = {
+        form_name: (kobo.read_form_json(spark, path, form_name),
+                    FS.FORM_LAYOUT_KEYS[form_name])
+        for form_name, path in paths.items()
+    }
+    return ingest_landings(forms)

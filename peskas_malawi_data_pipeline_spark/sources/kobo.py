@@ -70,3 +70,20 @@ def read_landed_json(spark: SparkSession, path: str,
     if drop_corrupt and "_corrupt_record" in df.columns:
         df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return df
+
+
+def read_form_json(spark: SparkSession, path: str, form_name: str,
+                   drop_corrupt: bool = True) -> DataFrame:
+    """Schema-pinned read of one form's landed submissions (SURVEY §7.1
+    step 1): resolves the form's pinned StructType from
+    :mod:`form_schemas` — no inference, stable columns at any landing-zone
+    volume — and keeps the PERMISSIVE corrupt-record absorption."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from . import form_schemas as FS
+
+    pinned = FS.form_schema(form_name)
+    schema = StructType(list(pinned.fields)
+                        + [StructField("_corrupt_record", StringType())])
+    return read_landed_json(spark, path, schema=schema,
+                            drop_corrupt=drop_corrupt)

@@ -35,6 +35,119 @@ def test_kobo_landed_json_drops_corrupt(spark, tmp_path):
         kept.unpersist()
 
 
+def _submission(form, i, **extra):
+    """One nested Kobo submission using the pinned full-path field names."""
+    gv = "group_vessel_data"
+    if form == "Malawi SSF":
+        return {
+            "_id": i, "today": "2024-03-02",
+            "group_location/date_of_landing": "2024-03-01",
+            "group_location/landing_beach": "beach-b",
+            "group_location/gps_location_001": "-13.70 34.61 470 4",
+            "fishing": "yes", "total_landings": "2",
+            "vessels": [{
+                "vessels/vessel_type": "Dugout Canoe",
+                "vessels/crew_number": "2",
+                "vessels/gear_type": "Chilimira",
+                "vessels/chilimira_hauls": "4",
+                "vessels/group_gillnets": [
+                    {"net_type": "a", "gillnet_mesh": "25", "gillnet_length": "100"}],
+                "vessels/fish_repeat": [{
+                    "vessels/group_species/fish_species": "Usipa",
+                    "vessels/group_species/weight": "5",
+                    "vessels/group_species/value_species": "1000",
+                    "vessels/group_species/value_type": "total",
+                }],
+            }],
+        }
+    sub = {
+        "_id": i, "today": "2024-03-02",
+        "group_location/landing_date": "2024-03-01",
+        "group_location/landing_beach": "beach-a",
+        "group_location/gps_location": "-13.50 34.50 470 4",
+        "fishing_today": "yes", "n_vessels": "1",
+        gv: [{
+            f"{gv}/group_vessel/vessel_type": "B+E",
+            f"{gv}/group_vessel/crew_number": "3",
+            f"{gv}/group_gear/gear_type": "Longline",
+            f"{gv}/group_catch": [{
+                "fish_species": "Chambo",
+                "weight_kg" if form != "FISHERIES eCAS DATA" else "weight": "3",
+                "value_species": "600", "value_type": "per_kg",
+            }],
+            **extra,
+        }],
+    }
+    return sub
+
+
+def test_schema_pinned_ingest_all_five_forms(spark, tmp_path):
+    """SURVEY §7.1 step 1: every form version reads through its pinned
+    StructType (no inference), and the per-form effort fields route to the
+    right canonical gear column end-to-end."""
+    from peskas_malawi_data_pipeline_spark.plans import ingest, preprocess
+
+    gv = "group_vessel_data"
+    subs = {
+        "FISHERIES eCAS DATA": _submission(
+            "FISHERIES eCAS DATA", 1,
+            **{f"{gv}/group_gear/longline_effort_hooks": "120",
+               f"{gv}/group_gear/longline_effort_hrs": "6"}),
+        "FieldDataApp-2024": _submission(
+            "FieldDataApp-2024", 2,
+            **{f"{gv}/gear_data/longline_effort": "80",
+               f"{gv}/group_gear/chilimira_effort": "7"}),
+        "FieldDataApp-2024A": _submission(
+            "FieldDataApp-2024A", 3,
+            **{f"{gv}/group_gear/chikwekwesa_effort": "55"}),
+        "FieldDataApp-2023F": _submission(
+            "FieldDataApp-2023F", 4,
+            **{f"{gv}/gear_data/handline_effort": "9"}),
+        "Malawi SSF": _submission("Malawi SSF", 5),
+    }
+    paths = {}
+    for form, sub in subs.items():
+        p = str(tmp_path / f"{form.replace(' ', '_')}.jsonl")
+        kobo.land_submissions([sub], p)
+        paths[form] = p
+    # corrupt line in one landing file is absorbed, not fatal
+    with open(paths["FieldDataApp-2024"], "a") as fh:
+        fh.write("{not json\n")
+
+    raw = ingest.ingest_landed_forms(spark, paths)
+    out = {r.form_name: r for r in
+           preprocess.preprocess_landings(raw).collect()}
+    assert set(out) == set(subs)
+    assert out["FISHERIES eCAS DATA"].gear_n_hooks == 120.0
+    assert out["FISHERIES eCAS DATA"].gear_hrs == 6.0
+    assert out["FieldDataApp-2024"].gear_n_hooks == 80.0
+    assert out["FieldDataApp-2024"].gear_hrs == 7.0        # Q2 typo'd column path
+    assert out["FieldDataApp-2024A"].gear_length == 55.0   # chikwekwesa -> length
+    assert out["FieldDataApp-2023F"].gear_hrs == 9.0       # handline_effort
+    ssf = out["Malawi SSF"]
+    assert ssf.gear_n_hauls == 4.0                         # chilimira_hauls
+    assert ssf.landing_site == "beach-b"
+    assert ssf.lat == -13.70 and ssf.catch_kg == 5.0
+    assert ssf.gillnets[0].gillnet_mesh_mm == 25.0
+
+
+def test_schema_pinned_ingest_is_volume_independent(spark, tmp_path):
+    """The pinned read yields the same column set whether the landing file
+    is empty or populated — inference would collapse an empty batch."""
+    from peskas_malawi_data_pipeline_spark.plans import ingest
+
+    empty = str(tmp_path / "empty.jsonl")
+    open(empty, "w").close()
+    full = str(tmp_path / "full.jsonl")
+    kobo.land_submissions([_submission("FieldDataApp-2024", 9)], full)
+
+    cols_empty = ingest.ingest_landed_forms(
+        spark, {"FieldDataApp-2024": empty}).columns
+    cols_full = ingest.ingest_landed_forms(
+        spark, {"FieldDataApp-2024": full}).columns
+    assert cols_empty == cols_full
+
+
 def test_pds_trip_point_fanout(spark, tmp_path):
     trips_csv = tmp_path / "trips.csv"
     trips_csv.write_text(
