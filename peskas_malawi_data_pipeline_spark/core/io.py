@@ -86,27 +86,120 @@ def upsert_partitions(df: DataFrame, path: str,
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
 
-def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
+def _local_rename_swap(path: str, tmp: str) -> None:
+    """Directory-rename swap — valid ONLY where rename is a metadata
+    operation (POSIX / HDFS). On an object store a "rename" is a non-atomic
+    O(data) copy+delete, so this strategy refuses URI schemes."""
+    import shutil
+
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"rename swap is not atomic on {scheme}:// storage; compact "
+            f"through a table format (Delta/Iceberg metadata commit) by "
+            f"passing swap=, e.g. a catalog REPLACE TABLE commit")
+    shutil.move(path, tmp + ".__old")
+    shutil.move(tmp, path)
+    shutil.rmtree(tmp + ".__old")
+
+
+def compact_table(spark: SparkSession, path: str, target_files: int,
+                  swap=None) -> int:
     """Small-files compaction: rewrite a table directory into
-    ``target_files`` files and atomically swap it in. Returns the data-file
-    count after compaction.
+    ``target_files`` files and swap it in. Returns the data-file count
+    after compaction.
 
     Streaming/incremental sinks accrete many small files per partition
     over time; at 100 TB scan cost is dominated by per-file open/footer
     overhead once files shrink below a row group. Compaction = read →
-    ``repartition(n)`` → write to a side directory → directory swap (a
-    table-format catalog — Delta/Iceberg — would do the swap as a metadata
-    commit instead; same plan underneath).
-    """
-    import os
-    import shutil
+    ``repartition(n)`` → write to a side directory → swap.
 
+    The swap is a pluggable strategy (``swap(path, tmp) -> None``): the
+    default directory rename is correct on local/HDFS filesystems only and
+    REFUSES object-store URIs, where the right swap is a table-format
+    metadata commit (Delta ``REPLACE TABLE`` / Iceberg rewrite-files) — the
+    read→repartition→write plan underneath is identical.
+    """
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp"
     df.repartition(target_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".__compact_old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
-    return sum(1 for f in os.listdir(path)
-               if f.endswith(".parquet") and not f.startswith("."))
+    (swap or _local_rename_swap)(path, tmp)
+    return sum(1 for f in spark.read.parquet(path).inputFiles()
+               if not f.rsplit("/", 1)[-1].startswith("."))
+
+
+# ---------------------------------------------------------------------------
+# Storage adapters — S4/K1 parity seam
+# ---------------------------------------------------------------------------
+#
+# The reference's inter-stage IR is MongoDB (`mdb_collection_pull` /
+# `mdb_collection_push`, R/storage.R:26-106). The engine's native IR is
+# parquet, but stage plans address storage through this adapter contract so
+# the backend is swappable: ``read(spark, locator, columns)`` returns a
+# DataFrame, ``write(df, locator)`` has truncate-and-load semantics (the
+# whole target is replaced, idempotently — R/storage.R:89-102).
+
+class ParquetAdapter:
+    """Adapter over the native parquet tables (locator = directory path)."""
+
+    def read(self, spark: SparkSession, locator: str,
+             columns: Iterable[str] | None = None) -> DataFrame:
+        return read_table(spark, locator, columns)
+
+    def write(self, df: DataFrame, locator: str,
+              partition_by: list[str] | None = None) -> None:
+        write_table(df, locator, partition_by)
+
+
+class MongoDBAdapter:
+    """Adapter over the MongoDB Spark connector (locator = collection name).
+
+    Reproduces the reference contract exactly: reads pull a whole collection
+    (R/storage.R:26-51), writes are truncate-and-load — the connector's
+    ``SaveMode.Overwrite`` drops the collection then inserts all rows,
+    matching ``remove("{}")`` + insert (R/storage.R:89-102). The reference's
+    column-order metadata document (R/storage.R:36-48) is unnecessary:
+    DataFrame schemas are ordered.
+
+    The connector jar (``org.mongodb.spark:mongo-spark-connector``) is
+    optional at test time; option construction is a pure function so the
+    contract is testable without a live cluster.
+    """
+
+    FORMAT = "mongodb"
+
+    def __init__(self, connection_uri: str, database: str) -> None:
+        self.connection_uri = connection_uri
+        self.database = database
+
+    def options(self, locator: str) -> dict[str, str]:
+        return {
+            "connection.uri": self.connection_uri,
+            "database": self.database,
+            "collection": locator,
+        }
+
+    def read(self, spark: SparkSession, locator: str,
+             columns: Iterable[str] | None = None) -> DataFrame:
+        df = spark.read.format(self.FORMAT).options(**self.options(locator)).load()
+        if columns is not None:
+            df = df.select(*columns)
+        return df
+
+    def write(self, df: DataFrame, locator: str,
+              partition_by: list[str] | None = None) -> None:
+        # partition_by has no MongoDB equivalent; collections are sharded by
+        # server-side shard keys, not writer-side layout
+        (df.write.format(self.FORMAT).mode("overwrite")
+         .options(**self.options(locator)).save())
+
+
+def get_adapter(backend: str, **kwargs):
+    """Resolve a storage adapter: ``"parquet"`` (default IR) or
+    ``"mongodb"`` (reference-parity; pass connection_uri= and database=)."""
+    if backend == "parquet":
+        return ParquetAdapter()
+    if backend == "mongodb":
+        return MongoDBAdapter(**kwargs)
+    raise ValueError(f"unknown storage backend {backend!r}; "
+                     f"expected 'parquet' or 'mongodb'")

@@ -7,10 +7,12 @@ as Arrow-batched ``mapInPandas`` stages so the heavy per-item work is
 vectorized Python over columnar batches, never row-at-a-time.
 
 The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are stubbed: ``decode=fake`` produces a deterministic fake
-feature vector from the payload bytes (pipeline plumbing — schema, batch
-shape, partitioning — is real and tested); ``decode=real`` raises
-NotImplementedError at the point where the codec would run.
+decode kernels are a pluggable seam (``decoder=`` / ``resizer=`` callables
+shipped to executors): inject the real codec where it exists and the
+Spark-side plumbing is unchanged. Without one, ``decode=fake`` produces a
+deterministic fake feature vector from the payload bytes (pipeline plumbing
+— schema, batch shape, partitioning — is real and tested); ``decode=real``
+raises NotImplementedError at the point where the codec would run.
 """
 
 from __future__ import annotations
@@ -61,25 +63,38 @@ def _fake_feature(payload: bytes | None) -> list[float] | None:
 
 
 def extract_features(df: DataFrame, decode: str = "fake",
+                     decoder=None,
                      batch_size_hint: int | None = None) -> DataFrame:
     """Decode/feature-extract stage over a MEDIA_SCHEMA DataFrame via
-    ``mapInPandas`` (Arrow batches). ``decode='real'`` marks where an actual
-    codec (PIL / torchaudio / pyav) would be called per batch.
+    ``mapInPandas`` (Arrow batches).
+
+    The codec is a pluggable seam: ``decoder`` is a picklable callable
+    ``(payload: bytes|None, modality: str) -> list[float]|None`` shipped to
+    the executors and applied per item inside the Arrow batch loop — where
+    PIL/torchaudio/pyav exist, pass a real decode there and the Spark-side
+    plumbing is unchanged. Without one, ``decode='fake'`` uses the
+    deterministic digest stand-in (oracle-checkable) and ``decode='real'``
+    raises at the point the codec would run.
     """
     if decode not in {"fake", "real"}:
         raise ValueError("decode must be 'fake' or 'real'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
+            if decoder is not None:
+                feats = [decoder(p, m) for p, m in
+                         zip(pdf["payload"], pdf["modality"])]
+            elif decode == "real":
                 raise NotImplementedError(
                     "media codecs (PIL/ffmpeg/torchaudio) unavailable in this "
-                    "environment; use decode='fake' for plumbing tests")
+                    "environment; inject decoder= or use decode='fake'")
+            else:
+                feats = pdf["payload"].map(_fake_feature)
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
                 "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else None),
-                "feature": pdf["payload"].map(_fake_feature),
+                "feature": feats,
             })
             yield out
 
@@ -102,28 +117,38 @@ def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
             .drop("__i"))
 
 
+def _fake_resize(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Deterministic stand-in for the pixel kernel: the 32-byte
+    ``sha256(payload + b"|WxH")`` digest (stable, oracle-checkable)."""
+    return hashlib.sha256(
+        bytes(payload) + f"|{new_w}x{new_h}".encode()).digest()
+
+
 def resize_images(df: DataFrame, max_side: int = 512,
-                  decode: str = "fake") -> DataFrame:
+                  decode: str = "fake", resizer=None) -> DataFrame:
     """Resize stage over MEDIA_SCHEMA image rows via ``mapInPandas``.
 
     The metadata arithmetic is real: aspect-preserving integer downscale so
     the longer side equals ``max_side`` (``new_w = w*max_side // max(w,h)``);
-    images already within bounds pass through untouched (no upscale). The
-    pixel kernel is stubbed (no PIL in this container): ``decode='fake'``
-    replaces a downscaled payload with the deterministic 32-byte
-    ``sha256(payload + b"|WxH")`` digest, keeping the plumbing —
-    batch shape, struct metadata rewrite, binary output schema — real and
-    oracle-checkable; ``decode='real'`` raises where the codec would run.
+    images already within bounds pass through untouched (no upscale).
+
+    The pixel kernel is a pluggable seam: ``resizer`` is a picklable
+    callable ``(payload: bytes, new_w: int, new_h: int) -> bytes`` applied
+    per downscaled item — where PIL exists, pass the real decode-resize-
+    encode there. Without one, ``decode='fake'`` substitutes the
+    deterministic digest stand-in and ``decode='real'`` raises where the
+    codec would run.
     """
     if decode not in {"fake", "real"}:
         raise ValueError("decode must be 'fake' or 'real'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
+            if resizer is None and decode == "real":
                 raise NotImplementedError(
                     "image codecs (PIL) unavailable in this environment; "
-                    "use decode='fake' for plumbing tests")
+                    "inject resizer= or use decode='fake'")
+            kernel = resizer if resizer is not None else _fake_resize
             rows = []
             for rec in pdf.to_dict("records"):
                 had_meta = rec["meta"] is not None
@@ -135,8 +160,7 @@ def resize_images(df: DataFrame, max_side: int = 512,
                     m = max(w, h)
                     new_w = max(1, (w * max_side) // m)
                     new_h = max(1, (h * max_side) // m)
-                    payload = hashlib.sha256(
-                        bytes(payload) + f"|{new_w}x{new_h}".encode()).digest()
+                    payload = kernel(bytes(payload), new_w, new_h)
                     meta["width"], meta["height"] = new_w, new_h
                 rows.append({**rec, "payload": payload,
                              "meta": meta if had_meta else None})

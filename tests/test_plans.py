@@ -453,3 +453,54 @@ def test_compact_table_reduces_files_keeps_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == total
     assert back.agg(F.sum("event_id")).collect()[0][0] == vsum
+
+
+def test_compact_swap_strategy_is_pluggable(spark, tmp_path):
+    """core.io.compact_table swap seam: the default rename swap refuses
+    object-store URIs (non-atomic there — a table-format metadata commit is
+    the right strategy), and an injected swap callable is honored."""
+    import pytest
+
+    from peskas_malawi_data_pipeline_spark.core import io as io_ops
+
+    with pytest.raises(ValueError, match="not atomic"):
+        io_ops._local_rename_swap("s3://bucket/table", "s3://bucket/tmp")
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+    calls = []
+
+    def metadata_commit_swap(p, tmp):
+        calls.append((p, tmp))
+        io_ops._local_rename_swap(p, tmp)  # stand-in for a catalog commit
+
+    io_ops.compact_table(spark, path, target_files=2, swap=metadata_commit_swap)
+    assert calls == [(path, path + ".__compact_tmp")]
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_storage_adapters_contract(spark, tmp_path):
+    """core.io adapter seam (S4/K1 parity): parquet adapter honors
+    truncate-and-load (second write fully replaces), and the MongoDB
+    adapter builds the connector's option set without needing the jar."""
+    import pytest
+    from pyspark.sql import Row
+
+    from peskas_malawi_data_pipeline_spark.core import io as io_ops
+
+    pq = io_ops.get_adapter("parquet")
+    loc = str(tmp_path / "collection")
+    pq.write(spark.createDataFrame([Row(a=1), Row(a=2)]), loc)
+    pq.write(spark.createDataFrame([Row(a=9)]), loc)  # truncate-and-load
+    assert [r.a for r in pq.read(spark, loc).collect()] == [9]
+    assert pq.read(spark, loc, columns=["a"]).columns == ["a"]
+
+    mongo = io_ops.get_adapter(
+        "mongodb", connection_uri="mongodb://h:27017", database="pipeline")
+    assert mongo.options("raw") == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "pipeline",
+        "collection": "raw",
+    }
+    with pytest.raises(ValueError, match="unknown storage backend"):
+        io_ops.get_adapter("csvkit")
