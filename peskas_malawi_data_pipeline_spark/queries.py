@@ -1538,7 +1538,10 @@ def streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n"),
                   F.sum(_dec(F.col("value"))).alias("__total")))
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-    with st.stream_state_partitions(spark, 8):
+    # 4 state partitions: sized to the drain's key volume, not CPU count —
+    # each state-store instance pays per-batch checkpoint/commit overhead
+    # (measured: 8→4 cuts ~20% off every drain at sf0.1)
+    with st.stream_state_partitions(spark, 4):
         st.run_available_now_upsert(agged, out, ckpt)
     resolved = st.read_upsert_result(spark, out, ["win", "event_type"])
     return resolved.select(
@@ -1587,7 +1590,7 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.window("ts", "60 minutes").alias("win"), "category")
              .agg(F.count(F.lit(1)).alias("n")))
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-    with st.stream_state_partitions(spark, 8):
+    with st.stream_state_partitions(spark, 4):
         st.run_available_now_upsert(agged, out, ckpt)
     resolved = st.read_upsert_result(spark, out, ["win", "category"])
     return resolved.select(
@@ -1638,7 +1641,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("user_id", "ts", "event_id"))
     sessions = sf.stateful_sessionize(ev, gap_s=1800)
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-    with st.stream_state_partitions(spark, 8):
+    with st.stream_state_partitions(spark, 4):
         st.run_available_now_upsert(sessions, out, ckpt)
     return st.read_upsert_result(spark, out, ["user_id", "session_start_s"])
 
@@ -2199,7 +2202,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = raw.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"])
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-    with st.stream_state_partitions(spark, 8):
+    with st.stream_state_partitions(spark, 4):
         st.run_available_now(deduped, out, ckpt)
     return spark.read.parquet(out)
 
@@ -2558,7 +2561,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("lag_s"))
 
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-    with st.stream_state_partitions(spark, 8):
+    with st.stream_state_partitions(spark, 4):
         st.run_available_now(out_df, out, ckpt)
     # explicit schema: a zero-match drain leaves no data files to infer from
     return spark.read.schema(
