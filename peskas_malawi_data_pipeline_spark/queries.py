@@ -2685,6 +2685,134 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("__codes").alias("code_max"))
 
 
+@register("streaming_session_window", """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+tagged AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered)
+SELECT user_id,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM tagged GROUP BY user_id, session_no
+""")
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` streaming sessionization — the
+    Spark-first fast path next to ``streaming_sessionize``'s custom
+    applyInPandasWithState operator: the session merge runs in the JVM
+    state store (whole-stage codegen, no Python workers), which is the
+    right default whenever plain gap-sessionization semantics suffice.
+
+    Semantics parity pin: a session window is half-open
+    ``[first, last+gap)``, so an event exactly ``gap`` after its
+    predecessor starts a NEW session — the oracle uses ``>= gap`` (the
+    custom-state twin's oracle uses ``> gap``; both conventions exist,
+    Spark's built-in is half-open). window.end = last event + gap.
+
+    Session windows merge across batches, so Spark only supports APPEND
+    output (a window is final once the watermark passes it). An
+    availableNow drain in append mode would leave the trailing sessions
+    unemitted, so after the data drain a far-future SENTINEL row is staged
+    and a second drain run on the same checkpoint: the sentinel advances
+    the watermark past every real session, flushing them — the standard
+    watermark-flush pattern for exact batch parity from an append sink.
+    Each closed window is emitted exactly once (no upsert resolution
+    needed)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming import ingest_stream as st
+
+    work = tempfile.mkdtemp(prefix="peskas_stream_swin_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    os.symlink(src, os.path.join(landing, "events.parquet"))
+
+    ev = (st.stream_events_dir(spark, landing)
+          .withWatermark("ts", "30 minutes"))
+    agged = (ev.groupBy("user_id",
+                        F.session_window("ts", "30 minutes").alias("win"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    with st.stream_state_partitions(spark, 4):
+        st.run_available_now(agged, out, ckpt)
+
+        # sentinel one year past the data's edge, matching the file's
+        # physical ts unit so the pinned stream schema still applies
+        # ("zz_" keeps the unit sniff reading the real file first)
+        tsf = pq.read_schema(src).field("ts")
+        unit = getattr(tsf.type, "unit", "us")
+        # the batch read may surface ts as TIMESTAMP_NTZ; the LTZ cast's
+        # session-tz shift is irrelevant under the one-year sentinel margin
+        max_us = _t(spark, sf_dir, "events").agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz")))).first()[0]
+        flush_us = max_us + 365 * 86400 * 1_000_000
+        ts_arr = (pa.array([flush_us * 1000], type=pa.int64()) if unit == "ns"
+                  else pa.array([flush_us], type=pa.timestamp("us")))
+        pq.write_table(pa.table({
+            "event_id": pa.array([-1], type=pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([-1], type=pa.int64()),
+            "event_type": pa.array(["__sentinel__"]),
+            "value": pa.array([0.0], type=pa.float64()),
+            "props": pa.array(["{}"]),
+        }), os.path.join(landing, "zz_sentinel.parquet"))
+        st.run_available_now(agged, out, ckpt)
+
+    return (spark.read.parquet(out)
+            .filter(F.col("user_id") != -1)
+            .select("user_id",
+                    F.unix_micros(F.col("win.start")).alias("session_start_us"),
+                    F.unix_micros(F.col("win.end")).alias("session_end_us"),
+                    "n_events"))
+
+
+@register("decontaminate_ngram_overlap", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
+x AS (SELECT doc_id, u.ng AS ng FROM sh, UNNEST(s) AS u(ng)),
+ev AS (SELECT DISTINCT ng FROM x WHERE doc_id % 19 = 0),
+tr AS (SELECT doc_id, ng FROM x WHERE doc_id % 19 <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM tr JOIN ev USING (ng)
+GROUP BY tr.doc_id
+""")
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-corpus hygiene pass that
+    flags documents sharing word n-grams with an evaluation set (the
+    standard leakage check before pretraining). Here the eval set is the
+    deterministic ``doc_id % 19 == 0`` slice; production passes a real
+    benchmark table.
+
+    Scale shape: distinct 3-gram shingles per side (HOF window, no Python),
+    eval shingles are |benchmark|-sized → broadcast to the inner join, so
+    the 100 TB training side never shuffles; per-doc overlap is a map-side
+    countable aggregation on doc_id. Shingles-distinct-per-doc makes
+    count(*) == count(DISTINCT ng) without a distinct pass."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 19 == 0).alias("__is_eval"),
+        F.explode(T.word_shingles(F.col("text"), 3)).alias("ng"))
+    eval_ng = sh.filter(F.col("__is_eval")).select("ng").distinct()
+    return (sh.filter(~F.col("__is_eval"))
+            .join(F.broadcast(eval_ng), "ng", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap")))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

@@ -140,3 +140,37 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
     want = {(r.Trip, r.time_bucket): (r.n_pings, round(r.lat, 9))
             for r in batch.collect()}
     assert got == want
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session_window + append drain with a watermark-flush sentinel
+    equals the batch session_window aggregation exactly (the sentinel closes
+    the trailing sessions that append mode would otherwise withhold)."""
+    from peskas_malawi_data_pipeline_spark.queries import REGISTRY
+
+    fn, _sql = REGISTRY["streaming_session_window"]
+    streamed = fn(spark, "/root/testdata/sf0.001")
+    got = {(r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+           for r in streamed.collect()}
+
+    from peskas_malawi_data_pipeline_spark.queries import _t
+    ev = _t(spark, "/root/testdata/sf0.001", "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    batch = (ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select("user_id",
+                     F.unix_micros("win.start").alias("s"),
+                     F.unix_micros("win.end").alias("e"), "n_events"))
+    want = {(r.user_id, r.s): (r.e, r.n_events) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    """Decontamination marks exactly the training docs sharing a 3-gram
+    shingle with the eval slice; overlap counts are per-doc distinct."""
+    from peskas_malawi_data_pipeline_spark.queries import REGISTRY
+
+    fn, _sql = REGISTRY["decontaminate_ngram_overlap"]
+    out = fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    assert all(r.n_overlap >= 1 for r in out)
+    assert all(r.doc_id % 19 != 0 for r in out)  # eval slice never flagged
