@@ -1,0 +1,72 @@
+"""Distributed global ranking (W3-adjacent; SURVEY §4.3 scale rewrites).
+
+A totally-ordered window (``Window.orderBy(...)`` with no partitionBy)
+funnels EVERY row through one task — the classic 100 TB cliff behind
+``row_number``/``ntile``/``percent_rank`` over a whole table. The scalable
+form is the two-pass range-partition shape:
+
+1. ``repartitionByRange`` on the order key — Spark's RangePartitioner
+   splits the key space into ``buckets`` contiguous ranges (sampled
+   bounds), so partition ids ascend with the key;
+2. per-partition local ``row_number`` (parallel across buckets);
+3. bucket row-counts (|buckets| rows) prefix-summed into offsets and
+   broadcast back: ``global rank = bucket offset + local rank``.
+
+Only the |buckets|-row offset frame is ever globally ordered; the fact
+table is never funneled. AQE may coalesce adjacent range partitions, which
+preserves range order and therefore correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(df: DataFrame, order_by: list[str | Column],
+                      out_col: str = "rn",
+                      buckets: int | None = None) -> DataFrame:
+    """Global 1-based ``row_number`` by ``order_by`` without a global
+    window. ``order_by`` must be a total order (add a unique tie-break) —
+    with ties the assignment within a tie-group would be partitioner-
+    dependent, same as plain ``row_number``."""
+    buckets = buckets or df.sparkSession.sparkContext.defaultParallelism
+    part = (df.repartitionByRange(buckets, *order_by)
+            .withColumn("__pid", F.spark_partition_id()))
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # |buckets| rows: the only globally-ordered window in the plan
+    w_off = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"))
+    w_loc = Window.partitionBy("__pid").orderBy(*order_by)
+    return (part.withColumn("__lr", F.row_number().over(w_loc))
+            .join(F.broadcast(offsets), "__pid")
+            .withColumn(out_col, F.col("__off") + F.col("__lr"))
+            .drop("__pid", "__c", "__off", "__lr"))
+
+
+def global_ntile(df: DataFrame, order_by: list[str | Column], n_tiles: int,
+                 out_col: str = "tile",
+                 buckets: int | None = None) -> DataFrame:
+    """Global ``ntile(n_tiles)`` by ``order_by`` without a global window.
+
+    Reproduces ANSI ntile exactly: with ``n`` rows, the first ``n %
+    n_tiles`` tiles hold ``n div n_tiles + 1`` rows, the rest ``n div
+    n_tiles`` — computed arithmetically from the two-pass global rank, so
+    the result is bit-identical to ``F.ntile`` over a total order."""
+    ranked = global_row_number(df, order_by, out_col="__grank",
+                               buckets=buckets)
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    # all-integer arithmetic (`div`/`%`); when n < n_tiles every rank lands
+    # in the first branch (rem = n, size 1), so the ELSE's div-by-q is
+    # unreachable there
+    tile = F.expr(
+        f"CASE WHEN __grank <= (__n % {n_tiles}) * ((__n div {n_tiles}) + 1) "
+        f"THEN ((__grank - 1) div ((__n div {n_tiles}) + 1)) + 1 "
+        f"ELSE (__n % {n_tiles}) + ((__grank - 1 - (__n % {n_tiles}) * "
+        f"((__n div {n_tiles}) + 1)) div (__n div {n_tiles})) + 1 END")
+    return (ranked.crossJoin(F.broadcast(total))
+            .withColumn(out_col, tile.cast("long"))
+            .drop("__grank", "__n"))

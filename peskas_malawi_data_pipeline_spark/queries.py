@@ -2136,17 +2136,18 @@ SELECT CAST(decile AS BIGINT) AS decile,
 FROM d GROUP BY decile
 """)
 def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile bands of customer balance via ntile over a totally-ordered
-    window (custkey tie-break makes the assignment deterministic).
+    """Decile bands of customer balance (custkey tie-break makes the
+    assignment deterministic) via ``ranking.global_ntile`` — the two-pass
+    range-partition form, NOT ``ntile`` over an unpartitioned window: a
+    global window funnels the whole table through one task, while the
+    two-pass shape keeps the fact side parallel and only globally orders
+    the |buckets|-row offset frame. Output is bit-identical to ANSI ntile
+    (the oracle's window form)."""
+    from .operators import ranking
 
-    The empty-partition global sort is the known scale caveat: at 100 TB
-    ntile is computed as range-partitioned sort + per-partition offsets
-    from the partition-size prefix sum (same two-pass shape as
-    sampling.weighted_systematic_sample); the single-window form here is
-    correct and simplest at survey scale."""
-    c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    d = c.select(F.ntile(10).over(w).cast("long").alias("decile"), "c_acctbal")
+    c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    d = ranking.global_ntile(c, ["c_acctbal", "c_custkey"], 10,
+                             out_col="decile")
     return (d.groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("c_acctbal"), 2).alias("lo"),

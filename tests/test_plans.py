@@ -504,3 +504,38 @@ def test_storage_adapters_contract(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="unknown storage backend"):
         io_ops.get_adapter("csvkit")
+
+
+def test_global_ranking_matches_window_forms(spark):
+    """operators.ranking: the two-pass range-partition rank/ntile equals
+    the single-window forms exactly, and the plan range-partitions the fact
+    side instead of funneling it through one task."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import ranking
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    ev = _t(spark, SF_DIR, "events").select("event_id", "value")
+
+    got_rn = ranking.global_row_number(ev, ["value", "event_id"], "rn")
+    w = Window.orderBy("value", "event_id")
+    want_rn = ev.withColumn("rn", F.row_number().over(w))
+    assert got_rn.exceptAll(want_rn).count() == 0
+    assert want_rn.exceptAll(got_rn).count() == 0
+
+    got_t = ranking.global_ntile(ev, ["value", "event_id"], 7, "tile")
+    want_t = ev.withColumn("tile", F.ntile(7).over(w).cast("long"))
+    assert got_t.exceptAll(want_t).count() == 0
+    assert want_t.exceptAll(got_t).count() == 0
+
+    utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+    p = utils.explainString(got_rn._jdf.queryExecution(), "extended")
+    assert "rangepartitioning" in p.lower()
+
+    # n < n_tiles edge: every row its own tile, trailing tiles empty
+    tiny = ev.limit(3)
+    tiles = sorted(r.tile for r in
+                   ranking.global_ntile(tiny, ["value", "event_id"], 10,
+                                        "tile").collect())
+    assert tiles == [1, 2, 3]
