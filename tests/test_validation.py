@@ -93,3 +93,27 @@ def test_approx_variant_close_to_exact(spark):
     approx = V.loc_scale_bounds(df, "x", keys=["g"], k=3.0,
                                 back_transform="exp", approx=True).collect()[0]
     assert approx.upper_bound == pytest.approx(exact.upper_bound, rel=0.02)
+
+
+def test_global_ntile_property_random_frames(spark):
+    """Property: for random sizes/weights/tile counts, the two-pass
+    ranking.global_ntile equals ANSI ntile over a total order. Catches the
+    boundary arithmetic (rem tiles of size q+1) that example tests miss."""
+    import random
+
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import ranking
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.choice([1, 2, 9, 100, 257])
+        k = rng.choice([1, 3, 7, 10, 64])
+        rows = [Row(id=i, v=rng.randint(-50, 50)) for i in range(n)]
+        df = spark.createDataFrame(rows)
+        got = ranking.global_ntile(df, ["v", "id"], k, "tile", buckets=5)
+        want = df.withColumn(
+            "tile", F.ntile(k).over(Window.orderBy("v", "id")).cast("long"))
+        assert got.exceptAll(want).count() == 0, (n, k)
+        assert want.exceptAll(got).count() == 0, (n, k)
