@@ -1208,6 +1208,41 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.connected_components(pairs)
 
 
+@register("near_dedup_survivors", f"""
+WITH RECURSIVE {_DUCK_MINHASH_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+          UNION SELECT id_b, id_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+drops AS (SELECT id FROM comp WHERE id <> component)
+SELECT d.doc_id, d.source
+FROM documents d LEFT JOIN drops ON d.doc_id = drops.id
+WHERE drops.id IS NULL
+""")
+def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup pipeline end-to-end — what a user actually runs
+    before training: MinHash/LSH candidate pairs → connected components
+    (large/small-star, the diameter-free variant) → per-component minimum
+    doc survives → anti-join the drop list back against the corpus.
+
+    Scale shape: the drop list is |duplicate members| rows (tiny vs the
+    corpus) so the anti-join broadcasts; the corpus side never shuffles in
+    the final pass. Composes dedup.minhash_lsh_pairs +
+    connected_components_star + one broadcast LeftAnti."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, shingle_n=3)
+    comp = dedup_ops.connected_components_star(pairs)
+    drops = (comp.filter(F.col("id") != F.col("component"))
+             .select(F.col("id").alias("doc_id")))
+    return (docs.join(F.broadcast(drops), "doc_id", "left_anti")
+            .select("doc_id", "source"))
+
+
 @register("dedup_components_star", _DUCK_COMPONENTS_SQL)
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate groups via alternating large-star/small-star rewrites
@@ -2684,6 +2719,51 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, v: acc + v).alias("code_sum"),
         F.array_min("__codes").alias("code_min"),
         F.array_max("__codes").alias("code_max"))
+
+
+@register("source_mixture_resample", """
+WITH counts AS (SELECT source, count(*) AS n_before FROM documents GROUP BY source),
+tot AS (SELECT sum(n_before) AS t, count(*) AS k FROM counts),
+rates AS (SELECT source, n_before,
+                 least(1000000, ((t // k) * 1000000) // n_before) AS rate_ppm
+          FROM counts, tot),
+kept AS (
+  SELECT d.source
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % 1000000 < r.rate_ppm)
+SELECT r.source, CAST(r.n_before AS BIGINT) AS n_before,
+       CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+       CAST(count(k.source) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+GROUP BY r.source, r.n_before, r.rate_ppm
+""")
+def source_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source rebalancing — downsample over-represented sources
+    toward a uniform target mixture, the standard pretraining data-mixing
+    pass. Per-source keep-rate (integer ppm: order-independent and
+    engine-exact) times a deterministic md5 keep-hash per doc makes the
+    resample reproducible at any scale and any partitioning.
+
+    Scale shape: the rate table is |sources| rows → broadcast; the corpus
+    pass is scan + broadcast-join + hash filter (no shuffle); the report
+    aggregation shuffles |sources| partial counts."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = counts.agg(F.sum("n_before").alias("__t"),
+                     F.count(F.lit(1)).alias("__k"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .withColumn("rate_ppm", F.least(
+                 F.lit(1000000).cast("long"),
+                 F.expr("((__t div __k) * 1000000) div n_before")))
+             .select("source", "n_before", "rate_ppm"))
+    keep_hash = T.hash32_md5(F.col("doc_id").cast("string"), seed="mix:")
+    kept = (docs.join(F.broadcast(rates), "source")
+            .filter(keep_hash % 1000000 < F.col("rate_ppm")))
+    n_kept = (kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")))
+    return (rates.join(n_kept, "source", "left")
+            .select("source", "n_before", "rate_ppm",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
 
 
 @register("streaming_session_window", """
