@@ -539,3 +539,39 @@ def test_global_ranking_matches_window_forms(spark):
                    ranking.global_ntile(tiny, ["value", "event_id"], 10,
                                         "tile").collect())
     assert tiles == [1, 2, 3]
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every batch registry query planable at sf0.001 must be free of the
+    three 100 TB red flags: CartesianProduct joins, row-at-a-time Python
+    evaluation (BatchEvalPython — Arrow paths show as ArrowEvalPython /
+    MapInPandas), and unpartitioned windows over unbounded inputs. New
+    queries inherit this gate automatically.
+
+    Known-bounded global windows are exempted by name: their window input
+    is n_shards/n_centroids/|buckets| rows by construction."""
+    import re
+
+    BOUNDED_GLOBAL_WINDOW_OK = {
+        "weighted_sample",   # 8-row shard-total prefix sum
+        "ann_ivf_topk",      # 16-row centroid seed numbering
+        "ntile_deciles",     # |buckets|-row offset frame (ranking.global_ntile)
+    }
+    utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+    offenders = {}
+    for name, (fn, _sql) in REGISTRY.items():
+        if name.startswith("streaming_"):
+            continue  # drains execute eagerly; covered by their own tests
+        df = fn(spark, "/root/testdata/sf0.001")
+        p = utils.explainString(df._jdf.queryExecution(), "extended")
+        flags = []
+        if "CartesianProduct" in p:
+            flags.append("cartesian")
+        if "BatchEvalPython" in p:
+            flags.append("row-python-udf")
+        if (name not in BOUNDED_GLOBAL_WINDOW_OK
+                and re.search(r"windowspecdefinition\([a-z_#0-9L]+ (ASC|DESC)", p)):
+            flags.append("global-window")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
