@@ -52,11 +52,18 @@ def run_stage(spark: SparkSession, stage: str, root: str,
     if stage == "ingest":
         if not forms:
             raise ValueError("ingest needs at least one --form name=dialect")
-        loaded = {
-            name: (kobo.read_landed_json(spark, f"{root}/landing/{name}.jsonl"),
-                   dialect)
-            for name, dialect in forms.items()
-        }
+        from .sources import form_schemas as FS
+
+        loaded = {}
+        for name, dialect in forms.items():
+            path = f"{root}/landing/{name}.jsonl"
+            if dialect in ("pinned", "auto") and name in FS.FORM_SCHEMAS:
+                # production path: the form's pinned StructType + its
+                # structural dialect resolve from the registry (no inference)
+                loaded[name] = (kobo.read_form_json(spark, path, name),
+                                FS.FORM_LAYOUT_KEYS[name])
+            else:
+                loaded[name] = (kobo.read_landed_json(spark, path), dialect)
         out = ingest.ingest_landings(loaded)
         write_table(out, f"{root}/raw")
     elif stage == "preprocess":

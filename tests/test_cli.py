@@ -54,6 +54,27 @@ def _land(tmp_path):
             for i in range(30)))
 
 
+def test_cli_ingest_pinned_schema_path(spark, tmp_path):
+    """`--form NAME=pinned` resolves the form's pinned StructType and
+    structural dialect from the registry instead of inferring — the
+    production ingest path, runnable per stage from the CLI."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_sources import _submission
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "FieldDataApp-2024.jsonl").write_text(
+        json.dumps(_submission("FieldDataApp-2024", 1)) + "\n")
+    (landing / "Malawi SSF.jsonl").write_text(
+        json.dumps(_submission("Malawi SSF", 2)) + "\n")
+
+    n = run_stage(spark, "ingest", str(tmp_path),
+                  forms={"FieldDataApp-2024": "pinned", "Malawi SSF": "pinned"})
+    assert n == 2
+    assert run_stage(spark, "preprocess", str(tmp_path)) == 2
+
+
 def test_cli_six_stage_dag(spark, tmp_path):
     _land(tmp_path)
     root = str(tmp_path)
