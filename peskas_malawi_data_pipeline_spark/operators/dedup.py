@@ -284,9 +284,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     2-3); lineage is truncated per iteration with localCheckpoint so plans
     don't grow. Returns (id, component) for every node in ``pairs``.
     """
+    # edges joins into EVERY iteration — without the checkpoint each round
+    # would re-run the whole upstream candidate pipeline (minhash/bands/
+    # verify), turning k iterations into k full corpus passes
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-             .distinct())
+             .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
     for _ in range(max_iter):
@@ -332,8 +335,10 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
                                      F.col("src").alias("dst")))
                 .filter(F.col("src") != F.col("dst")).distinct())
 
+    # checkpoint before the loop: round 1 and the node frame otherwise each
+    # re-evaluate the upstream candidate pipeline
     edges = canon(pairs.select(F.col(id_a).alias("src"),
-                               F.col(id_b).alias("dst")))
+                               F.col(id_b).alias("dst"))).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct() \
         .localCheckpoint(eager=True)
 
@@ -350,7 +355,10 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
                  .filter(F.col("dst") > F.col("src"))
                  .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
         # small-star: smaller neighbors L = {v < u} and u itself re-point at
-        # min(L); emitted per edge (v, m) plus one (u, m) per node.
+        # min(L); emitted per edge (v, m) plus one (u, m) per node. canon's
+        # distinct here bounds edge growth round-over-round (measured: the
+        # extra shuffle costs nothing against the window pass, and without
+        # it duplicate edges inflate the next round's window input).
         lo = canon(large).filter(F.col("dst") < F.col("src"))
         mn = F.min("dst").over(Window.partitionBy("src"))
         lo = lo.withColumn("m", mn)
