@@ -1890,6 +1890,39 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k >= 50, "high").otherwise("low").alias("k_band"))
 
 
+@register("variant_props_stats", """
+WITH x AS (
+  SELECT event_type,
+         CAST(props->>'k' AS BIGINT) AS k
+  FROM events WHERE json_valid(props))
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM x GROUP BY event_type
+""")
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4): parse the
+    JSON string ONCE into a Variant value (`try_parse_json` — malformed
+    rows become NULL, not errors), extract typed fields with
+    `variant_get`, aggregate. At scale this is the right shape for ragged
+    event payloads: the binary Variant encoding is ~an order of magnitude
+    faster to re-extract from than re-parsing JSON text per field, and
+    shredded Variant columns admit pushdown where JSON strings never do.
+    Oracle: DuckDB's native JSON extraction over the same strings."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.try_parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "long")
+    return (v.filter(F.col("v").isNotNull())
+            .select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("k").alias("n_with_k"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max")))
+
+
 @register("alert_fusion", """
 SELECT event_id,
        concat_ws('-',

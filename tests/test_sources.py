@@ -209,3 +209,40 @@ def test_config_profiles_and_env_interpolation(tmp_path, monkeypatch):
     assert prod["storage"]["path"] == "s3://bucket/landing"  # interpolated
     assert prod["storage"]["collection"] == "raw"            # deep-merged
     assert prod["k_nfishers"] == 3
+
+
+def test_custom_datasource_matches_pinned_reader(spark, tmp_path):
+    """The Spark-4 Python DataSource (`format("kobo_jsonl")`) yields the
+    same rows as the pinned-schema JSON reader, with one input partition
+    per landing file and corrupt-line absorption."""
+    from peskas_malawi_data_pipeline_spark.sources.jsonl_source import (
+        register_kobo_source)
+
+    register_kobo_source(spark)
+    land = tmp_path / "zone"
+    land.mkdir()
+    subs = [_submission("FieldDataApp-2024", i) for i in (1, 2, 3)]
+    (land / "a.jsonl").write_text(json.dumps(subs[0]) + "\n{corrupt\n")
+    (land / "b.jsonl").write_text("\n".join(json.dumps(s) for s in subs[1:]) + "\n")
+
+    ds = (spark.read.format("kobo_jsonl")
+          .option("path", str(land))
+          .option("form", "FieldDataApp-2024").load())
+    assert ds.rdd.getNumPartitions() == 2          # one per landing file
+    assert {r["_id"] for r in ds.collect()} == {1, 2, 3}
+
+    ref = kobo.read_form_json(
+        spark, str(land / "*.jsonl"), "FieldDataApp-2024")
+    # same names and types; the PERMISSIVE JSON reader force-nullables
+    # every field, so nullability flags are not compared
+    assert ds.schema.simpleString() == ref.schema.simpleString()
+    a = {tuple(str(v) for v in r) for r in ds.collect()}
+    b = {tuple(str(v) for v in r) for r in ref.collect()}
+    assert a == b
+
+    empty = tmp_path / "empty_zone"
+    empty.mkdir()
+    ds0 = (spark.read.format("kobo_jsonl")
+           .option("path", str(empty))
+           .option("form", "FieldDataApp-2024").load())
+    assert ds0.count() == 0 and ds0.schema == ds.schema
