@@ -1633,7 +1633,7 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hour_bucket"), "category", "n")
 
 
-@register("streaming_sessionize", """
+_SESSIONIZE_ORACLE = """
 WITH ordered AS (
   SELECT user_id, ts, event_id,
          CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
@@ -1649,7 +1649,10 @@ SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS session_start_s,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
 FROM tagged GROUP BY user_id, session_no
-""")
+"""
+
+
+@register("streaming_sessionize", _SESSIONIZE_ORACLE)
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-stateful streaming (applyInPandasWithState): gap-based
     sessionization — the aggregation no built-in streaming window expresses.
@@ -1675,6 +1678,37 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withWatermark("ts", "30 minutes")
           .select("user_id", "ts", "event_id"))
     sessions = sf.stateful_sessionize(ev, gap_s=1800)
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    with st.stream_state_partitions(spark, 4):
+        st.run_available_now_upsert(sessions, out, ckpt)
+    return st.read_upsert_result(spark, out, ["user_id", "session_start_s"])
+
+
+def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same gap sessionization on ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful successor API (typed named state
+    variables, explicit event-time timers via the processor handle).
+    Identical output contract to ``streaming_sessionize``
+    (_SESSIONIZE_ORACLE); NOT registered in the driver contract because
+    the API's state server requires ``google.protobuf``, absent from this
+    runtime — tests skip when the dependency is missing
+    (test_streaming.test_tws_sessionize_matches_batch)."""
+    import os
+    import tempfile
+
+    from .streaming import ingest_stream as st
+    from .streaming import stateful as sf
+
+    work = tempfile.mkdtemp(prefix="peskas_stream_tws_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(landing, "events.parquet"))
+
+    ev = (st.stream_events_dir(spark, landing)
+          .withWatermark("ts", "30 minutes")
+          .select("user_id", "ts", "event_id"))
+    sessions = sf.stateful_sessionize_tws(ev, gap_s=1800)
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
     with st.stream_state_partitions(spark, 4):
         st.run_available_now_upsert(sessions, out, ckpt)

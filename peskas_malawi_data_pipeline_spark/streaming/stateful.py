@@ -99,3 +99,72 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800,
         fn, outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA, outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def stateful_sessionize_tws(events: DataFrame, gap_s: int = 1800,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts") -> DataFrame:
+    """The same sessionization on ``transformWithStateInPandas`` — Spark 4's
+    successor to applyInPandasWithState: typed named state variables on a
+    processor handle, explicit event-time timers, and composable
+    value/list/map state instead of one state tuple. Output and state
+    semantics are identical to :func:`stateful_sessionize` (same sink
+    contract, same eviction proof), so both implementations are checked
+    against the same oracle.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState("open_session", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            user_id = key[0]
+            if self._open.exists():
+                start_s, last_s, n = self._open.get()
+            else:
+                start_s, last_s, n = None, None, 0
+
+            chunks = [c for c in rows if len(c)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values([ts_col, "event_id"], kind="mergesort")
+            secs = _epoch_s(pdf[ts_col])
+
+            prev = np.empty_like(secs)
+            prev[0] = last_s if last_s is not None else np.iinfo("int64").min // 2
+            prev[1:] = secs[:-1]
+            seg = np.cumsum((secs - prev) > gap_s)
+
+            agg = (pd.DataFrame({"seg": seg, "s": secs})
+                   .groupby("seg")["s"].agg(["size", "min", "max"]))
+            out = []
+            for seg_id, row in agg.iterrows():
+                if seg_id == 0:
+                    n += int(row["size"])
+                    last_s = int(row["max"])
+                else:
+                    start_s, last_s = int(row["min"]), int(row["max"])
+                    n = int(row["size"])
+                out.append((user_id, start_s, n, last_s - start_s))
+
+            self._open.update((int(start_s), int(last_s), int(n)))
+            # evict when the watermark proves the session closed
+            timeout_ms = (last_s + gap_s + 1) * 1000
+            self._handle.registerTimer(
+                max(timeout_ms, timer_values.getCurrentWatermarkInMs() + 1))
+            yield pd.DataFrame(out, columns=["user_id", "session_start_s",
+                                             "n_events", "duration_s"])
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            self._open.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy(user_col).transformWithStateInPandas(
+        _SessionProcessor(), outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="update", timeMode="eventTime"))

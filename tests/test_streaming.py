@@ -174,3 +174,26 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert len(out) > 0
     assert all(r.n_overlap >= 1 for r in out)
     assert all(r.doc_id % 19 != 0 for r in out)  # eval slice never flagged
+
+
+def test_tws_sessionize_matches_batch(spark):
+    """transformWithStateInPandas twin of the sessionizer equals the
+    applyInPandasWithState output. Skips where the API's state-server
+    dependency (google.protobuf) is absent."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs google.protobuf")
+
+    from peskas_malawi_data_pipeline_spark.queries import (
+        REGISTRY, streaming_sessionize_tws)
+
+    tws = {(r.user_id, r.session_start_s): (r.n_events, r.duration_s)
+           for r in streaming_sessionize_tws(
+               spark, "/root/testdata/sf0.001").collect()}
+    fn, _ = REGISTRY["streaming_sessionize"]
+    ref = {(r.user_id, r.session_start_s): (r.n_events, r.duration_s)
+           for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    assert tws == ref
