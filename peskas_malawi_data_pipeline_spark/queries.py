@@ -2833,6 +2833,46 @@ def source_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
 
 
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled integer-PageRank oracle: one CTE per iteration, mirroring
+    operators.graph.pagerank_integer's bigint arithmetic exactly."""
+    ctes = [
+        ("edges AS (SELECT DISTINCT l_orderkey*2 AS src, l_partkey*2+1 AS dst"
+         " FROM lineitem UNION"
+         " SELECT DISTINCT l_partkey*2+1, l_orderkey*2 FROM lineitem)"),
+        ("nodes AS (SELECT DISTINCT src AS id FROM edges"
+         " UNION SELECT DISTINCT dst FROM edges)"),
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS sc FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"s{i} AS (SELECT n.id, CAST(150000 + (85 * coalesce(g.s, 0)) // 100"
+            f" AS BIGINT) AS sc FROM nodes n LEFT JOIN"
+            f" (SELECT e.dst AS id, sum(s.sc // d.d) AS s"
+            f" FROM edges e JOIN s{i-1} s ON e.src = s.id"
+            f" JOIN deg d ON e.src = d.src GROUP BY e.dst) g ON n.id = g.id)")
+    return (f"WITH {', '.join(ctes)}"
+            f" SELECT id, sc AS score_micro FROM s{iters}")
+
+
+@register("pagerank_bipartite", _pagerank_oracle_sql())
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the order↔part bipartite graph — the
+    bounded-iteration algorithm shape (k joins + k aggregations over a
+    checkpointed static edge set; see operators.graph). Micro-unit bigint
+    scores make every engine and partitioning produce identical values,
+    so the unrolled-CTE oracle hash-matches exactly."""
+    from .operators import graph as graph_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select((F.col("l_orderkey") * 2).alias("src"),
+                    (F.col("l_partkey") * 2 + 1).alias("dst")).distinct()
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    return graph_ops.pagerank_integer(edges, iterations=5)
+
+
 @register("streaming_session_window", """
 WITH ordered AS (
   SELECT user_id, ts,
