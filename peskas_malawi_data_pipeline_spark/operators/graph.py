@@ -27,12 +27,21 @@ UNIT = 1_000_000  # one PageRank point, in micro-units
 
 def pagerank_integer(edges: DataFrame, iterations: int = 5,
                      damping_pct: int = 85,
-                     src: str = "src", dst: str = "dst") -> DataFrame:
+                     src: str = "src", dst: str = "dst",
+                     broadcast_scores: bool = True) -> DataFrame:
     """Bounded-iteration integer PageRank over a directed edge list.
 
     Every node present as a source or destination participates; dangling
     nodes (no out-edges) contribute nothing (their mass leaks, the common
-    simplification). Returns (id, score_micro)."""
+    simplification). Returns (id, score_micro).
+
+    ``broadcast_scores=True`` ships the (id, score) frame to the edge
+    partitions each round — the edge set, the big side, is never
+    re-shuffled; the only exchange per round is the |nodes|-sized
+    contribution aggregation. Right whenever nodes ≪ edges and the score
+    frame fits executor memory (≤ low hundreds of millions of nodes).
+    Beyond that, set False for the shuffled join and pre-partition both
+    sides on the node id (the GraphX/Pregel regime)."""
     nodes = (edges.select(F.col(src).alias("id"))
              .union(edges.select(F.col(dst).alias("id")))
              .distinct().localCheckpoint(eager=True))
@@ -44,7 +53,8 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
     base = F.lit((100 - damping_pct) * UNIT // 100).cast("long")
     scores = nodes.withColumn("score_micro", F.lit(UNIT).cast("long"))
     for _ in range(iterations):
-        contrib = (e.join(scores, e[src] == scores.id)
+        s = F.broadcast(scores) if broadcast_scores else scores
+        contrib = (e.join(s, e[src] == s.id)
                    .select(F.col(dst).alias("id"),
                            F.expr("score_micro div __deg").alias("__c")))
         gathered = contrib.groupBy("id").agg(F.sum("__c").alias("__sum"))
