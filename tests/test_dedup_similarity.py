@@ -276,3 +276,22 @@ def test_multimodal_resize_downscale_and_passthrough(spark):
     assert bytes(out[2].payload) == b"small"
     # NULL payload/meta row passes through
     assert out[3].payload is None and out[3].meta is None
+
+
+def test_pagerank_integer_hand_computed(spark):
+    """One damping round on a 3-node graph, hand-computed: A<-B, A<-C and
+    B<-A with unit out-degrees. Dangling receivers keep the base mass."""
+    from pyspark.sql import Row
+
+    from peskas_malawi_data_pipeline_spark.operators import graph as G
+
+    edges = spark.createDataFrame([
+        Row(src="A", dst="B"), Row(src="B", dst="A"), Row(src="C", dst="A")])
+    got = {r.id: r.score_micro
+           for r in G.pagerank_integer(edges, iterations=1).collect()}
+    assert got == {"A": 1_850_000, "B": 1_000_000, "C": 150_000}
+    # both join regimes agree
+    got2 = {r.id: r.score_micro
+            for r in G.pagerank_integer(edges, iterations=1,
+                                        broadcast_scores=False).collect()}
+    assert got2 == got
