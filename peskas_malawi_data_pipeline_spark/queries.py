@@ -2833,6 +2833,39 @@ def source_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
 
 
+@register("cohort_retention", """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+firsts AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(a.week) - epoch(f.cohort_week)) // 604800 AS BIGINT)
+         AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — users grouped by first-active ISO week,
+    counted per week offset. The standard product-analytics triangle.
+
+    Scale shape: one distinct on (user, week), one per-user min (both
+    hash-partitioned on user_id — the join that follows reuses the same
+    key, so AQE/exchange-reuse keeps it co-partitioned), one final
+    |cohorts|×|offsets| aggregation. Week arithmetic is integer epoch
+    division on week-truncated timestamps — exact across engines."""
+    ev = _t(spark, sf_dir, "events")
+    act = (ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+           .distinct())
+    firsts = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (act.join(firsts, "user_id")
+            .groupBy(
+                F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+                F.expr("(unix_timestamp(week) - unix_timestamp(cohort_week)) "
+                       "div 604800").alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
 def _pagerank_oracle_sql(iters: int = 5) -> str:
     """Unrolled integer-PageRank oracle: one CTE per iteration, mirroring
     operators.graph.pagerank_integer's bigint arithmetic exactly."""
