@@ -57,6 +57,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer `div` — a double intermediate would lose precision at
         # 1.7e18 ns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # event-time oracles (date_format/unix_micros vs DuckDB's naive
+        # strftime/epoch_us) are exact only under a UTC session zone; pin it
+        # so a driver JVM in another zone cannot skew the comparison
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -2831,6 +2835,42 @@ def source_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rates.join(n_kept, "source", "left")
             .select("source", "n_before", "rate_ppm",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
+@register("scd2_intervals", """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS BIGINT)
+         AS valid_to_us
+FROM changes
+""")
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals from a change log:
+    consecutive equal attribute values collapse (lag change detection),
+    each surviving change opens a validity interval closed by the next
+    change's timestamp (lead; NULL = current). Two windows, both
+    partitioned on the dimension key — one hash shuffle, no global order.
+    Microsecond-epoch bounds keep the oracle comparison exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"),
+        "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (ev.withColumn("prev", F.lag("event_type").over(w))
+               .filter(F.col("prev").isNull()
+                       | (F.col("prev") != F.col("event_type"))))
+    return changes.select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"))
 
 
 @register("cohort_retention", """

@@ -77,6 +77,9 @@ def stream_events_dir(spark: SparkSession, path: str) -> DataFrame:
     if files:
         t = pq.read_schema(files[0]).field("ts").type
         unit = getattr(t, "unit", "us")
+    # event-time window/oracle parity assumes a UTC session zone (see
+    # queries._t); pin it for streams too
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.readStream.schema(_EVENTS_SCHEMA.format("long")).parquet(path)
