@@ -157,7 +157,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
         .withColumnRenamed("__v", "__cv2").withColumnRenamed("__n", "__cn2")
     query_lists = assign(queries.select(query_id, vec_col), query_id, nprobe)
 
-    cand = query_lists.join(corpus_lists, "centroid_id") \
+    # broadcast the query side: the list id has only n_centroids distinct
+    # values, so a shuffled join on it would funnel the corpus into
+    # n_centroids partitions (worst-case skew); broadcasting the (small by
+    # construction) probe set keeps the corpus partitioning untouched
+    cand = F.broadcast(query_lists).join(corpus_lists, "centroid_id") \
         .filter(F.col(query_id) != F.col(corpus_id))
     denom = F.col("__n") * F.col("__cn2")
     sim = F.round(F.when(denom > 0, dot(F.col("__v"), F.col("__cv2")) / denom), 6)
