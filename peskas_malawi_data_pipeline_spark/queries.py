@@ -2837,6 +2837,81 @@ def source_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
 
 
+@register("interpolate_linear", """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         (sum(CAST(floor(value * 100) AS BIGINT)) // count(*)) AS v_centi
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+grid AS (
+  SELECT s.user_id, g.day::DATE AS day
+  FROM spans s, UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g(day)),
+joined AS (
+  SELECT g.user_id, g.day, d.v_centi FROM grid g
+  LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day),
+ctx AS (
+  SELECT user_id, day, v_centi,
+         last_value(v_centi IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v_centi IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wp AS pd,
+         first_value(v_centi IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v_centi IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wf AS nd
+  FROM joined
+  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN v_centi IS NOT NULL THEN v_centi
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + ((nv - pv) * (day - pd)) // (nd - pd)
+            END AS BIGINT) AS v_centi
+FROM ctx
+""")
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap interpolation per user: densify each user's day span
+    (sequence+explode), then linearly interpolate missing days between the
+    nearest known neighbors using IGNORE NULLS window frames (last_value
+    backward, first_value forward) — the standard time-series densify+fill
+    shape. All arithmetic is integer centi-units with floor division, so
+    the result is bit-identical across engines and partitionings.
+
+    Scale shape: one aggregation to daily grain, one per-user span agg,
+    the grid explode is narrow, and both context windows share the single
+    (user_id) hash partitioning — no global order anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .agg(F.expr("sum(CAST(floor(value * 100) AS BIGINT)) div count(*)")
+                  .alias("v_centi")))
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"),
+                                         F.max("day").alias("d1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1",
+                             F.expr("interval 1 day"))).alias("day"))
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    wp = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, Window.unboundedFollowing))
+    known_day = F.when(F.col("v_centi").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "user_id", "day", "v_centi",
+        F.last("v_centi", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v_centi", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wf).alias("nd"))
+    interp = F.col("pv") + F.expr(
+        "((nv - pv) * datediff(day, pd)) div datediff(nd, pd)")
+    return ctx.select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v_centi").isNotNull(), F.col("v_centi"))
+         .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+         .cast("long").alias("v_centi"))
+
+
 @register("scd2_intervals", """
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
