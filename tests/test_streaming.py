@@ -197,3 +197,42 @@ def test_tws_sessionize_matches_batch(spark):
     ref = {(r.user_id, r.session_start_s): (r.n_events, r.duration_s)
            for r in fn(spark, "/root/testdata/sf0.001").collect()}
     assert tws == ref
+
+
+def test_watermark_drops_late_rows_across_drains(spark, tmp_path):
+    """Watermark semantics proof: after drain 1 establishes watermark
+    W = max_ts - 10min, a row older than W arriving in drain 2 is DROPPED
+    (its window never appears), while windows W passes are finalized and
+    appended exactly once."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+    t = lambda h, m: dt.datetime(2024, 5, 1, h, m)  # noqa: E731
+
+    spark.createDataFrame(
+        [Row(user_id=1, ts=t(10, 0)), Row(user_id=1, ts=t(10, 5))],
+        schema).coalesce(1).write.mode("append").parquet(landing)
+
+    def drain():
+        stream = ingest_stream.stream_from_parquet_dir(spark, landing, schema)
+        agged = (stream.withWatermark("ts", "10 minutes")
+                 .groupBy(F.window("ts", "10 minutes").alias("win"))
+                 .agg(F.count(F.lit(1)).alias("n")))
+        with ingest_stream.stream_state_partitions(spark, 2):
+            ingest_stream.run_available_now(agged, out, ckpt)
+
+    drain()   # watermark after this drain: 10:05 - 10min = 09:55
+
+    # drain 2: one on-time row advancing the watermark past 10:10, plus one
+    # row at 09:00 — older than the established 09:55 watermark
+    spark.createDataFrame(
+        [Row(user_id=1, ts=t(11, 0)), Row(user_id=1, ts=t(9, 0))],
+        schema).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+
+    got = {r.win.start: r.n for r in spark.read.parquet(out).collect()}
+    assert got == {t(10, 0): 2}   # finalized once, late 09:00 row absent
