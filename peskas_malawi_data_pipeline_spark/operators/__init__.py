@@ -1,6 +1,8 @@
-from . import relational, joins, aggregates, structural, validation, dedup, similarity, multimodal
+from . import (aggregates, dedup, graph, joins, multimodal, packing, ranking,
+               relational, sampling, similarity, structural, validation)
 
 __all__ = [
-    "relational", "joins", "aggregates", "structural", "validation",
-    "dedup", "similarity", "multimodal",
+    "aggregates", "dedup", "graph", "joins", "multimodal", "packing",
+    "ranking", "relational", "sampling", "similarity", "structural",
+    "validation",
 ]

@@ -2832,7 +2832,7 @@ def source_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (docs.join(F.broadcast(rates), "source")
             .filter(keep_hash % 1000000 < F.col("rate_ppm")))
     n_kept = (kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")))
-    return (rates.join(n_kept, "source", "left")
+    return (rates.join(F.broadcast(n_kept), "source", "left")
             .select("source", "n_before", "rate_ppm",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
 

@@ -1,3 +1,3 @@
-from . import kobo, pds, sheets
+from . import form_schemas, jsonl_source, kobo, pds, sheets
 
-__all__ = ["kobo", "pds", "sheets"]
+__all__ = ["form_schemas", "jsonl_source", "kobo", "pds", "sheets"]
