@@ -1,3 +1,3 @@
-from . import ingest_stream
+from . import ingest_stream, stateful
 
-__all__ = ["ingest_stream"]
+__all__ = ["ingest_stream", "stateful"]
