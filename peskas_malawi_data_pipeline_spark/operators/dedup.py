@@ -97,6 +97,57 @@ def _index_barrier(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def minhash_bands(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", num_hashes: int = 8,
+                  band_size: int = 2, shingle_n: int = 3) -> DataFrame:
+    """The banded MinHash signature index: (id, band_id, band_key) rows,
+    ``num_hashes/band_size`` per doc. This is the PERSISTABLE artifact of
+    LSH dedup — write it once per corpus snapshot and new batches join
+    against it (:func:`incremental_lsh_pairs`) instead of re-sketching the
+    whole corpus."""
+    assert num_hashes % band_size == 0
+    sigs = minhash_signature(df.select(id_col, text_col), text_col,
+                             num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    return sigs.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.concat_ws("_", *[F.col("minhash")[b * band_size + r].cast("string")
+                               for r in range(band_size)])
+            for b in range(n_bands)
+        ])).alias("band_id", "band_key"))
+
+
+def incremental_lsh_pairs(new_bands: DataFrame, index_bands: DataFrame,
+                          id_col: str = "doc_id",
+                          max_bucket: int | None = 1000) -> DataFrame:
+    """Candidate pairs for an INCREMENTAL batch against a persisted band
+    index: every pair touches at least one new doc (new↔index and
+    new↔new); settled index↔index pairs are never recomputed.
+
+    This is the daily-run shape at 100 TB: the corpus sketch is computed
+    once and persisted (:func:`minhash_bands`), each increment sketches
+    only its own docs and band-joins the union — cost O(increment), not
+    O(corpus). ``max_bucket`` caps hot buckets over the union, so the
+    result equals a full-corpus run restricted to pairs involving new
+    docs."""
+    u = (index_bands.withColumn("__new", F.lit(0))
+         .unionByName(new_bands.withColumn("__new", F.lit(1))))
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        u = (u.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+             .filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n"))
+    u = _index_barrier(u)
+    left = u.filter(F.col("__new") == 1).select(
+        "band_id", "band_key", F.col(id_col).alias("__ia"))
+    right = u.select("band_id", "band_key", F.col(id_col).alias("__ib"))
+    return (left.join(right, ["band_id", "band_key"])
+            .filter(F.col("__ia") != F.col("__ib"))
+            .select(F.least("__ia", "__ib").alias("id_a"),
+                    F.greatest("__ia", "__ib").alias("id_b"))
+            .distinct())
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
                       band_size: int = 2, shingle_n: int = 3,
@@ -111,17 +162,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     docs) so one hot bucket cannot produce an O(n²) pair explosion.
     """
     assert num_hashes % band_size == 0
-    sigs = minhash_signature(df.select(id_col, text_col), text_col,
-                             num_hashes, shingle_n)
-    n_bands = num_hashes // band_size
-    bands = _index_barrier(sigs.select(
-        id_col,
-        F.posexplode(F.array(*[
-            F.concat_ws("_", *[F.col("minhash")[b * band_size + r].cast("string")
-                               for r in range(band_size)])
-            for b in range(n_bands)
-        ])).alias("band_id", "band_key"),
-    ))
+    bands = _index_barrier(
+        minhash_bands(df, id_col, text_col, num_hashes, band_size, shingle_n))
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
         bands = (bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))

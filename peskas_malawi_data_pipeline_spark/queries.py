@@ -1187,6 +1187,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, shingle_n=3)
 
 
+@register("incremental_dedup_pairs", f"""
+WITH {_DUCK_MINHASH_CTES}
+SELECT id_a, id_b FROM mh_pairs
+WHERE id_a % 7 = 0 OR id_b % 7 = 0
+""")
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: the ``doc_id % 7 == 0`` slice plays the
+    day's new batch, the rest the persisted band index
+    (dedup.minhash_bands) — only the new docs are sketched, then band-join
+    the union (dedup.incremental_lsh_pairs). Oracle: the full-corpus LSH
+    pairs restricted to pairs touching a new doc — exactly what the
+    incremental path must reproduce, at O(increment) sketch cost."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    index_bands = dedup_ops.minhash_bands(
+        old, num_hashes=8, band_size=2, shingle_n=3)
+    new_bands = dedup_ops.minhash_bands(
+        new, num_hashes=8, band_size=2, shingle_n=3)
+    return dedup_ops.incremental_lsh_pairs(new_bands, index_bands,
+                                           max_bucket=1000)
+
+
 _DUCK_COMPONENTS_SQL = f"""
 WITH RECURSIVE {_DUCK_MINHASH_CTES},
 edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs

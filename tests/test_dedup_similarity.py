@@ -295,3 +295,20 @@ def test_pagerank_integer_hand_computed(spark):
             for r in G.pagerank_integer(edges, iterations=1,
                                         broadcast_scores=False).collect()}
     assert got2 == got
+
+
+def test_incremental_lsh_equals_full_run_restriction(spark):
+    """Incremental band-join against a persisted index reproduces exactly
+    the full-corpus pairs that involve a new doc — the correctness contract
+    of the O(increment) daily dedup path."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, shingle_n=3).collect()}
+    want = {(a, b) for a, b in full if a % 7 == 0 or b % 7 == 0}
+
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    got = {(r.id_a, r.id_b) for r in D.incremental_lsh_pairs(
+        D.minhash_bands(new, num_hashes=8, band_size=2, shingle_n=3),
+        D.minhash_bands(old, num_hashes=8, band_size=2, shingle_n=3)).collect()}
+    assert got == want and len(got) > 0
