@@ -236,3 +236,29 @@ def test_watermark_drops_late_rows_across_drains(spark, tmp_path):
 
     got = {r.win.start: r.n for r in spark.read.parquet(out).collect()}
     assert got == {t(10, 0): 2}   # finalized once, late 09:00 row absent
+
+
+def test_redrain_without_new_data_is_noop(spark, tmp_path):
+    """Checkpoint idempotence: re-running an availableNow drain with no new
+    input emits nothing — the exactly-once property an external scheduler
+    relies on when a cron re-fires."""
+    from pyspark.sql import Row
+
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "user_id long, v double"
+    spark.createDataFrame([Row(user_id=1, v=1.0), Row(user_id=2, v=2.0)],
+                          schema).coalesce(1).write.parquet(landing)
+
+    def drain():
+        stream = ingest_stream.stream_from_parquet_dir(spark, landing, schema)
+        agged = stream.groupBy("user_id").agg(F.sum("v").alias("s"))
+        with ingest_stream.stream_state_partitions(spark, 2):
+            ingest_stream.run_available_now_upsert(agged, out, ckpt)
+
+    drain()
+    first = spark.read.parquet(out).count()
+    drain()  # no new files: must not re-emit
+    assert spark.read.parquet(out).count() == first
+    resolved = ingest_stream.read_upsert_result(spark, out, ["user_id"])
+    assert {(r.user_id, r.s) for r in resolved.collect()} == {(1, 1.0), (2, 2.0)}
