@@ -58,6 +58,12 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
                    .select(F.col(dst).alias("id"),
                            F.expr("score_micro div __deg").alias("__c")))
         gathered = contrib.groupBy("id").agg(F.sum("__c").alias("__sum"))
+        # under broadcast_scores, gathered is node-sized too — broadcasting
+        # it into the base-reinstating left join keeps the (checkpointed)
+        # node frame unshuffled: zero wide exchanges per round beyond the
+        # contribution aggregation itself
+        if broadcast_scores:
+            gathered = F.broadcast(gathered)
         scores = (nodes.join(gathered, "id", "left")
                   .select("id", (base + F.expr(
                       f"({damping_pct} * coalesce(__sum, 0L)) div 100"))
