@@ -117,3 +117,33 @@ def test_global_ntile_property_random_frames(spark):
             "tile", F.ntile(k).over(Window.orderBy("v", "id")).cast("long"))
         assert got.exceptAll(want).count() == 0, (n, k)
         assert want.exceptAll(got).count() == 0, (n, k)
+
+
+def test_global_ranking_edge_cases(spark):
+    """Edges: more range buckets than rows (empty partitions) and a
+    single-row frame must still rank correctly."""
+    from pyspark.sql import Row
+
+    from peskas_malawi_data_pipeline_spark.operators import ranking
+
+    df = spark.createDataFrame([Row(id=1, v=5), Row(id=2, v=3), Row(id=3, v=9)])
+    out = {r.id: r.rn for r in ranking.global_row_number(
+        df, ["v", "id"], "rn", buckets=16).collect()}
+    assert out == {2: 1, 1: 2, 3: 3}
+
+    one = spark.createDataFrame([Row(id=7, v=1.0)])
+    assert ranking.global_ntile(one, ["v", "id"], 5, "t").collect()[0].t == 1
+
+
+def test_form_schema_unknown_form_raises(spark):
+    import pytest
+
+    from peskas_malawi_data_pipeline_spark.sources import form_schemas as FS
+
+    with pytest.raises(KeyError, match="no pinned schema"):
+        FS.form_schema("NotARealForm-2031")
+    # all five pinned forms resolve and carry the _id key field
+    for form, schema in FS.FORM_SCHEMAS.items():
+        assert schema.fields[0].name == "_id"
+        assert FS.FORM_LAYOUT_KEYS[form] in (
+            "dialect_a_kobo", "dialect_b_kobo")
