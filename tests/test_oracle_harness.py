@@ -45,9 +45,11 @@ def test_null_vs_value_detected():
     assert not ok
 
 
-def test_float_tolerance_is_tight():
-    # 1e-9 relative: real divergence (1e-3) must fail, representation
-    # noise (1e-12) must pass
+def test_float_default_is_exact_and_tolerance_is_explicit():
+    # the default comparison is EXACT (mirrors the driver's value hash);
+    # last-ulp drift fails unless a tolerance is explicitly requested
     a = _n({"v": [1.0]})
-    assert not values_match(a, _n({"v": [1.001]}))[0]
-    assert values_match(a, _n({"v": [1.0 + 1e-12]}))[0]
+    assert values_match(a, _n({"v": [1.0]}))[0]
+    assert not values_match(a, _n({"v": [1.0 + 1e-12]}))[0]
+    assert values_match(a, _n({"v": [1.0 + 1e-12]}), float_tol=1e-9)[0]
+    assert not values_match(a, _n({"v": [1.001]}), float_tol=1e-9)[0]
