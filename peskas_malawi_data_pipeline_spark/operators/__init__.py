@@ -1,8 +1,9 @@
-from . import (aggregates, dedup, graph, joins, multimodal, packing, ranking,
-               relational, sampling, similarity, structural, validation)
+from . import (aggregates, dedup, graph, joins, layout, multimodal, packing,
+               ranking, relational, sampling, similarity, structural,
+               validation)
 
 __all__ = [
-    "aggregates", "dedup", "graph", "joins", "multimodal", "packing",
-    "ranking", "relational", "sampling", "similarity", "structural",
-    "validation",
+    "aggregates", "dedup", "graph", "joins", "layout", "multimodal",
+    "packing", "ranking", "relational", "sampling", "similarity",
+    "structural", "validation",
 ]

@@ -1,0 +1,68 @@
+"""Storage-layout operators: multi-dimensional clustering for data skipping.
+
+Parquet scans skip files/row-groups whose min/max statistics exclude a
+predicate. A single-column sort gives perfect skipping on that column and
+none on others; interleaving the bits of TWO columns (Morton / Z-order)
+gives each file a small rectangle in both dimensions, so predicates on
+EITHER column prune — the layout trick behind Delta's ``OPTIMIZE ZORDER``
+and Iceberg's sort orders, reproduced here on plain parquet with plain
+DataFrame expressions (a bit-spread projection + ``repartitionByRange`` +
+``sortWithinPartitions``; no shuffle beyond the range partition that a
+clustered write needs anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _spread_bits(col: Column, bits: int) -> Column:
+    """Interleave-ready bit spread: bit i of ``col`` moves to bit 2i."""
+    out = None
+    for i in range(bits):
+        term = F.shiftleft(F.shiftright(col, i).bitwiseAND(F.lit(1)), 2 * i)
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Z-order key of two non-negative ints already scaled to ``bits``
+    bits (use ``scale_to_bits`` for arbitrary ranges). Pure codegen —
+    ``2·bits`` shift/mask terms, no UDF."""
+    return _spread_bits(a.cast("long"), bits).bitwiseOR(
+        F.shiftleft(_spread_bits(b.cast("long"), bits), 1))
+
+
+def scale_to_bits(col: Column, lo: Column | float, hi: Column | float,
+                  bits: int = 16) -> Column:
+    """Affine-scale a numeric column into [0, 2^bits): rank-free (min/max
+    only — one cheap agg to obtain), monotonic, ties preserved."""
+    lo = F.lit(lo) if not isinstance(lo, Column) else lo
+    hi = F.lit(hi) if not isinstance(hi, Column) else hi
+    span = F.when(hi > lo, hi - lo).otherwise(F.lit(1))
+    unit = (col.cast("double") - lo) / span
+    mx = F.lit((1 << bits) - 1)
+    return F.least(mx, F.greatest(
+        F.lit(0), F.floor(unit * (1 << bits)).cast("long")))
+
+
+def zorder_write(df: DataFrame, path: str, col_a: str, col_b: str,
+                 n_files: int, bits: int = 16) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the Z-order
+    of (col_a, col_b): each file covers a small min/max rectangle in BOTH
+    columns, so single-column predicates on either skip most files.
+
+    One pass to get the two column ranges (tiny agg), one range shuffle on
+    the interleaved key, a within-partition sort for row-group-level
+    locality — the exact plan a table-format OPTIMIZE would run."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)).first()
+    key = morton_key(
+        scale_to_bits(F.col(col_a), float(lo_a), float(hi_a), bits),
+        scale_to_bits(F.col(col_b), float(lo_b), float(hi_b), bits), bits)
+    (df.withColumn("__z", key)
+     .repartitionByRange(n_files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode("overwrite").parquet(path))

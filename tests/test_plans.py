@@ -575,3 +575,52 @@ def test_registry_wide_plan_hygiene(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_zorder_layout_shrinks_per_file_ranges_on_both_dims(spark, tmp_path):
+    """operators.layout.zorder_write: with Z-order clustering, every file
+    covers a small min/max rectangle in BOTH columns, so parquet stats
+    prune on either predicate — measured directly from the written files'
+    footer statistics against a random layout."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import layout
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    ev = _t(spark, SF_DIR, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "value")
+    spans = {}
+    for mode in ("random", "zorder"):
+        path = str(tmp_path / mode)
+        if mode == "zorder":
+            layout.zorder_write(ev, path, "user_id", "t", n_files=16)
+        else:
+            ev.repartition(16).write.mode("overwrite").parquet(path)
+        import glob
+        per_file = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            los, his = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in ("user_id", "t") and col.statistics:
+                        s = col.statistics
+                        los[name] = min(los.get(name, s.min), s.min)
+                        his[name] = max(his.get(name, s.max), s.max)
+            if los:
+                per_file.append({k: his[k] - los[k] for k in los})
+        spans[mode] = {
+            k: sum(p[k] for p in per_file) / len(per_file)
+            for k in ("user_id", "t")}
+
+    # random layout: every file spans ~the whole domain on both dims;
+    # z-order: substantially narrower rectangles on BOTH dims at once
+    assert spans["zorder"]["user_id"] < spans["random"]["user_id"] * 0.5
+    assert spans["zorder"]["t"] < spans["random"]["t"] * 0.5
+
+    # and the data survives the round trip
+    total = ev.count()
+    assert spark.read.parquet(str(tmp_path / "zorder")).count() == total
