@@ -57,9 +57,20 @@ def run_stage(spark: SparkSession, stage: str, root: str,
         loaded = {}
         for name, dialect in forms.items():
             path = f"{root}/landing/{name}.jsonl"
-            if dialect in ("pinned", "auto") and name in FS.FORM_SCHEMAS:
+            if dialect in ("pinned", "auto"):
                 # production path: the form's pinned StructType + its
                 # structural dialect resolve from the registry (no inference)
+                if name not in FS.FORM_SCHEMAS:
+                    if dialect == "pinned":
+                        raise KeyError(
+                            f"--form {name}=pinned: no pinned schema for "
+                            f"{name!r}; known forms: "
+                            f"{sorted(FS.FORM_SCHEMAS)} (use an explicit "
+                            f"structural dialect to ingest with inference)")
+                    raise KeyError(
+                        f"--form {name}=auto: {name!r} is not a registered "
+                        f"form, so its structural dialect cannot be "
+                        f"resolved; known forms: {sorted(FS.FORM_SCHEMAS)}")
                 loaded[name] = (kobo.read_form_json(spark, path, name),
                                 FS.FORM_LAYOUT_KEYS[name])
             else:

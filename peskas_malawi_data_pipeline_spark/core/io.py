@@ -16,6 +16,7 @@ get partition pruning; callers opt in via ``partition_by``.
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import subprocess
 from typing import Iterable
 
@@ -89,7 +90,17 @@ def upsert_partitions(df: DataFrame, path: str,
 def _local_rename_swap(path: str, tmp: str) -> None:
     """Directory-rename swap — valid ONLY where rename is a metadata
     operation (POSIX / HDFS). On an object store a "rename" is a non-atomic
-    O(data) copy+delete, so this strategy refuses URI schemes."""
+    O(data) copy+delete, so this strategy refuses URI schemes.
+
+    NOT crash-safe: between the two renames the table directory does not
+    exist (a single POSIX dir-over-dir atomic exchange isn't portable).
+    A ``.__swap_inprogress`` marker brackets the window; if a crash leaves
+    the marker behind, recovery is mechanical — whichever of ``tmp`` /
+    ``tmp + '.__old'`` still exists is, respectively, the new or old data,
+    and either may be renamed back to ``path``. Concurrent readers racing
+    the swap can observe a missing directory; serialize external readers
+    or use a table-format metadata commit (``swap=``) where that matters.
+    """
     import shutil
 
     scheme = path.split("://", 1)[0] if "://" in path else ""
@@ -98,9 +109,19 @@ def _local_rename_swap(path: str, tmp: str) -> None:
             f"rename swap is not atomic on {scheme}:// storage; compact "
             f"through a table format (Delta/Iceberg metadata commit) by "
             f"passing swap=, e.g. a catalog REPLACE TABLE commit")
-    shutil.move(path, tmp + ".__old")
-    shutil.move(tmp, path)
-    shutil.rmtree(tmp + ".__old")
+    old = tmp + ".__old"
+    marker = tmp + ".__swap_inprogress"
+    with open(marker, "w") as fh:
+        fh.write(
+            f"swap in progress: if {path!r} is missing, recover by "
+            f"renaming {tmp!r} (new data) or {old!r} (old data) to it\n")
+    try:
+        shutil.move(path, old)
+        shutil.move(tmp, path)
+    finally:
+        if os.path.exists(path):
+            os.remove(marker)
+    shutil.rmtree(old)
 
 
 def compact_table(spark: SparkSession, path: str, target_files: int,

@@ -58,6 +58,11 @@ def zorder_write(df: DataFrame, path: str, col_a: str, col_b: str,
     locality — the exact plan a table-format OPTIMIZE would run."""
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)).first()
+    if lo_a is None or lo_b is None:
+        # empty input (or all-NULL cluster column): no range to interleave —
+        # still write the (empty) table instead of crashing the job
+        df.write.mode("overwrite").parquet(path)
+        return
     key = morton_key(
         scale_to_bits(F.col(col_a), float(lo_a), float(hi_a), bits),
         scale_to_bits(F.col(col_b), float(lo_b), float(hi_b), bits), bits)

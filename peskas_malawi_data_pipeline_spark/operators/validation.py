@@ -84,6 +84,54 @@ def loc_scale_bounds(df: DataFrame, value: str, keys: Sequence[str] = (),
     )
 
 
+def loc_scale_bounds_multi(df: DataFrame, specs: dict,
+                           approx: bool = False) -> DataFrame:
+    """Fused GLOBAL LocScaleB bounds for several value columns at once —
+    the SURVEY §4.3 single-pass shape for the validate stage: instead of
+    one 2-pass aggregate + broadcast per validated variable, ONE 2-pass
+    aggregate computes every variable's (median, MAD) side by side and
+    yields a single 1-row frame with ``{col}_lower`` / ``{col}_upper``
+    for each, so the caller broadcasts exactly once.
+
+    ``specs`` maps column name -> (k, back_transform). Per-column guards
+    (negatives excluded from the fit, all-zero or constant column → NULL
+    bounds) match :func:`loc_scale_bounds` with ``logt=True`` exactly —
+    filters become ``F.when`` inside the aggregates, which NULL-skip.
+    """
+    def fit(col: str) -> Column:
+        # rows entering the fit: non-NULL and >= 0 (logt guard)
+        return F.when(F.col(col) >= 0, F.col(col))
+
+    pass1 = df.agg(*[a for col in specs for a in (
+        _median(F.log1p(fit(col)), approx).alias(f"__med_{col}"),
+        F.max(F.abs(fit(col))).alias(f"__absmax_{col}"))])
+
+    with_med = df.crossJoin(F.broadcast(pass1))
+    pass2 = with_med.agg(*[a for col in specs for a in (
+        _median(F.abs(F.log1p(fit(col)) - F.col(f"__med_{col}")), approx)
+        .alias(f"__mad_{col}"),
+        F.first(f"__med_{col}").alias(f"__med_{col}"),
+        F.first(f"__absmax_{col}").alias(f"__absmax_{col}"))])
+
+    outs = []
+    for col, (k, back_transform) in specs.items():
+        scale = F.col(f"__mad_{col}") * MAD_CONSISTENCY
+        lo_y = F.col(f"__med_{col}") - k * scale
+        hi_y = F.col(f"__med_{col}") + k * scale
+        if back_transform == "exp":
+            lo, hi = F.exp(lo_y), F.exp(hi_y)
+        elif back_transform == "expm1":
+            lo, hi = F.expm1(lo_y), F.expm1(hi_y)
+        elif back_transform == "none":
+            lo, hi = lo_y, hi_y
+        else:
+            raise ValueError(f"unknown back_transform: {back_transform}")
+        valid = (F.col(f"__absmax_{col}") > 0) & (F.col(f"__mad_{col}") > 0)
+        outs += [F.when(valid, lo).alias(f"{col}_lower"),
+                 F.when(valid, hi).alias(f"{col}_upper")]
+    return pass2.select(*outs)
+
+
 def alert_outlier(df: DataFrame, value: str, alert_if_low, alert_if_high,
                   keys: Sequence[str] = (), k: float = 3.0, logt: bool = True,
                   approx: bool = False,

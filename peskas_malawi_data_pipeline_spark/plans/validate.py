@@ -68,6 +68,32 @@ def _validate_positive_outlier(df: DataFrame, col: str, alert_name: str,
             .drop("lower_bound", "upper_bound"))
 
 
+def validate_counts_fused(df: DataFrame,
+                          k_nfishers: float = DEFAULT_K["k_nfishers"],
+                          k_nboats: float = DEFAULT_K["k_nboats"]) -> DataFrame:
+    """Alerts 2+3 in ONE bounds pass (SURVEY §4.3): both global LocScaleB
+    fits run inside a single 2-pass aggregate, producing one 1-row bounds
+    frame broadcast once — versus one aggregate + one broadcast exchange
+    per variable in the sequential formulation. Output is bit-identical to
+    ``validate_nboats(validate_nfishers(df))`` (parity-tested): the two
+    variables' fits are independent, and masking n_fishers never affects
+    the n_boats fit."""
+    bounds = V.loc_scale_bounds_multi(
+        df, {"n_fishers": (k_nfishers, "expm1"),
+             "n_boats": (k_nboats, "expm1")})
+    out = df.crossJoin(F.broadcast(bounds))
+    for col, alert_name, code in (("n_fishers", "alert_nfishers", 2),
+                                  ("n_boats", "alert_nboats", 3)):
+        v = F.col(col)
+        upper = F.col(f"{col}_upper")
+        alert = (F.when(v < 0, F.lit(code))
+                 .when(upper.isNotNull() & (v > upper), F.lit(code)))
+        out = (out.withColumn(alert_name, alert)
+               .withColumn(col, F.when(F.col(alert_name).isNull(), v)))
+    return out.drop(*[f"{c}_{b}" for c in ("n_fishers", "n_boats")
+                      for b in ("lower", "upper")])
+
+
 def validate_catch(df: DataFrame, k: float = DEFAULT_K["k_catch"]) -> DataFrame:
     """Alert 4 — catch_kg ≥ per-(gear, catch_taxon, weight_type) upper bound
     (R/validation-functions.R:220-233; exp back-transform per Q3; taxon
@@ -150,8 +176,8 @@ def validate_landings(df: DataFrame, k: dict | None = None,
     """
     kk = dict(DEFAULT_K, **(k or {}))
     out = validate_dates(df, strict_parity=strict_parity)
-    out = validate_nfishers(out, k=kk["k_nfishers"])
-    out = validate_nboats(out, k=kk["k_nboats"])
+    out = validate_counts_fused(out, k_nfishers=kk["k_nfishers"],
+                                k_nboats=kk["k_nboats"])
     if include_catch:
         out = validate_catch(out, k=kk["k_catch"])
     out = validate_pricekg(out, k=kk["k_pricekg"])

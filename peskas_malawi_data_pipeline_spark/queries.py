@@ -43,10 +43,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # is a single task no matter how many cores exist — and these two
         # tables feed CPU-heavy per-row work (shingling, minhash, dot
         # products). One tiny round-robin shuffle (<1 MB) spreads that work
-        # across all cores. At real scale inputs arrive in many splits and
-        # this is a no-op-cost guard, not a bottleneck.
+        # across all cores. Conditional: a caller whose input already arrives
+        # in enough splits (the real-scale case) keeps its partitioning and
+        # pays no shuffle.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.repartition(spark.sparkContext.defaultParallelism)
+        want = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, want // 4):
+            df = df.repartition(want)
+        return df
     if name == "events":
         # events.parquet may store TIMESTAMP(NANOS) (which Spark's
         # vectorized reader rejects) or plain TIMESTAMP(MICROS) — the

@@ -21,12 +21,16 @@ import json
 import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import ArrayType, LongType, StructType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructType
 
 
 def _convert(value, dtype):
     """JSON value → tuple-tree matching ``dtype`` (Spark's Python row
-    wire shape): structs become field-ordered tuples, missing keys None."""
+    wire shape): structs become field-ordered tuples, missing keys None.
+    Scalars are coerced to the pinned type the same way the PERMISSIVE
+    JSON reader does — numerics/booleans landing in a StringType field
+    (Kobo answers are stringly typed but clients sometimes send numbers)
+    become their JSON text, so both S1 read paths agree."""
     if value is None:
         return None
     if isinstance(dtype, StructType):
@@ -36,6 +40,10 @@ def _convert(value, dtype):
         return [_convert(v, dtype.elementType) for v in value]
     if isinstance(dtype, LongType):
         return int(value)
+    if isinstance(dtype, StringType) and not isinstance(value, str):
+        # match the JSON reader: true/false → "true"/"false", numbers keep
+        # their JSON rendering (no float artifacts for ints)
+        return json.dumps(value) if isinstance(value, bool) else str(value)
     return value
 
 

@@ -35,6 +35,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_OUTPUT_SCHEMA = ("user_id long, session_start_s long, "
                          "n_events long, duration_s long")
 _STATE_SCHEMA = "start_s long, last_s long, n long"
+# transformWithStateInPandas twin additionally tracks the armed timer so it
+# can be deleted before re-arming (registerTimer adds, never replaces)
+_TWS_STATE_SCHEMA = "start_s long, last_s long, n long, timer_ms long"
 
 
 def _epoch_s(ts: pd.Series) -> np.ndarray:
@@ -101,30 +104,34 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800,
         timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
-def stateful_sessionize_tws(events: DataFrame, gap_s: int = 1800,
-                            user_col: str = "user_id",
-                            ts_col: str = "ts") -> DataFrame:
-    """The same sessionization on ``transformWithStateInPandas`` — Spark 4's
-    successor to applyInPandasWithState: typed named state variables on a
-    processor handle, explicit event-time timers, and composable
-    value/list/map state instead of one state tuple. Output and state
-    semantics are identical to :func:`stateful_sessionize` (same sink
-    contract, same eviction proof), so both implementations are checked
-    against the same oracle.
+def make_session_processor(gap_s: int = 1800, user_col: str = "user_id",
+                           ts_col: str = "ts"):
+    """Build the ``StatefulProcessor`` class behind
+    :func:`stateful_sessionize_tws`. Exposed at module level (rather than a
+    closure inside the plan builder) so the timer/state protocol is
+    unit-testable against a fake handle — executing the real operator needs
+    google.protobuf, but the eviction correctness argument doesn't.
     """
     from pyspark.sql.streaming import StatefulProcessor
 
     class _SessionProcessor(StatefulProcessor):
         def init(self, handle) -> None:
             self._handle = handle
-            self._open = handle.getValueState("open_session", _STATE_SCHEMA)
+            # The 4th field records which timer is currently armed so a
+            # later batch can delete it before re-arming: without that, a
+            # stale timer from an earlier batch would fire while the
+            # session is still open (extended by newer events) and split
+            # one session in two — applyInPandasWithState avoids this by
+            # construction because setTimeoutTimestamp overwrites.
+            self._open = handle.getValueState("open_session",
+                                              _TWS_STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timer_values):
             user_id = key[0]
             if self._open.exists():
-                start_s, last_s, n = self._open.get()
+                start_s, last_s, n, armed_ms = self._open.get()
             else:
-                start_s, last_s, n = None, None, 0
+                start_s, last_s, n, armed_ms = None, None, 0, 0
 
             chunks = [c for c in rows if len(c)]
             if not chunks:
@@ -150,21 +157,49 @@ def stateful_sessionize_tws(events: DataFrame, gap_s: int = 1800,
                     n = int(row["size"])
                 out.append((user_id, start_s, n, last_s - start_s))
 
-            self._open.update((int(start_s), int(last_s), int(n)))
-            # evict when the watermark proves the session closed
-            timeout_ms = (last_s + gap_s + 1) * 1000
-            self._handle.registerTimer(
-                max(timeout_ms, timer_values.getCurrentWatermarkInMs() + 1))
+            # evict when the watermark proves the session closed; delete the
+            # previously armed timer first — registerTimer ADDS a timer
+            # rather than replacing, and a stale one firing mid-session
+            # would clear live state
+            timeout_ms = max((last_s + gap_s + 1) * 1000,
+                             timer_values.getCurrentWatermarkInMs() + 1)
+            if armed_ms and armed_ms != timeout_ms:
+                self._handle.deleteTimer(armed_ms)
+            self._handle.registerTimer(timeout_ms)
+            self._open.update((int(start_s), int(last_s), int(n),
+                               int(timeout_ms)))
             yield pd.DataFrame(out, columns=["user_id", "session_start_s",
                                              "n_events", "duration_s"])
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
-            self._open.clear()
+            # Only the currently armed timer may evict: a stale timer
+            # (deleteTimer raced the firing, or pre-fix checkpoint state)
+            # must be ignored while the open session has been extended past
+            # its expiry.
+            if self._open.exists():
+                *_, armed_ms = self._open.get()
+                if expired_timer_info.getExpiryTimeInMs() >= armed_ms:
+                    self._open.clear()
             return iter(())
 
         def close(self) -> None:
             pass
 
+    return _SessionProcessor
+
+
+def stateful_sessionize_tws(events: DataFrame, gap_s: int = 1800,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts") -> DataFrame:
+    """The same sessionization on ``transformWithStateInPandas`` — Spark 4's
+    successor to applyInPandasWithState: typed named state variables on a
+    processor handle, explicit event-time timers, and composable
+    value/list/map state instead of one state tuple. Output and state
+    semantics are identical to :func:`stateful_sessionize` (same sink
+    contract, same eviction proof), so both implementations are checked
+    against the same oracle.
+    """
+    proc = make_session_processor(gap_s, user_col, ts_col)
     return (events.groupBy(user_col).transformWithStateInPandas(
-        _SessionProcessor(), outputStructType=SESSION_OUTPUT_SCHEMA,
+        proc(), outputStructType=SESSION_OUTPUT_SCHEMA,
         outputMode="update", timeMode="eventTime"))

@@ -88,3 +88,19 @@ def test_cli_six_stage_dag(spark, tmp_path):
     assert run_stage(spark, "export-landings", root) == 4
     n_tracks = run_stage(spark, "export-tracks", root)
     assert n_tracks == 3            # 30 pings at 60s → 10-minute buckets
+
+
+def test_cli_ingest_unknown_pinned_form_fails_fast(spark, tmp_path):
+    """--form NAME=pinned for a form with no registry entry must raise a
+    clear KeyError naming the known forms, not fall through to schema
+    inference with a bogus structural dialect."""
+    import pytest
+
+    root = tmp_path / "lake"
+    (root / "landing").mkdir(parents=True)
+    (root / "landing" / "mystery.jsonl").write_text('{"_id": 1}\n')
+
+    for dialect in ("pinned", "auto"):
+        with pytest.raises(KeyError, match="mystery"):
+            run_stage(spark, "ingest", str(root),
+                      forms={"mystery": dialect})

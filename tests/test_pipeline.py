@@ -365,3 +365,52 @@ def test_validate_bounds_joins_are_broadcast(preprocessed):
     # every bounds relation (1 row or |groups| rows) broadcasts back; the
     # 100 TB fact side must never shuffle for a validator join
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_validate_counts_fused_parity(spark):
+    """The fused alerts-2+3 pass (one bounds aggregate + one broadcast,
+    SURVEY §4.3) is bit-identical to the sequential
+    validate_nboats(validate_nfishers(df)) formulation, including negatives,
+    NULLs, and masking."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        nf = rng.choice([None, -2.0, float(rng.randint(1, 6))])
+        nb = rng.choice([None, -1.0, float(rng.randint(1, 4))])
+        rows.append(Row(i=i, n_fishers=nf, n_boats=nb))
+    rows += [Row(i=900, n_fishers=5000.0, n_boats=2.0),
+             Row(i=901, n_fishers=3.0, n_boats=4000.0)]
+    df = spark.createDataFrame(rows, "i long, n_fishers double, n_boats double")
+
+    seq = validate.validate_nboats(validate.validate_nfishers(df))
+    fused = validate.validate_counts_fused(df)
+    cols = ["i", "n_fishers", "n_boats", "alert_nfishers", "alert_nboats"]
+    a = {tuple(r) for r in seq.select(*cols).collect()}
+    b = {tuple(r) for r in fused.select(*cols).collect()}
+    assert a == b
+    # the outliers and negatives actually fired in this fixture
+    got = {r.i: r for r in fused.collect()}
+    assert got[900].alert_nfishers == 2 and got[900].n_fishers is None
+    assert got[901].alert_nboats == 3 and got[901].n_boats is None
+
+
+def test_validate_stage_single_bounds_exchange(preprocessed):
+    """Plan shape: the fused validate stage computes ONE global-bounds
+    pass for alerts 2+3 instead of one aggregate + broadcast per variable.
+    Printed plan trees duplicate shared subtrees, so we compare against the
+    sequential formulation: fusion must strictly shrink the broadcast-join
+    count (measured 6 vs 24 on this fixture)."""
+    fused_plan = validate.validate_landings(preprocessed) \
+        ._jdf.queryExecution().executedPlan().toString()
+    seq = validate.validate_pricekg(validate.validate_nboats(
+        validate.validate_nfishers(validate.validate_dates(preprocessed))))
+    seq_plan = seq._jdf.queryExecution().executedPlan().toString()
+    n_fused = fused_plan.count("BroadcastNestedLoopJoin")
+    n_seq = seq_plan.count("BroadcastNestedLoopJoin")
+    assert n_fused < n_seq
+    # and the fused stage carries at most the two structural cross joins
+    # (bounds computation + bounds application), each possibly re-printed
+    # inside downstream build sides
+    assert n_fused <= 6

@@ -624,3 +624,60 @@ def test_zorder_layout_shrinks_per_file_ranges_on_both_dims(spark, tmp_path):
     # and the data survives the round trip
     total = ev.count()
     assert spark.read.parquet(str(tmp_path / "zorder")).count() == total
+
+
+def test_zorder_write_empty_and_allnull_input(spark, tmp_path):
+    """zorder_write on an empty frame (or all-NULL cluster column) has no
+    range to interleave — it must still write the table rather than crash
+    an empty-partition compaction job."""
+    from peskas_malawi_data_pipeline_spark.operators import layout
+
+    empty = spark.range(0).selectExpr("id as a", "id as b")
+    p1 = str(tmp_path / "empty")
+    layout.zorder_write(empty, p1, "a", "b", n_files=4)
+    assert spark.read.parquet(p1).count() == 0
+
+    allnull = spark.range(5).selectExpr(
+        "cast(null as long) as a", "id as b")
+    p2 = str(tmp_path / "allnull")
+    layout.zorder_write(allnull, p2, "a", "b", n_files=2)
+    assert spark.read.parquet(p2).count() == 5
+
+
+def test_rename_swap_marker_lifecycle(spark, tmp_path):
+    """The rename swap writes a recovery marker around its non-atomic
+    window: gone after a successful swap; left behind (with recovery
+    instructions) if the second rename never happens."""
+    from peskas_malawi_data_pipeline_spark.core import io as io_ops
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    tmp = path + ".__compact_tmp"
+    spark.range(10).repartition(1).write.parquet(tmp)
+    io_ops._local_rename_swap(path, tmp)
+    assert not os.path.exists(tmp + ".__swap_inprogress")
+    assert spark.read.parquet(path).count() == 10
+
+    # simulated crash inside the window: marker survives and names both dirs
+    spark.range(3).write.parquet(tmp)
+    import shutil
+    orig_move = shutil.move
+    calls = {"n": 0}
+
+    def failing_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("crash between renames")
+        return orig_move(src, dst)
+
+    shutil.move = failing_move
+    try:
+        import pytest
+        with pytest.raises(OSError):
+            io_ops._local_rename_swap(path, tmp)
+    finally:
+        shutil.move = orig_move
+    marker = tmp + ".__swap_inprogress"
+    assert os.path.exists(marker)
+    text = open(marker).read()
+    assert tmp in text and tmp + ".__old" in text

@@ -246,3 +246,33 @@ def test_custom_datasource_matches_pinned_reader(spark, tmp_path):
            .option("path", str(empty))
            .option("form", "FieldDataApp-2024").load())
     assert ds0.count() == 0 and ds0.schema == ds.schema
+
+
+def test_custom_datasource_coerces_stringly_typed_scalars(spark, tmp_path):
+    """Kobo answers are stringly typed, but clients sometimes send raw JSON
+    numbers/booleans. Both S1 read paths must agree: the PERMISSIVE JSON
+    reader renders them as their JSON text for StringType fields, and the
+    Python DataSource coerces identically instead of yielding int/bool into
+    a string column (which breaks at the Arrow conversion)."""
+    from peskas_malawi_data_pipeline_spark.sources.jsonl_source import (
+        register_kobo_source)
+
+    register_kobo_source(spark)
+    land = tmp_path / "zone"
+    land.mkdir()
+    sub = _submission("FieldDataApp-2024", 1)
+    sub["n_vessels"] = 2            # JSON number in a string-typed answer
+    sub["fishing_today"] = True     # JSON boolean likewise
+    (land / "a.jsonl").write_text(json.dumps(sub) + "\n")
+
+    ds = (spark.read.format("kobo_jsonl")
+          .option("path", str(land))
+          .option("form", "FieldDataApp-2024").load())
+    row = ds.collect()[0]
+    assert row["n_vessels"] == "2"
+    assert row["fishing_today"] == "true"
+
+    ref = kobo.read_form_json(
+        spark, str(land / "*.jsonl"), "FieldDataApp-2024").collect()[0]
+    assert (row["n_vessels"], row["fishing_today"]) == \
+        (ref["n_vessels"], ref["fishing_today"])

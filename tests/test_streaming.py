@@ -262,3 +262,90 @@ def test_redrain_without_new_data_is_noop(spark, tmp_path):
     assert spark.read.parquet(out).count() == first
     resolved = ingest_stream.read_upsert_result(spark, out, ["user_id"])
     assert {(r.user_id, r.s) for r in resolved.collect()} == {(1, 1.0), (2, 2.0)}
+
+
+def test_tws_timer_protocol_no_stale_eviction():
+    """The tws sessionizer's timer protocol, driven against a fake handle
+    (executing the real operator needs google.protobuf; the eviction
+    correctness argument doesn't): extending a session must DELETE the
+    previously armed timer before re-arming — registerTimer adds rather
+    than replaces — and a stale timer firing anyway (pre-fix checkpoint
+    state) must NOT clear the still-open session."""
+    import pandas as pd
+
+    from peskas_malawi_data_pipeline_spark.streaming.stateful import (
+        make_session_processor)
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.timers = set()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+        def registerTimer(self, ms):
+            self.timers.add(ms)
+
+        def deleteTimer(self, ms):
+            self.timers.discard(ms)
+
+    class TV:
+        def __init__(self, wm):
+            self._wm = wm
+
+        def getCurrentWatermarkInMs(self):
+            return self._wm
+
+    class Expired:
+        def __init__(self, ms):
+            self._ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self._ms
+
+    def batch(*secs):
+        return [pd.DataFrame({
+            "ts": pd.to_datetime([s * 1_000_000_000 for s in secs]),
+            "event_id": range(len(secs))})]
+
+    gap = 1800
+    proc = make_session_processor(gap_s=gap)()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    # batch 1: session [1000, 1100] -> timer armed at (1100+gap+1)s
+    list(proc.handleInputRows((1,), batch(1000, 1100), TV(0)))
+    t1 = (1100 + gap + 1) * 1000
+    assert handle.timers == {t1}
+
+    # batch 2 extends the session (2000-1100 < gap): the OLD timer must be
+    # deleted, not accumulated -- exactly one armed timer remains
+    list(proc.handleInputRows((1,), batch(2000), TV(0)))
+    t2 = (2000 + gap + 1) * 1000
+    assert handle.timers == {t2}
+    assert handle.state.get() == (1000, 2000, 3, t2)
+
+    # a stale timer firing anyway must not evict the open session
+    list(proc.handleExpiredTimer((1,), TV(t1), Expired(t1)))
+    assert handle.state.exists()
+
+    # the currently armed timer firing DOES evict
+    list(proc.handleExpiredTimer((1,), TV(t2), Expired(t2)))
+    assert not handle.state.exists()
