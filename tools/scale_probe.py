@@ -1,0 +1,153 @@
+"""One-order-of-magnitude scale probe for the most expensive queries.
+
+The driver ships sf0.001/sf0.01/sf0.1; the engine's claims are about 100 TB.
+This tool manufactures an "sf1" directory (10x sf0.1) by replicating the two
+tables the heavy queries actually scan and re-times those queries at both
+scales, so the scaling exponent is measured rather than asserted:
+
+- ``lineitem`` x10: each replica offsets ``l_orderkey`` (disjoint new orders)
+  but keeps ``l_partkey`` (same part catalog), so the order<->part bipartite
+  graph grows the way a real workload grows — 10x edges and order vertices
+  against a fixed dimension side.
+- ``documents`` x10: each replica gets fresh ``doc_id``s and a
+  deterministic per-replica word shuffle of ``text``. A verbatim copy would
+  turn every document into a 10-clique of exact near-dups and blow up the
+  candidate-pair stage into a skew artifact that says nothing about real
+  scaling; shuffling words preserves token/length statistics while breaking
+  shingle overlap, so the MinHash/SimHash candidate volume grows linearly
+  like a real corpus.
+
+Remaining tables are symlinked from sf0.1 (the probed queries don't scan
+them at scale). Probe data lives under ``.scale/`` (gitignored) and is
+safe to delete.
+
+Usage: python tools/scale_probe.py [--build-only] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+DEST = os.path.join(REPO, ".scale", "sf1")
+REPLICAS = 10
+
+DEFAULT_QUERIES = [
+    "pagerank_bipartite",
+    "near_dedup_survivors",
+    "dedup_components",
+    "dedup_components_star",
+    "simhash_pairs",
+    "jaccard_pairs",
+    "tfidf_topk",
+    "minhash_lsh_pairs",
+]
+
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+
+
+def _shuffle_words(text: str, rng: random.Random) -> str:
+    words = text.split(" ")
+    rng.shuffle(words)
+    return " ".join(words)
+
+
+def build(dest: str = DEST) -> None:
+    os.makedirs(dest, exist_ok=True)
+
+    for t in ALL_TABLES:
+        if t in ("lineitem", "documents"):
+            continue
+        link = os.path.join(dest, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+
+    li_path = os.path.join(dest, "lineitem.parquet")
+    if not os.path.exists(li_path):
+        li = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+        okey = li.column("l_orderkey").to_numpy()
+        offset = int(okey.max()) + 1
+        writer = pq.ParquetWriter(li_path, li.schema)
+        for r in range(REPLICAS):
+            shifted = pa.array(okey + r * offset, type=li.schema.field("l_orderkey").type)
+            writer.write_table(li.set_column(
+                li.schema.get_field_index("l_orderkey"), "l_orderkey", shifted))
+        writer.close()
+
+    doc_path = os.path.join(dest, "documents.parquet")
+    if not os.path.exists(doc_path):
+        docs = pq.read_table(os.path.join(SRC, "documents.parquet"))
+        ids = docs.column("doc_id").to_numpy()
+        texts = docs.column("text").to_pylist()
+        offset = int(ids.max()) + 1
+        writer = pq.ParquetWriter(doc_path, docs.schema)
+        for r in range(REPLICAS):
+            tbl = docs
+            if r > 0:
+                rng = random.Random(1_000_003 * r)
+                texts_r = [_shuffle_words(t, rng) if t else t for t in texts]
+                tbl = tbl.set_column(tbl.schema.get_field_index("text"),
+                                     "text", pa.array(texts_r, type=pa.string()))
+            shifted = pa.array(ids + r * offset,
+                               type=docs.schema.field("doc_id").type)
+            tbl = tbl.set_column(tbl.schema.get_field_index("doc_id"),
+                                 "doc_id", shifted)
+            writer.write_table(tbl)
+        writer.close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    build()
+    if args.build_only:
+        print(f"built {DEST}")
+        return
+
+    sys.path.insert(0, REPO)
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    names = args.queries or DEFAULT_QUERIES
+
+    results = {}
+    for name in names:
+        fn = qs[name]
+        row = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DEST)):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            row[label] = {"sec": round(time.time() - t0, 2), "rows": n}
+        row["ratio"] = round(row["sf1"]["sec"] / max(row["sf0.1"]["sec"], 1e-9), 2)
+        results[name] = row
+        print(json.dumps({name: row}))
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
