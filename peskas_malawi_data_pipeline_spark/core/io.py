@@ -149,6 +149,98 @@ def compact_table(spark: SparkSession, path: str, target_files: int,
                if not f.rsplit("/", 1)[-1].startswith("."))
 
 
+class VersionedParquetTable:
+    """Metadata-commit table: object-store-safe truncate-and-load and
+    compaction with NO directory renames — the production ``swap=``
+    alternative to :func:`_local_rename_swap`.
+
+    Layout (the version-pointer pattern Delta's ``_delta_log`` and
+    Iceberg's catalog pointer implement; this is the minimal open
+    formulation of the same commit protocol):
+
+    - ``<root>/v<N>/``      immutable data directories (plain parquet)
+    - ``<root>/_CURRENT``   tiny pointer file naming the live version
+
+    A write/compact produces a COMPLETE new ``v<N+1>`` directory first,
+    then commits by atomically replacing ``_CURRENT`` (``os.replace``
+    locally; on an object store the equivalent single-object PUT is
+    atomic). Readers resolve the pointer at plan time and only ever see a
+    whole committed version — there is no window where the table is
+    missing (the rename swap's weakness), and a crash before the pointer
+    commit leaves the previous version live with only an orphaned data
+    directory to garbage-collect (``vacuum``).
+    """
+
+    POINTER = "_CURRENT"
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, self.POINTER)
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def data_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version}")
+
+    def _commit(self, version: int) -> None:
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._pointer_path())   # the atomic commit point
+
+    def read(self, spark: SparkSession,
+             columns: Iterable[str] | None = None) -> DataFrame:
+        version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        return read_table(spark, self.data_dir(version), columns)
+
+    def write(self, df: DataFrame,
+              partition_by: list[str] | None = None) -> int:
+        """Truncate-and-load as a metadata commit; returns the new version."""
+        os.makedirs(self.root, exist_ok=True)
+        version = (self.current_version() or 0) + 1
+        write_table(df, self.data_dir(version), partition_by)
+        self._commit(version)
+        return version
+
+    def compact(self, spark: SparkSession, target_files: int) -> int:
+        """Compaction = rewrite current into a fresh version + pointer
+        commit. Same read→repartition→write plan as :func:`compact_table`,
+        but the swap is O(1) metadata and never hides the table."""
+        df = self.read(spark).repartition(target_files)
+        version = self.write(df)
+        return sum(1 for f in spark.read.parquet(self.data_dir(version))
+                   .inputFiles() if not f.rsplit("/", 1)[-1].startswith("."))
+
+    def vacuum(self, keep: int = 1) -> list[str]:
+        """Delete data directories older than the ``keep`` most recent
+        committed versions (never the live one). Returns removed paths."""
+        import shutil
+
+        current = self.current_version()
+        if current is None:
+            return []
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(self.root)
+            if d.startswith("v") and d[1:].isdigit())
+        keep_set = set(versions[-keep:]) | {current}
+        removed = []
+        for v in versions:
+            if v not in keep_set:
+                path = self.data_dir(v)
+                shutil.rmtree(path)
+                removed.append(path)
+        return removed
+
+
 # ---------------------------------------------------------------------------
 # Storage adapters — S4/K1 parity seam
 # ---------------------------------------------------------------------------

@@ -681,3 +681,46 @@ def test_rename_swap_marker_lifecycle(spark, tmp_path):
     assert os.path.exists(marker)
     text = open(marker).read()
     assert tmp in text and tmp + ".__old" in text
+
+
+def test_versioned_table_commit_protocol(spark, tmp_path):
+    """core.io.VersionedParquetTable: truncate-and-load and compaction as
+    O(1) pointer commits — a reader's resolved plan survives a concurrent
+    commit (it scans the immutable old version), a crash BEFORE the pointer
+    commit leaves the previous version live, and vacuum never deletes the
+    live version."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.core import io as io_ops
+
+    t = io_ops.VersionedParquetTable(str(tmp_path / "vt"))
+    assert t.current_version() is None
+
+    assert t.write(spark.range(100).withColumn("x", F.col("id") * 2)) == 1
+    old_reader = t.read(spark)            # resolves v1 at plan time
+
+    # a second truncate-and-load commits v2; the table dir never vanishes
+    assert t.write(spark.range(50).withColumn("x", F.lit(0))) == 2
+    assert t.read(spark).count() == 50
+    assert old_reader.count() == 100      # old plan still scans immutable v1
+
+    # crash before commit: a complete-but-uncommitted v3 must stay invisible
+    spark.range(7).withColumn("x", F.lit(1)).write.parquet(t.data_dir(3))
+    assert t.current_version() == 2
+    assert t.read(spark).count() == 50
+
+    # compaction = rewrite + pointer commit (v4 supersedes the orphan too)
+    spark.range(2000).withColumn("x", F.col("id")).repartition(32) \
+        .write.mode("overwrite").parquet(t.data_dir(4))
+    t._commit(4)
+    n_files = t.compact(spark, target_files=2)
+    assert n_files <= 3
+    assert t.current_version() == 5
+    assert t.read(spark).count() == 2000
+
+    removed = t.vacuum(keep=1)
+    assert t.data_dir(5) not in removed and os.path.exists(t.data_dir(5))
+    assert not os.path.exists(t.data_dir(1))
+    assert t.read(spark).count() == 2000
