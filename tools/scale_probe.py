@@ -17,6 +17,11 @@ scales, so the scaling exponent is measured rather than asserted:
   shingle overlap, so the MinHash/SimHash candidate volume grows linearly
   like a real corpus.
 
+- ``events`` x10: each replica offsets ``event_id`` AND ``user_id`` —
+  fresh users, same timestamps — so the streaming probes carry 10x state
+  keys (sessions/windows) over the same event-time range, which is how a
+  stateful operator actually grows (state volume, not watermark span).
+
 Remaining tables are symlinked from sf0.1 (the probed queries don't scan
 them at scale). Probe data lives under ``.scale/`` (gitignored) and is
 safe to delete.
@@ -66,11 +71,30 @@ def build(dest: str = DEST) -> None:
     os.makedirs(dest, exist_ok=True)
 
     for t in ALL_TABLES:
-        if t in ("lineitem", "documents"):
+        if t in ("lineitem", "documents", "events"):
             continue
         link = os.path.join(dest, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+
+    ev_path = os.path.join(dest, "events.parquet")
+    if not os.path.exists(ev_path) or os.path.islink(ev_path):
+        if os.path.islink(ev_path):
+            os.remove(ev_path)
+        ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+        eid = ev.column("event_id").to_numpy()
+        uid = ev.column("user_id").to_numpy()
+        e_off, u_off = int(eid.max()) + 1, int(uid.max()) + 1
+        writer = pq.ParquetWriter(ev_path, ev.schema)
+        for r in range(REPLICAS):
+            tbl = ev.set_column(
+                ev.schema.get_field_index("event_id"), "event_id",
+                pa.array(eid + r * e_off, type=ev.schema.field("event_id").type))
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("user_id"), "user_id",
+                pa.array(uid + r * u_off, type=ev.schema.field("user_id").type))
+            writer.write_table(tbl)
+        writer.close()
 
     li_path = os.path.join(dest, "lineitem.parquet")
     if not os.path.exists(li_path):
