@@ -332,8 +332,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ``connected_components_star``) every ``check_interval`` steps; up to
     ``check_interval − 1`` propagation steps run redundantly after the
     true fixpoint — measured strictly cheaper than materializing every
-    step (1.4 s → 0.9 s at sf0.1; 6.9 s → 4.2 s on the 10× probe, where
-    the candidate graph's diameter reaches ~21 hops). Iterations needed =
+    step (noop-drain: 1.2 s → 0.9 s at sf0.1; 6.3 s → 3.7 s on the 10×
+    probe, where the candidate graph's diameter reaches ~21 hops — the
+    win grows with scale because each skipped materialization costs
+    O(|nodes|)). Iterations needed =
     graph diameter in min-label hops (dup clusters are shallow —
     boilerplate stars converge in 2-3; long transitive chains are the
     ``connected_components_star`` regime). Returns (id, component) for

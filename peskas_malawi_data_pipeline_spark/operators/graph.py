@@ -47,12 +47,13 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
     ``checkpoint_interval`` truncates lineage every N rounds; rounds in
     between stay LAZY so Catalyst fuses them into one job (each round's
     score frame is consumed exactly once — by the next round's broadcast —
-    so nothing recomputes). Measured on the order↔part graph: fusing 5
-    rounds into one job vs materializing each is 4.8 s → 1.8 s at sf0.1
-    and 40 s → 10.5 s at 10× that — per-round eager materialization was
-    pure scheduling/serialization overhead. Keep the interval bounded
-    (default 5): unbounded lazy chaining makes analysis time and failure
-    re-computation grow with iteration count."""
+    so nothing recomputes). Measured on the order↔part graph (noop-sink
+    drain, so every output column is evaluated): fusing 5 rounds into one
+    job vs materializing each is 4.4 s → 3.8 s at sf0.1 and 39 s → 13 s at
+    10× that — per-round eager materialization costs O(|nodes|)
+    serialization per round, so the fusion win GROWS with scale. Keep the
+    interval bounded (default 5): unbounded lazy chaining makes analysis
+    time and failure re-computation grow with iteration count."""
     nodes = (edges.select(F.col(src).alias("id"))
              .union(edges.select(F.col(dst).alias("id")))
              .distinct().localCheckpoint(eager=True))

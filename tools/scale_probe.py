@@ -161,11 +161,27 @@ def main() -> None:
     results = {}
     for name in names:
         fn = qs[name]
+        # bench-style warmup: first execution of a plan shape in a fresh
+        # JVM pays a multi-second codegen/JIT stall that would swamp the
+        # small-SF side of the ratio
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop") \
+                .mode("overwrite").save()
+        except Exception:
+            pass
         row = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", DEST)):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            row[label] = {"sec": round(time.time() - t0, 2), "rows": n}
+            # noop sink, not count(): count() lets Catalyst eliminate
+            # unique-key left joins and prune aggregate expressions, timing
+            # a fraction of the real plan; noop evaluates every output
+            # column of every row. Row count comes from a separate cheap
+            # pass (cached pages) purely for the report.
+            secs = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                secs.append(round(time.time() - t0, 2))
+            row[label] = {"sec": min(secs), "rows": fn(spark, sf_dir).count()}
         row["ratio"] = round(row["sf1"]["sec"] / max(row["sf0.1"]["sec"], 1e-9), 2)
         results[name] = row
         print(json.dumps({name: row}))
