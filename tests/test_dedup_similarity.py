@@ -312,3 +312,70 @@ def test_incremental_lsh_equals_full_run_restriction(spark):
         D.minhash_bands(new, num_hashes=8, band_size=2, shingle_n=3),
         D.minhash_bands(old, num_hashes=8, band_size=2, shingle_n=3)).collect()}
     assert got == want and len(got) > 0
+
+
+def test_connected_components_property_random_graphs(spark):
+    """Property: both component operators equal a union-find ground truth
+    (minimum id per component) on randomized graphs — chains, cliques,
+    isolated edges, duplicate/self pairs — across check intervals. Guards
+    the fused self-loop formulation of min-label propagation."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        if trial == 3:               # adversarial: long chain + clique
+            pairs += [(i, i + 1) for i in range(30)] + \
+                     [(50 + a, 50 + b) for a in range(5) for b in range(5)]
+
+        parent = list(range(max(max(p) for p in pairs) + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in pairs:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in nodes}
+
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        for ci in (1, 2, 3):
+            got = {r.id: r.component for r in
+                   D.connected_components(df, max_iter=60,
+                                          check_interval=ci).collect()}
+            assert got == want, (trial, ci)
+        got_star = {r.id: r.component
+                    for r in D.connected_components_star(df).collect()}
+        assert got_star == want, trial
+
+
+def test_pagerank_invariant_to_partitioning_and_checkpointing(spark):
+    """Integer PageRank's contract: identical scores no matter how the
+    input is partitioned or how often lineage is truncated (the fused-
+    rounds path and the materialize-every-round path are the same
+    algorithm)."""
+    import random
+
+    from peskas_malawi_data_pipeline_spark.operators import graph as G
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).distinct()
+
+    ref = {r.id: r.score_micro
+           for r in G.pagerank_integer(df, iterations=4).collect()}
+    for variant in (df.repartition(13), df.coalesce(1)):
+        for ci in (1, 4):
+            got = {r.id: r.score_micro
+                   for r in G.pagerank_integer(
+                       variant, iterations=4,
+                       checkpoint_interval=ci).collect()}
+            assert got == ref
