@@ -1285,6 +1285,33 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.connected_components_star(pairs)
 
 
+@register("incremental_dedup_groups", _DUCK_COMPONENTS_SQL)
+def incremental_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental dedup loop at O(increment) cost: the
+    ``doc_id % 7 == 0`` slice plays the day's new batch; the persisted
+    state is the OLD corpus's band index AND its (id, component) snapshot.
+    The increment is sketched, band-joined against the index
+    (dedup.incremental_lsh_pairs), and the new pairs update the stored
+    assignments via dedup.incremental_components — prior components enter
+    as depth-1 star edges, so propagation converges in ~2 fused rounds
+    regardless of corpus history. Oracle: the from-scratch recursive-CTE
+    closure over the FULL corpus — the incremental path must reproduce the
+    full recompute exactly (it does; caps never trigger at oracle scale,
+    see incremental_lsh_pairs on cap semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    prior = dedup_ops.connected_components(dedup_ops.minhash_lsh_pairs(
+        old, num_hashes=8, band_size=2, shingle_n=3))
+    index_bands = dedup_ops.minhash_bands(
+        old, num_hashes=8, band_size=2, shingle_n=3)
+    new_bands = dedup_ops.minhash_bands(
+        new, num_hashes=8, band_size=2, shingle_n=3)
+    new_pairs = dedup_ops.incremental_lsh_pairs(new_bands, index_bands,
+                                                max_bucket=1000)
+    return dedup_ops.incremental_components(prior, new_pairs)
+
+
 _DUCK_SIMHASH_CTE = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 hs AS (SELECT doc_id,
   list_transform(list_distinct(t),

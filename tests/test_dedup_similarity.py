@@ -379,3 +379,27 @@ def test_pagerank_invariant_to_partitioning_and_checkpointing(spark):
                        variant, iterations=4,
                        checkpoint_interval=ci).collect()}
             assert got == ref
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """incremental_components(prior snapshot, new pairs) must equal
+    connected_components over the full pair history — including pairs that
+    BRIDGE two previously-separate components, extend one, or introduce
+    brand-new nodes, with singletons surviving as their own component."""
+    import random
+
+    rng = random.Random(11)
+    old_pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(30)]
+    old_pairs += [(30, 30)]                      # singleton component
+    new_pairs = [(rng.randrange(35), rng.randrange(35)) for _ in range(10)]
+    new_pairs += [(0, 30), (40, 41)]             # bridge + brand-new nodes
+
+    old_df = spark.createDataFrame(old_pairs, ["id_a", "id_b"])
+    new_df = spark.createDataFrame(new_pairs, ["id_a", "id_b"])
+
+    prior = D.connected_components(old_df)
+    got = {(r.id, r.component) for r in
+           D.incremental_components(prior, new_df).collect()}
+    want = {(r.id, r.component) for r in
+            D.connected_components(old_df.unionByName(new_df)).collect()}
+    assert got == want
