@@ -414,3 +414,92 @@ def test_validate_stage_single_bounds_exchange(preprocessed):
     # (bounds computation + bounds application), each possibly re-printed
     # inside downstream build sides
     assert n_fused <= 6
+
+
+# ------------------------------------------------- end-to-end composition
+
+def test_full_pipeline_composes_into_one_lazy_plan(spark, raw, devices):
+    """The reference runs six stages as separate container jobs writing a
+    collection between each (data-pipeline.yaml:39-133); here the whole
+    chain preprocess → validate → merge → export composes into ONE lazy
+    Catalyst plan — no materialization between stages. Pins: (a) the
+    composed plan stays Python-free (no BatchEvalPython), (b) both exports
+    execute off the shared chain with the expected contents, (c) the
+    track-export plan's shuffle budget stays within the documented ceiling
+    (broadcast dims + LocScaleB bounds + the one fact⋈fact merge)."""
+    validated = validate.validate_landings(preprocess.preprocess_landings(raw))
+    # extend the trips/points fixtures with a trip overlapping the raw
+    # fixture's (2024-03-02, ...2222) landing so the merge has a survivor
+    extra_trip = spark.createDataFrame([Row(
+        Trip=201, IMEI="861111030002222", Device="d2", Boat="Chambo1",
+        Community="Chembe", Started=dt.datetime(2024, 3, 2, 4, 0),
+        Ended=dt.datetime(2024, 3, 2, 10, 0))])
+    for c in ["Duration (Seconds)", "Range (Meters)", "Distance (Meters)"]:
+        extra_trip = extra_trip.withColumn(c, FX.F_lit_null_double())
+    trips = FX.trips_df(spark).unionByName(extra_trip)
+    extra_points = spark.createDataFrame([Row(
+        Trip=201, Time=dt.datetime(2024, 3, 2, 4, 0) + dt.timedelta(seconds=60 * i),
+        Lat=-14.2 - 0.0001 * i, Lng=34.8 + 0.0002 * i) for i in range(40)])
+    points = FX.points_df(spark).unionByName(extra_points)
+
+    merged = merge.merge_trips(validated, trips, devices)
+    landings_out = export.export_landings(validated)
+    tracks_out = export.export_matched_tracks(merged, points)
+
+    plan = _plan(tracks_out, "formatted")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # shuffle ceiling: bounds aggregates + unique-trip windows on both merge
+    # sides + the merge join + the bucket rollup; broadcast exchanges (dims,
+    # bounds, imei registry) don't count — they are not repartitions
+    n_shuffle = plan.count("Exchange hashpartitioning") \
+        + plan.count("Exchange rangepartitioning")
+    assert n_shuffle <= 8, f"merge/export shuffle budget blew up: {n_shuffle}"
+
+    assert landings_out.count() > 0
+    rows = tracks_out.collect()
+    assert len(rows) > 0 and all(r.n_pings >= 1 for r in rows)
+
+
+def test_streaming_incremental_validate_matches_batch(spark, raw, tmp_path):
+    """Production shape for incremental validation at scale: the robust
+    LocScaleB bounds are a nightly BATCH artifact (a scalar per metric);
+    the landing stream applies them as literals — pure stateless
+    projections, no stream-side aggregation, so arbitrarily late data
+    never recomputes history. The streamed alerts must equal the batch
+    validate stage's on the same rows (same bounds, same masking)."""
+    from peskas_malawi_data_pipeline_spark.operators import validation as V
+    from peskas_malawi_data_pipeline_spark.plans.validate import DEFAULT_K
+
+    pre = preprocess.preprocess_landings(raw)
+    batch = validate.validate_counts_fused(pre).select(
+        "survey_id", "catch_taxon", "n_fishers", "n_boats")
+
+    # nightly artifact: one row of bounds, collected driver-side
+    b = V.loc_scale_bounds_multi(
+        pre, {"n_fishers": (DEFAULT_K["k_nfishers"], "expm1"),
+              "n_boats": (DEFAULT_K["k_nboats"], "expm1")}).first()
+
+    src = str(tmp_path / "landing")
+    pre_mat = pre
+    pre_mat.write.parquet(src)
+    stream = spark.readStream.schema(pre_mat.schema).parquet(src)
+
+    def masked(col, ub):
+        v = F.col(col)
+        bad = (v < 0) | (F.lit(ub).isNotNull() & (v > F.lit(ub)))
+        return F.when(~bad, v)
+
+    streamed = stream.select(
+        "survey_id", "catch_taxon",
+        masked("n_fishers", b["n_fishers_upper"]).alias("n_fishers"),
+        masked("n_boats", b["n_boats_upper"]).alias("n_boats"))
+    out = str(tmp_path / "out")
+    (streamed.writeStream.format("parquet")
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .option("path", out).trigger(availableNow=True).start()
+     .awaitTermination(120))
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
