@@ -71,11 +71,41 @@ def build(dest: str = DEST) -> None:
     os.makedirs(dest, exist_ok=True)
 
     for t in ALL_TABLES:
-        if t in ("lineitem", "documents", "events"):
+        if t in ("lineitem", "documents", "events", "embeddings"):
             continue
         link = os.path.join(dest, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+
+    # embeddings x10: fresh vec_ids; replicas r>0 rotate the component
+    # order by r (norm-preserving, cosine-to-original low) so replicas are
+    # DISTINCT vectors and candidate volume grows linearly like a fresh
+    # corpus. (A small-delta perturbation instead makes every replica a
+    # genuine near-dup of its source — 10-cliques — and the near-dup
+    # probes become output-bound quadratic, same effect as simhash_pairs
+    # on the saturated text corpus; measured: 15× time for 162× pairs.)
+    emb_path = os.path.join(dest, "embeddings.parquet")
+    if not os.path.exists(emb_path) or os.path.islink(emb_path):
+        if os.path.islink(emb_path):
+            os.remove(emb_path)
+        emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+        vid = emb.column("vec_id").to_numpy()
+        vecs = emb.column("embedding").to_pylist()
+        v_off = int(vid.max()) + 1
+        writer = pq.ParquetWriter(emb_path, emb.schema)
+        for r in range(REPLICAS):
+            if r == 0:
+                vr = vecs
+            else:
+                vr = [v[r:] + v[:r] for v in vecs]
+            tbl = emb.set_column(
+                emb.schema.get_field_index("vec_id"), "vec_id",
+                pa.array(vid + r * v_off, type=emb.schema.field("vec_id").type))
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("embedding"), "embedding",
+                pa.array(vr, type=emb.schema.field("embedding").type))
+            writer.write_table(tbl)
+        writer.close()
 
     ev_path = os.path.join(dest, "events.parquet")
     if not os.path.exists(ev_path) or os.path.islink(ev_path):
