@@ -179,14 +179,24 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Per-doc SimHash sketch over word tokens: each token hashes to ``bits``
     bits (md5-derived); each bit position accumulates +1/−1 across distinct
     tokens; the sign vector packs into one integer. Pure map, no shuffle.
+
+    ``bits`` up to 60 is supported — the sketch-width lever for corpora
+    that saturate 32 bits (shared-vocabulary boilerplate; see SCALE.md
+    §10). ≤32 bits reads 8 md5 hex chars (kept byte-stable for the
+    cross-engine oracles); wider sketches read 15 hex chars (60 bits,
+    still < 2^63 so the conv→long cast never overflows).
     """
+    if bits > 60:
+        raise ValueError(f"simhash bits must be <= 60, got {bits}")
     # Hash each distinct token once (one md5 per token, not per token×bit),
     # expand each hash to its ±1 bit-vote vector, then ONE fold accumulates
     # all `bits` votes per traversal step — the token array is walked once,
     # not once per bit (VERDICT r01 "What's wrong" #2).
+    n_hex = 8 if bits <= 32 else 15
     hashes = F.transform(
         F.array_distinct(T.tokens(F.col(text_col))),
-        lambda t: F.conv(F.substring(F.md5(F.concat(F.lit("sh:"), t)), 1, 8), 16, 10).cast("long"))
+        lambda t: F.conv(F.substring(F.md5(F.concat(F.lit("sh:"), t)), 1, n_hex),
+                         16, 10).cast("long"))
     bitvotes = F.transform(hashes, lambda h: F.array(*[
         F.when(F.shiftright(h, b).bitwiseAND(1) == 1, F.lit(1)).otherwise(F.lit(-1))
         for b in range(bits)]))
@@ -195,8 +205,9 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
         F.array_repeat(F.lit(0), bits),
         lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x))
     tmp = df.withColumn("__votes", votes)
-    # pack the sign vector into one integer with a second (16-element) fold;
-    # 2^b via pow(double) is exact for b < 52
+    # pack the sign vector into one integer with a second fold; 2^b via
+    # pow(double) is a power of two, exactly representable for every b
+    # here, and the long cast is safe for b <= 60
     packed = F.aggregate(
         F.col("__votes"),
         F.struct(F.lit(0).cast("long").alias("v"), F.lit(0).alias("b")),

@@ -403,3 +403,27 @@ def test_incremental_components_equals_full_recompute(spark):
     want = {(r.id, r.component) for r in
             D.connected_components(old_df.unionByName(new_df)).collect()}
     assert got == want
+
+
+def test_simhash_wide_sketch_disperses(spark):
+    """bits=60 — the saturation lever: wide sketches must actually use the
+    high bits (values above 2^32), stay deterministic, keep the ≤32-bit
+    path byte-stable (8-hex oracle parity), and reject bits > 60."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i} epsilon zeta") for i in range(40)],
+        ["doc_id", "text"])
+    wide = {r.doc_id: r.simhash for r in D.simhash(docs, bits=60).collect()}
+    assert any(v >= (1 << 32) for v in wide.values())
+    assert wide == {r.doc_id: r.simhash
+                    for r in D.simhash(docs, bits=60).collect()}
+    # wide sketches separate docs a 16-bit sketch would collide
+    narrow = {r.doc_id: r.simhash for r in D.simhash(docs, bits=16).collect()}
+    assert len(set(wide.values())) >= len(set(narrow.values()))
+    # banded pair generation still works on the wide sketch
+    pairs = D.simhash_pairs(docs, bits=60, bands=6, max_hamming=3)
+    for r in pairs.collect():
+        assert r.hamming <= 3
+    with _pytest.raises(ValueError, match="<= 60"):
+        D.simhash(docs, bits=64)
