@@ -169,6 +169,11 @@ class VersionedParquetTable:
     missing (the rename swap's weakness), and a crash before the pointer
     commit leaves the previous version live with only an orphaned data
     directory to garbage-collect (``vacuum``).
+
+    Single-writer, like a Delta table without a locking LogStore: two
+    concurrent writers can both stage the same next version and the later
+    pointer replace wins (lost update, never a torn table). Serialize
+    writers externally, or plug a CAS-capable pointer store.
     """
 
     POINTER = "_CURRENT"
