@@ -427,3 +427,18 @@ def test_simhash_wide_sketch_disperses(spark):
         assert r.hamming <= 3
     with _pytest.raises(ValueError, match="<= 60"):
         D.simhash(docs, bits=64)
+
+
+def test_graph_operators_empty_input(spark):
+    """Empty candidate/edge frames must yield empty results, not hang the
+    fixpoint loops or crash the checksum/convergence logic."""
+    from peskas_malawi_data_pipeline_spark.operators import graph as G
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty_pairs).count() == 0
+    assert D.connected_components_star(empty_pairs).count() == 0
+    assert D.incremental_components(
+        spark.createDataFrame([], "id long, component long"),
+        empty_pairs).count() == 0
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert G.pagerank_integer(empty_edges, iterations=2).count() == 0
