@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.barrier import materialize
 from ..functions import text as T
 
 
@@ -91,10 +92,12 @@ def _index_barrier(df: DataFrame) -> DataFrame:
     upstream pipeline (regex tokenize → shingle → hash) would run twice —
     measured 2× the whole query cost for the LSH operators. The banded /
     posting index is orders of magnitude smaller than the corpus (ids +
-    band keys, no text), so an eager localCheckpoint is the scale-correct
-    barrier: per-partition blocks, no driver collect, lineage truncated.
+    band keys, no text), so an eager materialization is the scale-correct
+    barrier: no driver collect, lineage truncated (local blocks, or the
+    reliable checkpoint store when the session configures one —
+    core.barrier).
     """
-    return df.localCheckpoint(eager=True)
+    return materialize(df)
 
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id",
@@ -359,9 +362,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
              .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
              .distinct())
     nodes = edges.select(F.col("src").alias("id")).distinct()
-    edges = (edges.union(nodes.select(F.col("id").alias("src"),
-                                      F.col("id").alias("dst")))
-             .localCheckpoint(eager=True))
+    edges = materialize(
+        edges.union(nodes.select(F.col("id").alias("src"),
+                                 F.col("id").alias("dst"))))
     labels = nodes.withColumn("comp", F.col("id"))
     prev_chk = None
     for i in range(max_iter):
@@ -369,7 +372,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                   .groupBy("src").agg(F.min("comp").alias("comp"))
                   .withColumnRenamed("src", "id"))
         if (i + 1) % check_interval == 0 or i + 1 == max_iter:
-            labels = labels.localCheckpoint(eager=True)
+            labels = materialize(labels)
             cnt, hsh = labels.agg(
                 F.count(F.lit(1)),
                 # decimal accumulator: a long sum of 64-bit hashes overflows
@@ -444,10 +447,9 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
 
     # checkpoint before the loop: round 1 and the node frame otherwise each
     # re-evaluate the upstream candidate pipeline
-    edges = canon(pairs.select(F.col(id_a).alias("src"),
-                               F.col(id_b).alias("dst"))).localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("id")).distinct() \
-        .localCheckpoint(eager=True)
+    edges = materialize(canon(pairs.select(F.col(id_a).alias("src"),
+                                           F.col(id_b).alias("dst"))))
+    nodes = materialize(edges.select(F.col("src").alias("id")).distinct())
 
     prev_chk = None
     for _ in range(max_rounds):
@@ -471,7 +473,7 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         lo = lo.withColumn("m", mn)
         small = (lo.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
                  .union(lo.select(F.col("src"), F.col("m").alias("dst"))))
-        edges = canon(small).localCheckpoint(eager=True)
+        edges = materialize(canon(small))
         # decimal accumulator: a long sum of 64-bit hashes overflows ANSI
         cnt, hsh = edges.agg(
             F.count(F.lit(1)),

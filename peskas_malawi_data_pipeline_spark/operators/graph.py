@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..core.barrier import materialize
+
 UNIT = 1_000_000  # one PageRank point, in micro-units
 
 
@@ -54,13 +56,12 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
     serialization per round, so the fusion win GROWS with scale. Keep the
     interval bounded (default 5): unbounded lazy chaining makes analysis
     time and failure re-computation grow with iteration count."""
-    nodes = (edges.select(F.col(src).alias("id"))
-             .union(edges.select(F.col(dst).alias("id")))
-             .distinct().localCheckpoint(eager=True))
+    nodes = materialize(edges.select(F.col(src).alias("id"))
+                        .union(edges.select(F.col(dst).alias("id")))
+                        .distinct())
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     # static per-edge frame: (src, dst, src out-degree), reused every round
-    e = (edges.select(src, dst).join(out_deg, src)
-         .localCheckpoint(eager=True))
+    e = materialize(edges.select(src, dst).join(out_deg, src))
 
     base = F.lit((100 - damping_pct) * UNIT // 100).cast("long")
     scores = nodes.withColumn("score_micro", F.lit(UNIT).cast("long"))
@@ -81,5 +82,5 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
                       f"({damping_pct} * coalesce(__sum, 0L)) div 100"))
                       .alias("score_micro")))
         if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
-            scores = scores.localCheckpoint(eager=True)
+            scores = materialize(scores)
     return scores

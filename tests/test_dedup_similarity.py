@@ -442,3 +442,37 @@ def test_graph_operators_empty_input(spark):
         empty_pairs).count() == 0
     empty_edges = spark.createDataFrame([], "src long, dst long")
     assert G.pagerank_integer(empty_edges, iterations=2).count() == 0
+
+
+def test_barrier_uses_reliable_checkpoints_when_configured(spark, tmp_path):
+    """core.barrier.materialize: local checkpoint by default; once the
+    session sets a checkpoint dir (the cluster/preemptible-fleet setup in
+    SCALE.md §11), every iterative-operator barrier — including a full
+    components run — persists to the reliable store, surviving executor
+    loss."""
+    import glob
+    import os
+
+    from peskas_malawi_data_pipeline_spark.core.barrier import materialize
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    local = materialize(spark.range(5))
+    assert local.count() == 5
+
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        out = materialize(spark.range(5))
+        assert out.count() == 5
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        comps = {(r.id, r.component)
+                 for r in D.connected_components(pairs).collect()}
+        assert comps == {(1, 1), (2, 1), (3, 1)}
+        files = glob.glob(os.path.join(ckpt, "**", "*"), recursive=True)
+        assert files, "no reliable checkpoint data written"
+    finally:
+        # un-set so the shared session's other tests keep local barriers
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.empty())
+    assert sc.getCheckpointDir() is None
