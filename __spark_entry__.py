@@ -86,10 +86,19 @@ def _ordered_names() -> list[str]:
     names = list(REGISTRY)
     seen = _driver_checked_rounds()
     if seen:
-        # never-checked first (registry order), then stale-evidence-first;
-        # ties broken by registry position so the order is deterministic
+        # never-checked first (registry order), then judge-cleared (they
+        # have exact-oracle evidence from the round-2 independent sweep,
+        # recorded in VERDICT.md, so they yield their slot — pseudo-round
+        # 0), then stale-driver-evidence-first; ties broken by registry
+        # position so the order is deterministic
         pos = {n: i for i, n in enumerate(names)}
-        return sorted(names, key=lambda n: (seen.get(n, -1), pos[n]))
+
+        def rank(n: str) -> tuple:
+            if n in seen:
+                return (seen[n], pos[n])
+            return (0 if n in _JUDGE_CHECKED_R02 else -1, pos[n])
+
+        return sorted(names, key=rank)
     never = [n for n in names
              if n not in _DRIVER_CHECKED_R01_R02 and n not in _JUDGE_CHECKED_R02]
     judge = [n for n in names if n in _JUDGE_CHECKED_R02]

@@ -227,7 +227,10 @@ class VersionedParquetTable:
 
     def vacuum(self, keep: int = 1) -> list[str]:
         """Delete data directories older than the ``keep`` most recent
-        committed versions (never the live one). Returns removed paths."""
+        COMMITTED versions (never the live one), plus any uncommitted
+        orphan (version > current: a crashed write's staging dir — safe to
+        drop under the documented single-writer model). Returns removed
+        paths."""
         import shutil
 
         current = self.current_version()
@@ -236,7 +239,8 @@ class VersionedParquetTable:
         versions = sorted(
             int(d[1:]) for d in os.listdir(self.root)
             if d.startswith("v") and d[1:].isdigit())
-        keep_set = set(versions[-keep:]) | {current}
+        committed = [v for v in versions if v <= current]
+        keep_set = set(committed[-max(keep, 1):]) | {current}
         removed = []
         for v in versions:
             if v not in keep_set:

@@ -35,6 +35,27 @@ def _median(col: Column, approx: bool) -> Column:
     return F.percentile_approx(col, 0.5, 100000) if approx else F.median(col)
 
 
+def _guarded_bounds(med: Column, mad_raw: Column, absmax: Column,
+                    k: float, back_transform: str) -> tuple[Column, Column]:
+    """(lower, upper) from a group's (median, raw MAD, max |x|): the one
+    place the LocScaleB bound arithmetic, back-transform dispatch, and
+    degenerate-group guard live — shared by the per-column and fused
+    multi-column paths so they cannot drift apart."""
+    scale = mad_raw * MAD_CONSISTENCY
+    lo_y, hi_y = med - k * scale, med + k * scale
+    if back_transform == "exp":
+        lo, hi = F.exp(lo_y), F.exp(hi_y)
+    elif back_transform == "expm1":
+        lo, hi = F.expm1(lo_y), F.expm1(hi_y)
+    elif back_transform == "none":
+        lo, hi = lo_y, hi_y
+    else:
+        raise ValueError(f"unknown back_transform: {back_transform}")
+    # Guards: all-zero group (max |x| == 0) or degenerate MAD -> no bounds.
+    valid = (absmax > 0) & (mad_raw > 0)
+    return F.when(valid, lo), F.when(valid, hi)
+
+
 def loc_scale_bounds(df: DataFrame, value: str, keys: Sequence[str] = (),
                      k: float = 3.0, logt: bool = True,
                      back_transform: str = "exp",
@@ -63,25 +84,9 @@ def loc_scale_bounds(df: DataFrame, value: str, keys: Sequence[str] = (),
                 F.first("__med").alias("__med"),
                 F.first("__absmax").alias("__absmax")))
 
-    scale = F.col("__mad_raw") * MAD_CONSISTENCY
-    lo_y = F.col("__med") - k * scale
-    hi_y = F.col("__med") + k * scale
-    if back_transform == "exp":
-        lo, hi = F.exp(lo_y), F.exp(hi_y)
-    elif back_transform == "expm1":
-        lo, hi = F.expm1(lo_y), F.expm1(hi_y)
-    elif back_transform == "none":
-        lo, hi = lo_y, hi_y
-    else:
-        raise ValueError(f"unknown back_transform: {back_transform}")
-
-    # Guards: all-zero group (max |x| == 0) or degenerate MAD → no bounds.
-    valid = (F.col("__absmax") > 0) & (F.col("__mad_raw") > 0)
-    return mad.select(
-        *gb,
-        F.when(valid, lo).alias("lower_bound"),
-        F.when(valid, hi).alias("upper_bound"),
-    )
+    lo, hi = _guarded_bounds(F.col("__med"), F.col("__mad_raw"),
+                             F.col("__absmax"), k, back_transform)
+    return mad.select(*gb, lo.alias("lower_bound"), hi.alias("upper_bound"))
 
 
 def loc_scale_bounds_multi(df: DataFrame, specs: dict,
@@ -115,20 +120,9 @@ def loc_scale_bounds_multi(df: DataFrame, specs: dict,
 
     outs = []
     for col, (k, back_transform) in specs.items():
-        scale = F.col(f"__mad_{col}") * MAD_CONSISTENCY
-        lo_y = F.col(f"__med_{col}") - k * scale
-        hi_y = F.col(f"__med_{col}") + k * scale
-        if back_transform == "exp":
-            lo, hi = F.exp(lo_y), F.exp(hi_y)
-        elif back_transform == "expm1":
-            lo, hi = F.expm1(lo_y), F.expm1(hi_y)
-        elif back_transform == "none":
-            lo, hi = lo_y, hi_y
-        else:
-            raise ValueError(f"unknown back_transform: {back_transform}")
-        valid = (F.col(f"__absmax_{col}") > 0) & (F.col(f"__mad_{col}") > 0)
-        outs += [F.when(valid, lo).alias(f"{col}_lower"),
-                 F.when(valid, hi).alias(f"{col}_upper")]
+        lo, hi = _guarded_bounds(F.col(f"__med_{col}"), F.col(f"__mad_{col}"),
+                                 F.col(f"__absmax_{col}"), k, back_transform)
+        outs += [lo.alias(f"{col}_lower"), hi.alias(f"{col}_upper")]
     return pass2.select(*outs)
 
 

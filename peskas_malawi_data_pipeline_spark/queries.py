@@ -37,6 +37,31 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int:
+    """Scan-split estimate from file listing + sizes — the same arithmetic
+    FilePartition planning uses (Σ ceil(size / maxPartitionBytes)), without
+    ``df.rdd.getNumPartitions()``'s full plan→RDD conversion on every
+    loader call. Falls back to the RDD count if sizes aren't locally
+    statable (non-file:// storage)."""
+    import math
+    import os as _os
+    from urllib.parse import urlparse
+
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    mpb = int(digits) if digits else 134217728
+    try:
+        splits = 0
+        for uri in df.inputFiles():
+            p = urlparse(uri)
+            if p.scheme not in ("", "file"):
+                raise OSError(f"non-local scheme {p.scheme}")
+            splits += max(1, math.ceil(_os.path.getsize(p.path or uri) / mpb))
+        return splits
+    except OSError:
+        return df.rdd.getNumPartitions()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in ("documents", "embeddings"):
         # The harness parquet is a single file with ONE row group, so the scan
@@ -48,7 +73,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # pays no shuffle.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         want = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, want // 4):
+        if _estimated_scan_splits(spark, df) < max(2, want // 4):
             df = df.repartition(want)
         return df
     if name == "events":

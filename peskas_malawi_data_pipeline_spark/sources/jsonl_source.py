@@ -39,11 +39,18 @@ def _convert(value, dtype):
     if isinstance(dtype, ArrayType):
         return [_convert(v, dtype.elementType) for v in value]
     if isinstance(dtype, LongType):
-        return int(value)
+        if isinstance(value, bool):
+            return None            # PERMISSIVE parity: bool ≠ long → NULL
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            return None            # PERMISSIVE parity: type mismatch → NULL
     if isinstance(dtype, StringType) and not isinstance(value, str):
-        # match the JSON reader: true/false → "true"/"false", numbers keep
-        # their JSON rendering (no float artifacts for ints)
-        return json.dumps(value) if isinstance(value, bool) else str(value)
+        # match the JSON reader: numbers arrive as their exact lexical
+        # token (parse_float/parse_int=str below — str(float) would turn
+        # "2.50" into "2.5" and "1e3" into "1000.0"); everything else
+        # (bool/object/array) renders as JSON text, not Python repr
+        return json.dumps(value)
     return value
 
 
@@ -85,7 +92,10 @@ class KoboJsonlReader(DataSourceReader):
                 if not line:
                     continue
                 try:
-                    rec = json.loads(line)
+                    # numbers parse as their raw text so StringType fields
+                    # preserve the lexical token ("2.50" stays "2.50", as
+                    # in the PERMISSIVE reader); typed fields re-parse
+                    rec = json.loads(line, parse_float=str, parse_int=str)
                 except ValueError:
                     continue  # corrupt-line absorption (reference parity)
                 yield _convert(rec, self.schema_)

@@ -74,6 +74,13 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800,
         prev = np.empty_like(secs)
         prev[0] = last_s if last_s is not None else np.iinfo("int64").min // 2
         prev[1:] = secs[:-1]
+        if last_s is not None:
+            # valid out-of-order arrivals (above the watermark, below the
+            # carried last_s) interleave with history: an event's GLOBAL
+            # predecessor is max(previous batch event, carried last_s) —
+            # without the clamp, an old-but-valid event resets the gap
+            # base and the next in-order event falsely opens a new session
+            np.maximum(prev, last_s, out=prev)
         new_flag = (secs - prev) > gap_s
         seg = np.cumsum(new_flag)          # 0 = continuation of carried session
 
@@ -84,7 +91,12 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800,
         for seg_id, row in agg.iterrows():
             if seg_id == 0:                # extends the carried open session
                 n += int(row["size"])
-                last_s = int(row["max"])
+                # max(): a valid out-of-order event (above the watermark but
+                # below the carried last_s) falls INSIDE the open session —
+                # taking the batch max alone would regress last_s, emit a
+                # shrunken duration, and re-arm the eviction timer early
+                # enough to split the session
+                last_s = max(last_s, int(row["max"]))
             else:                          # a fresh session in this batch
                 start_s, last_s = int(row["min"]), int(row["max"])
                 n = int(row["size"])
@@ -143,6 +155,9 @@ def make_session_processor(gap_s: int = 1800, user_col: str = "user_id",
             prev = np.empty_like(secs)
             prev[0] = last_s if last_s is not None else np.iinfo("int64").min // 2
             prev[1:] = secs[:-1]
+            if last_s is not None:
+                # clamp to the carried last_s — see stateful_sessionize
+                np.maximum(prev, last_s, out=prev)
             seg = np.cumsum((secs - prev) > gap_s)
 
             agg = (pd.DataFrame({"seg": seg, "s": secs})
@@ -151,7 +166,9 @@ def make_session_processor(gap_s: int = 1800, user_col: str = "user_id",
             for seg_id, row in agg.iterrows():
                 if seg_id == 0:
                     n += int(row["size"])
-                    last_s = int(row["max"])
+                    # max(): see stateful_sessionize — an out-of-order event
+                    # inside the open session must not regress last_s
+                    last_s = max(last_s, int(row["max"]))
                 else:
                     start_s, last_s = int(row["min"]), int(row["max"])
                     n = int(row["size"])

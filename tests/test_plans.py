@@ -720,7 +720,20 @@ def test_versioned_table_commit_protocol(spark, tmp_path):
     assert t.current_version() == 5
     assert t.read(spark).count() == 2000
 
+    # crash a write again: v6 staged but never committed (orphan)
+    spark.range(3).withColumn("x", F.lit(9)).write.parquet(t.data_dir(6))
     removed = t.vacuum(keep=1)
     assert t.data_dir(5) not in removed and os.path.exists(t.data_dir(5))
     assert not os.path.exists(t.data_dir(1))
+    # the orphan is GC'd, never mistaken for a committed recent version
+    assert not os.path.exists(t.data_dir(6))
     assert t.read(spark).count() == 2000
+
+    # keep=2 must keep the two most recent COMMITTED versions; a fresh
+    # orphan must not displace one of them from the keep window
+    v_new = t.write(spark.range(9).withColumn("x", F.lit(0)))  # next commit
+    spark.range(2).withColumn("x", F.lit(1)).write.parquet(t.data_dir(v_new + 2))
+    t.vacuum(keep=2)
+    assert os.path.exists(t.data_dir(5)) and os.path.exists(t.data_dir(v_new))
+    assert not os.path.exists(t.data_dir(v_new + 2))
+    assert t.read(spark).count() == 9

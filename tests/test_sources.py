@@ -276,3 +276,34 @@ def test_custom_datasource_coerces_stringly_typed_scalars(spark, tmp_path):
         spark, str(land / "*.jsonl"), "FieldDataApp-2024").collect()[0]
     assert (row["n_vessels"], row["fishing_today"]) == \
         (ref["n_vessels"], ref["fishing_today"])
+
+
+def test_kobo_jsonl_preserves_lexical_number_tokens(spark, tmp_path):
+    """Numbers landing in StringType fields keep their raw JSON token —
+    "2.50" must not round-trip through float to "2.5", "1e3" must not
+    become "1000.0" (PERMISSIVE-reader parity; code-review finding r3)."""
+    import json as _json
+
+    from peskas_malawi_data_pipeline_spark.sources import kobo
+    from peskas_malawi_data_pipeline_spark.sources.jsonl_source import (
+        register_kobo_source)
+
+    register_kobo_source(spark)
+    land = tmp_path / "zone_lex"
+    land.mkdir()
+    sub = _submission("FieldDataApp-2024", 1)
+    (land / "a.jsonl").write_text(
+        _json.dumps(sub).replace('"n_vessels": "1"', '"n_vessels": 2.50')
+        .replace('"fishing_today": "yes"', '"fishing_today": 1e3') + "\n")
+
+    ds = (spark.read.format("kobo_jsonl")
+          .option("path", str(land))
+          .option("form", "FieldDataApp-2024").load())
+    row = ds.collect()[0]
+    assert row["n_vessels"] == "2.50"
+    assert row["fishing_today"] == "1e3"
+
+    ref = kobo.read_form_json(
+        spark, str(land / "*.jsonl"), "FieldDataApp-2024").collect()[0]
+    assert (row["n_vessels"], row["fishing_today"]) == \
+        (ref["n_vessels"], ref["fishing_today"])

@@ -349,3 +349,50 @@ def test_tws_timer_protocol_no_stale_eviction():
     # the currently armed timer firing DOES evict
     list(proc.handleExpiredTimer((1,), TV(t2), Expired(t2)))
     assert not handle.state.exists()
+
+
+def test_stateful_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """A valid out-of-order event (above the watermark, below the carried
+    last_s) falls INSIDE the open session: it must grow n_events but NOT
+    regress last_s — a regressed last_s would emit a shrunken duration to
+    the upsert sink and re-arm the eviction timer early enough to split
+    the session (code-review finding, round 3)."""
+    import time
+
+    from peskas_malawi_data_pipeline_spark.streaming import stateful
+
+    t0 = dt.datetime(2024, 3, 5, 8, 0, 0)
+
+    def ev(eid, user, minutes):
+        return Row(event_id=eid, user_id=user,
+                   ts=t0 + dt.timedelta(minutes=minutes))
+
+    # batch 1: session opens at 0 with last event at 20 min (watermark
+    # after drain: 20-30 -> below 0). batch 2: event at 10 min — older
+    # than last_s but NOT late (watermark < 10 min) — then an extension at
+    # 45 min (gap from 20 min = 25 < 30: same session).
+    b1 = spark.createDataFrame([ev(1, 1, 0), ev(2, 1, 20)])
+    b2 = spark.createDataFrame([ev(3, 1, 10), ev(4, 1, 45)])
+
+    src = tmp_path / "ooo_landing"
+    src.mkdir()
+    for name, b in (("f1", b1), ("f2", b2)):
+        b.toPandas().to_parquet(str(src / f"{name}.parquet"),
+                                coerce_timestamps="us",
+                                allow_truncated_timestamps=True)
+        time.sleep(1.1)
+
+    stream = (spark.readStream.schema("event_id long, user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src))
+              .withWatermark("ts", "30 minutes"))
+    sessions = stateful.stateful_sessionize(stream, gap_s=1800)
+    out, ckpt = str(tmp_path / "ooo_out"), str(tmp_path / "ooo_ckpt")
+    ingest_stream.run_available_now_upsert(sessions, out, ckpt)
+    result = ingest_stream.read_upsert_result(
+        spark, out, ["user_id", "session_start_s"])
+    got = {(r.user_id, r.session_start_s): (r.n_events, r.duration_s)
+           for r in result.collect()}
+    e = int(t0.timestamp())
+    # one session: 4 events, duration to the TRUE max (45 min), never 10
+    assert got == {(1, e): (4, 45 * 60)}

@@ -204,8 +204,11 @@ def main() -> None:
             # noop sink, not count(): count() lets Catalyst eliminate
             # unique-key left joins and prune aggregate expressions, timing
             # a fraction of the real plan; noop evaluates every output
-            # column of every row. Row count comes from a separate cheap
-            # pass (cached pages) purely for the report.
+            # column of every row. The row count for the report is a THIRD
+            # (untimed, usually cheaper — pruned) execution; accepted
+            # because the probe is an offline tool and the count labels
+            # output-bound ratios (simhash/near-dup) — drop it if probe
+            # wall time matters.
             secs = []
             for _ in range(2):
                 t0 = time.time()
