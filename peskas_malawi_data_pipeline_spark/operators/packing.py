@@ -67,8 +67,12 @@ def pack_greedy_sequential(df: DataFrame, token_col: str,
     document (> target tokens) occupies a bin alone. Returns one row per
     document: (id, n_tokens, shard, bin_id).
     """
+    # the id column keeps ITS OWN type (uuid-string ids are exactly what
+    # the md5-on-string sharding exists for; hardcoding long here would
+    # crash the Arrow conversion for them while pack_concat_chunks accepts
+    # the same input fine)
     schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
+        T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("n_tokens", T.LongType()),
         T.StructField("shard", T.IntegerType()),
         T.StructField("bin_id", T.LongType()),
@@ -85,7 +89,7 @@ def pack_greedy_sequential(df: DataFrame, token_col: str,
             fill += tok
             first = False
         return pd.DataFrame({
-            id_col: pdf[id_col].astype("int64"),
+            id_col: pdf[id_col],
             "n_tokens": pdf[token_col].astype("int64"),
             "shard": pdf["shard"].astype("int32"),
             "bin_id": pd.Series(bins, dtype="int64"),

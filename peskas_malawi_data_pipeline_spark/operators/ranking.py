@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.barrier import materialize
+
 
 def global_row_number(df: DataFrame, order_by: list[str | Column],
                       out_col: str = "rn",
@@ -31,8 +33,15 @@ def global_row_number(df: DataFrame, order_by: list[str | Column],
     with ties the assignment within a tie-group would be partitioner-
     dependent, same as plain ``row_number``."""
     buckets = buckets or df.sparkSession.sparkContext.defaultParallelism
-    part = (df.repartitionByRange(buckets, *order_by)
-            .withColumn("__pid", F.spark_partition_id()))
+    # materialized barrier: `part` feeds TWO plan branches (the per-bucket
+    # counts and the ranked join). Without it the range exchange can run
+    # twice, and repartitionByRange's SAMPLED bounds are not deterministic
+    # when the input itself comes from a shuffle — the two executions could
+    # disagree on bucket membership, duplicating/skipping global ranks.
+    # Exchange reuse usually saves this plan, but correctness must not
+    # hinge on an optimizer rule that AQE or a conf flag can disable.
+    part = materialize(df.repartitionByRange(buckets, *order_by)
+                       .withColumn("__pid", F.spark_partition_id()))
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     # |buckets| rows: the only globally-ordered window in the plan
     w_off = (Window.orderBy("__pid")

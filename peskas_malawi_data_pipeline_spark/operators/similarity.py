@@ -165,7 +165,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
         .filter(F.col(query_id) != F.col(corpus_id))
     denom = F.col("__n") * F.col("__cn2")
     sim = F.round(F.when(denom > 0, dot(F.col("__v"), F.col("__cv2")) / denom), 6)
-    scored = cand.select(query_id, corpus_id, sim.alias("cosine")).distinct()
+    # no distinct: each corpus row lives in exactly ONE inverted list
+    # (assign rank==1) and a query probes nprobe DISTINCT lists, so every
+    # (query, corpus) pair appears at most once — a dedup here would be a
+    # full extra shuffle of the widest intermediate for nothing
+    scored = cand.select(query_id, corpus_id, sim.alias("cosine"))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -186,9 +190,18 @@ def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
     rows raises instead of silently collecting. Raise the cap explicitly
     for a bigger (still driver-sized) query set, or use :func:`cosine_topk`
     / the LSH/IVF variants when the query side is itself corpus-scale.
+
+    Zero-norm vectors have no defined cosine; such pairs are OMITTED here
+    (the HOF baseline carries them as NULL-cosine fillers when a query has
+    fewer than k valid neighbors — the only case the two paths differ).
     """
     import numpy as np
     import pandas as pd
+
+    spark = queries.sparkSession
+    id_type = queries.schema[query_id].dataType.simpleString()
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+    schema = f"{query_id} {id_type}, {corpus_id} {cid_type}, cosine double"
 
     qrows = queries.select(query_id, vec_col).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
@@ -196,29 +209,44 @@ def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
             f"cosine_topk_pandas collects the query side to the driver, but it "
             f"has more than max_queries={max_queries} rows; raise max_queries "
             f"explicitly or use cosine_topk/ann_lsh/ann_ivf for large query sets")
+    if not qrows:
+        return spark.createDataFrame(
+            [], schema + ", rank int")
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype="float64")
     qnorm = np.linalg.norm(qmat, axis=1)
-    qnorm[qnorm == 0] = np.inf
+    q_ok = qnorm > 0
+    qnorm[~q_ok] = np.inf
 
     def score(batches):
         for pdf in batches:
             ids = pdf[corpus_id].to_numpy()
             cmat = np.array(pdf[vec_col].tolist(), dtype="float64")
             cnorm = np.linalg.norm(cmat, axis=1)
-            cnorm[cnorm == 0] = np.inf
-            sims = (cmat @ qmat.T) / cnorm[:, None] / qnorm[None, :]
+            c_ok = cnorm > 0
+            cnorm[~c_ok] = np.inf
+            # round BEFORE the per-batch cut so batch boundaries can never
+            # flip which of two round-equal neighbors survives; ties then
+            # break on corpus id (stable lexsort), matching the final
+            # window's (cosine desc, id asc) order exactly
+            sims = np.round((cmat @ qmat.T) / cnorm[:, None] / qnorm[None, :], 6)
             for qi, qid in enumerate(qids):
+                if not q_ok[qi]:
+                    continue                     # undefined cosine: omit
                 col = sims[:, qi]
-                top = np.argsort(-col)[:k]
+                # exclude self-matches and zero-norm corpus rows BEFORE the
+                # top-k cut — a self row (cosine 1.0) would otherwise eat a
+                # slot and silently drop the true k-th neighbor
+                keep = c_ok & (ids != qid)
+                kidx = np.flatnonzero(keep)
+                order = np.lexsort((ids[kidx], -col[kidx]))[:k]
+                top = kidx[order]
                 yield pd.DataFrame({
                     query_id: qid, corpus_id: ids[top],
-                    "cosine": np.round(col[top], 6),
+                    "cosine": col[top],
                 })
 
-    schema = f"{query_id} long, {corpus_id} long, cosine double"
     scored = corpus.select(corpus_id, vec_col).mapInPandas(score, schema)
-    scored = scored.filter(F.col(query_id) != F.col(corpus_id))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

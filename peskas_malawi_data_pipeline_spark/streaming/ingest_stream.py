@@ -56,7 +56,8 @@ _EVENTS_SCHEMA = ("event_id long, ts {}, user_id long, event_type string, "
                   "value double, props string")
 
 
-def stream_events_dir(spark: SparkSession, path: str) -> DataFrame:
+def stream_events_dir(spark: SparkSession, path: str,
+                      ts_unit: str | None = None) -> DataFrame:
     """Stream an `events` landing directory with ``ts`` normalized to
     TIMESTAMP whatever the writer's physical unit.
 
@@ -66,17 +67,38 @@ def stream_events_dir(spark: SparkSession, path: str) -> DataFrame:
     (then truncated to µs here, matching DuckDB's TIMESTAMP_NS→TIMESTAMP
     cast). A streaming source's user-supplied schema silently reinterprets
     the physical int64, so the unit MUST be sniffed from a footer — one
-    metadata read per stream start, not per batch."""
+    metadata read per stream start, not per batch.
+
+    The sniff is a LOCAL, non-recursive glob: it works for the harness's
+    local landing dirs but sees nothing on object storage, in partitioned
+    subdirectories, or when the landing zone is still empty at stream
+    start (the normal production case — files arrive later). In those
+    deployments pass ``ts_unit`` explicitly ("us" or "ns", a property of
+    the WRITER, known at pipeline-wiring time); sniffing then never runs.
+    A stream declared "us" that later receives NANOS files fails fast in
+    the vectorized reader rather than misreading.
+
+    Session-conf note: the UTC zone and (for ns) ``nanosAsLong`` are
+    deliberately session-pinned, NOT save/restored — they must be active
+    at every micro-batch EXECUTION, which outlives this builder; a restore
+    would silently corrupt the stream's later batches. The engine pins UTC
+    everywhere (core.session, queries._t), so this is convergent, but a
+    caller embedding these streams in a foreign session should know the
+    session zone changes."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    unit = "us"
-    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-    if files:
-        t = pq.read_schema(files[0]).field("ts").type
-        unit = getattr(t, "unit", "us")
+    unit = ts_unit
+    if unit is None:
+        unit = "us"
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if files:
+            t = pq.read_schema(files[0]).field("ts").type
+            unit = getattr(t, "unit", "us")
+    if unit not in ("us", "ns"):
+        raise ValueError(f"ts_unit must be 'us' or 'ns', got {unit!r}")
     # event-time window/oracle parity assumes a UTC session zone (see
     # queries._t); pin it for streams too
     spark.conf.set("spark.sql.session.timeZone", "UTC")

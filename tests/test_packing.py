@@ -97,3 +97,21 @@ def test_weighted_systematic_sample_matches_reference(spark):
     again = {r.doc_id for r in SM.weighted_systematic_sample(
         df.repartition(13), "tok", n=20, id_col="doc_id").collect()}
     assert got == again
+
+
+def test_pack_greedy_string_ids(spark):
+    """pack_greedy_sequential must accept non-long ids (uuid-style string
+    doc ids are what the md5 sharding is designed for) — parity with
+    pack_concat_chunks on the same input (code-review finding r3)."""
+    from peskas_malawi_data_pipeline_spark.operators import packing as P
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:03d}", 900) for i in range(10)], ["doc_id", "n_tokens"])
+    out = P.pack_greedy_sequential(docs, "n_tokens", target=2048, n_shards=2)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(isinstance(r.doc_id, str) for r in rows)
+    # two 900-token docs per bin (2048 target), never three
+    from collections import Counter
+    per_bin = Counter((r.shard, r.bin_id) for r in rows)
+    assert max(per_bin.values()) <= 2

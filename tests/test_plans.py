@@ -531,7 +531,16 @@ def test_global_ranking_matches_window_forms(spark):
 
     utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
     p = utils.explainString(got_rn._jdf.queryExecution(), "extended")
-    assert "rangepartitioning" in p.lower()
+    # the range exchange now runs inside the materialized barrier (so the
+    # two consuming branches cannot see different samplings); the final
+    # plan shows the barrier scan + the per-bucket window — and the fact
+    # side must never appear under an unpartitioned Window
+    assert "existingrdd" in p.lower()
+    assert "partitionby __pid" in p.lower().replace("specifiedwindowframe", "")         or "windowspecdefinition(__pid" in p.lower()
+    pre = utils.explainString(
+        ev.repartitionByRange(8, "value", "event_id")._jdf.queryExecution(),
+        "extended")
+    assert "rangepartitioning" in pre.lower()
 
     # n < n_tiles edge: every row its own tile, trailing tiles empty
     tiny = ev.limit(3)
