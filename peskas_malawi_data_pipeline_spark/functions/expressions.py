@@ -81,19 +81,28 @@ def price_per_kg(catch_price: Column, catch_kg: Column, price_type: Column) -> C
     catch_price)`` (`R/preprocessing.R:308`). Division by zero/NULL yields
     NULL, matching R's NA propagation (R gives Inf for /0; the engine masks
     to NULL — Inf never reaches storage in the reference because catch_kg==0
-    rows carry NA prices).
+    rows carry NA prices). A NULL ``price_type`` yields NULL — R's
+    ``ifelse(NA, yes, no)`` is NA; an ``otherwise(catch_price)`` would
+    silently treat an untyped total price as per-kg and poison the
+    LocScaleB price fit downstream.
     """
-    per_kg = F.when(price_type == "total",
-                    F.when(catch_kg != 0, catch_price / catch_kg))
-    return per_kg.otherwise(catch_price)
+    return (F.when(price_type.isNull(), F.lit(None).cast("double"))
+            .when(price_type == "total",
+                  F.when(catch_kg != 0, catch_price / catch_kg))
+            .otherwise(catch_price))
 
 
 def make_survey_id(submission_id: Column, vessel_number: Column,
                    catch_number: Column) -> Column:
     """E5 — row key ``paste(submission_id, vessel_number, catch_number,
-    sep="-")`` (`R/preprocessing.R:49`). concat_ws skips NULLs like paste
-    skips nothing — the reference never has NULL components here because
-    explode assigns 1-based indices to every row.
+    sep="-")`` (`R/preprocessing.R:49`). concat_ws SKIPS NULL components,
+    so placeholder rows from ``posexplode_outer`` (a submission with no
+    vessels, a vessel with no catches — their index columns are
+    deliberately NULL, structural.explode_indexed) get SHORT ids
+    ("123", "123-1") rather than R's "123-NA-NA" rendering. The short
+    forms cannot collide with real ids (a real id always has 3 numeric
+    components) and mark placeholders recognizably; divergence from the
+    R string is deliberate and documented.
     """
     return F.concat_ws("-", submission_id.cast("string"),
                        vessel_number.cast("string"), catch_number.cast("string"))

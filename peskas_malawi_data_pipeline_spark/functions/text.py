@@ -138,9 +138,10 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: the language whose marker set has the most
-    token hits; ties and zero-hit texts resolve to 'und'. Expressed as a
-    fold over a deterministic language order so the same argmax is computed
-    by the SQL oracle."""
+    token hits; zero-hit texts resolve to 'und', and TIES resolve to the
+    alphabetically first language among the tied (the strict-greater fold
+    keeps the earlier winner) — the same deterministic argmax the SQL
+    oracle encodes."""
     langs = sorted(LANG_MARKERS)  # deterministic evaluation order
 
     def pick(t: Column) -> Column:

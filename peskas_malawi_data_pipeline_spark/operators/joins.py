@@ -55,11 +55,16 @@ def suffix_match_join(facts: DataFrame, fact_key: str, fact_value: str,
 
     Spark-first: a broadcast-nested-loop join on an ``endswith`` predicate
     against the (tiny) registry, then a grouped count per fact key — the
-    per-value R loop becomes one distributed pass. Returns one row per input
-    fact row: (fact_key, fact_value, n_matches, matched_value).
+    per-value R loop becomes one distributed pass. Returns one row per
+    DISTINCT (fact_key, fact_value) pair. The registry values are
+    de-duplicated first — the reference matches against the distinct
+    valid-IMEI vector (R/validation-functions.R:339-375), so a device
+    listed twice in a hand-maintained sheet must not double its match
+    count and raise a spurious ambiguity alert.
     """
     distinct_facts = facts.select(fact_key, fact_value).distinct()
-    reg = F.broadcast(registry.select(F.col(registry_value).alias("__reg_value")))
+    reg = F.broadcast(registry.select(F.col(registry_value).alias("__reg_value"))
+                      .distinct())
     joined = distinct_facts.join(
         reg, F.col("__reg_value").endswith(F.col(fact_value)), "left")
     return (joined.groupBy(fact_key, fact_value)
@@ -79,14 +84,26 @@ def salted_join(fact: DataFrame, dim: DataFrame, keys: Sequence[str],
     guidance; SCALE.md §4).
 
     The fact-side salt is a deterministic hash of ``salt_source`` columns
-    (default: all non-key columns) — no RNG, so retries and oracle replays
-    are stable. Join semantics are identical to the unsalted join.
+    (default: all non-key columns; when the fact is key-only, a partition-
+    local row id — still RNG-free) — retries and oracle replays are
+    stable. Join semantics equal the unsalted join for ``inner``/``left``
+    ONLY: under right/full, a dim row unmatched in the fact would surface
+    once per salt copy (``salt_buckets``× inflation), so those modes are
+    rejected.
     """
     keys = list(keys)
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' (got {how!r}): the "
+            f"dim side is replicated per salt, so right/full would emit "
+            f"unmatched dim rows {salt_buckets} times")
     if salt_source is None:
         salt_source = [c for c in fact.columns if c not in keys]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_source]),
-                  F.lit(salt_buckets)).cast("int")
+    if salt_source:
+        salt_base = F.xxhash64(*[F.col(c) for c in salt_source])
+    else:
+        salt_base = F.monotonically_increasing_id()
+    salt = F.pmod(salt_base, F.lit(salt_buckets)).cast("int")
     fact_salted = fact.withColumn("__salt", salt)
     dim_salted = (dim.withColumn("__salt",
                                  F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
@@ -104,10 +121,19 @@ def grid_complete(df: DataFrame, key_a: str, key_b: str,
     The cross join runs on two *distinct-value* relations (small), never on
     the fact table; the fact side is aggregated before the expansion.
     """
-    agged = df.groupBy(key_a, key_b).agg(*agg_exprs)
+    # null-safe equality: tidyr::complete treats NA as a regular key level
+    # — a plain '=' join would strand a NULL-keyed aggregate row away from
+    # its own grid cell and silently drop its totals. The agg side's keys
+    # are renamed first: grid and agged share the keys' expression lineage
+    # (both descend from df), so same-name references would be ambiguous.
+    agged = (df.groupBy(key_a, key_b).agg(*agg_exprs)
+             .withColumnRenamed(key_a, "__ga")
+             .withColumnRenamed(key_b, "__gb"))
     grid = (df.select(key_a).distinct()
             .crossJoin(df.select(key_b).distinct()))
-    return grid.join(agged, [key_a, key_b], "left")
+    cond = (grid[key_a].eqNullSafe(F.col("__ga"))
+            & grid[key_b].eqNullSafe(F.col("__gb")))
+    return grid.join(agged, cond, "left").drop("__ga", "__gb")
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column,

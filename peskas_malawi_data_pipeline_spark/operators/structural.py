@@ -49,10 +49,11 @@ def explode_indexed(df: DataFrame, array_col: str, index_name: str,
     (the reference's `slice(rep(1, n))` broadcast, W4) for free.
     """
     explode_fn = F.posexplode_outer if keep_empty else F.posexplode
-    # Backtick-quote: flattened names contain dots (N1) and must not be
-    # re-parsed as struct paths.
+    # Backtick-quote EVERYTHING, the explode target included: flattened
+    # names contain dots (N1) and must not be re-parsed as struct paths.
     others = [F.col(f"`{c}`") for c in df.columns if c != array_col]
-    out = df.select(*others, explode_fn(array_col).alias("__pos", array_col))
+    out = df.select(*others,
+                    explode_fn(F.col(f"`{array_col}`")).alias("__pos", array_col))
     idx = F.when(F.col(array_col).isNotNull(), F.col("__pos") + 1)
     return out.withColumn(index_name, idx.cast("int")).drop("__pos")
 

@@ -52,7 +52,11 @@ def export_matched_tracks(merged: DataFrame, points: DataFrame,
     trips = merged.select(
         "Trip", "survey_id", "imei", "landing_day",
         "sample_district", "landing_site", "gear", "catch_taxon")
-    joined = trips.join(points, "Trip", "left")
+    # inner, not left: a merged trip whose point fetch yielded no rows has
+    # no track to export — a left join would fabricate a NULL-bucket row
+    # with n_pings=1 for it (the reference aggregates only actual points,
+    # R/export.R:166-173)
+    joined = trips.join(points, "Trip", "inner")
     keys = ["Trip", "survey_id", "imei", "landing_day",
             "sample_district", "landing_site", "gear", "catch_taxon"]
     return agg.time_bucket_agg(

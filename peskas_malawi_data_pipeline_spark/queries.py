@@ -619,7 +619,8 @@ a AS (
 SELECT t.event_type, CAST(d.day AS VARCHAR) AS day, a.total
 FROM (SELECT DISTINCT event_type FROM f) t
 CROSS JOIN (SELECT DISTINCT day FROM f) d
-LEFT JOIN a ON a.event_type = t.event_type AND a.day = d.day
+LEFT JOIN a ON a.event_type IS NOT DISTINCT FROM t.event_type
+          AND a.day IS NOT DISTINCT FROM d.day
 """)
 def grid_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 — tidyr::complete grid expansion with NULL fill

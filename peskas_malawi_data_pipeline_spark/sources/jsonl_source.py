@@ -98,7 +98,14 @@ class KoboJsonlReader(DataSourceReader):
                     rec = json.loads(line, parse_float=str, parse_int=str)
                 except ValueError:
                     continue  # corrupt-line absorption (reference parity)
-                yield _convert(rec, self.schema_)
+                try:
+                    yield _convert(rec, self.schema_)
+                except (AttributeError, TypeError, ValueError):
+                    # shape-mismatched record (e.g. a string where the
+                    # pinned schema expects array<struct>): absorb and
+                    # continue — one malformed submission must not abort
+                    # the scan (the PERMISSIVE twin nulls such records)
+                    continue
 
 
 def register_kobo_source(spark) -> None:

@@ -58,7 +58,13 @@ def fetch_trip_points(trips: DataFrame, fetcher: Callable[[int], str | None],
     """S3 — distributed per-trip point fetch.
 
     ``trips`` supplies the distinct trip ids (repartitioned so the fan-out
-    spreads across tasks); ``fetcher(trip_id)`` returns the CSV body or None.
+    spreads across tasks); ``fetcher(trip_id)`` returns the CSV body or
+    None. Failure semantics: a None return or an unparseable body drops
+    that trip's points and the scan continues (error-absorbing ingest, F4
+    — one bad trip must not fail the stage); a trip with zero point rows
+    is indistinguishable from a failed fetch in this output — run
+    :func:`fetch_trip_points` on a re-try list or diff against
+    ``trips`` for an audit.
     """
     ids = trips.select(id_col).distinct()
 
@@ -69,15 +75,20 @@ def fetch_trip_points(trips: DataFrame, fetcher: Callable[[int], str | None],
                 body = fetcher(int(trip_id))
                 if body is None:
                     continue
-                points = pd.read_csv(io.StringIO(body))
+                try:
+                    points = pd.read_csv(io.StringIO(body))
+                except Exception:
+                    continue           # malformed body: absorb, keep going
                 points["Trip"] = int(trip_id)
                 frames.append(points[[c for c in _POINTS_COLS if c in points.columns]])
             if frames:
                 out = pd.concat(frames, ignore_index=True)
-                out["Time"] = pd.to_datetime(out["Time"])
+                # backfill missing columns BEFORE touching them — a body
+                # without a Time header must absorb as NULLs, not KeyError
                 for c in _POINTS_COLS:
                     if c not in out.columns:
                         out[c] = None
+                out["Time"] = pd.to_datetime(out["Time"], errors="coerce")
                 yield out[_POINTS_COLS]
 
     n_parts = max(ids.rdd.getNumPartitions(), 8)

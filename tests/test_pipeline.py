@@ -503,3 +503,25 @@ def test_streaming_incremental_validate_matches_batch(spark, raw, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_grid_complete_null_key_level_and_salted_join_guard(spark):
+    """tidyr::complete parity — NA is a regular key level: a NULL-keyed
+    group keeps its aggregate in its own grid cell (a plain '=' join would
+    strand it). And salted_join refuses right/full, where per-salt dim
+    replication would inflate unmatched dim rows (review findings r3)."""
+    from peskas_malawi_data_pipeline_spark.operators import joins as J
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), (None, 1, 5.0), ("a", 2, 7.0)], ["k1", "k2", "v"])
+    rows = {(r.k1, r.k2): r.total for r in J.grid_complete(
+        df, "k1", "k2", [F.sum("v").alias("total")]).collect()}
+    assert rows == {("a", 1): 10.0, (None, 1): 5.0,
+                    ("a", 2): 7.0, (None, 2): None}
+
+    fact = spark.createDataFrame([(1, "x")], ["k", "p"])
+    dim = spark.createDataFrame([(1, "d")], ["k", "q"])
+    with pytest.raises(ValueError, match="inner.*left"):
+        J.salted_join(fact, dim, ["k"], how="full")
+    # key-only fact: deterministic fallback salt instead of a plan error
+    assert J.salted_join(fact.select("k"), dim, ["k"]).count() == 1
