@@ -123,6 +123,10 @@ def main(argv: list[str] | None = None) -> int:
     root = args.root or conf.get("storage", {}).get("root")
     if not root:
         ap.error("--root or config storage.root required")
+    for f in args.form:
+        if "=" not in f:
+            ap.error(f"--form expects NAME=DIALECT (e.g. "
+                     f"'catch_survey=pinned'), got {f!r}")
     forms = dict(f.split("=", 1) for f in args.form) or conf.get("forms")
 
     spark = get_spark(f"peskas-{args.stage}")

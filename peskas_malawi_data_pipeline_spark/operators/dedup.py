@@ -36,9 +36,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     about which row survives — training-data pipelines want stable output.
     """
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    fp = df.withColumn("__fp", T.fingerprint(F.col(text_col)))
+    # NULL text means MISSING content, not identical content: such rows
+    # must all pass through, not collapse into one "duplicate" group (the
+    # fingerprint of NULL is NULL, and groupBy would make them one group)
+    fp = (df.filter(F.col(text_col).isNotNull())
+          .withColumn("__fp", T.fingerprint(F.col(text_col))))
     survivors = fp.groupBy("__fp").agg(agg.alias(id_col)).select(id_col)
-    return df.join(survivors, id_col, "left_semi")
+    return (df.join(survivors, id_col, "left_semi")
+            .unionByName(df.filter(F.col(text_col).isNull())))
 
 
 # Universal-hash permutation constants: sig_i = min((A_i·h + B_i) mod P) over
@@ -165,12 +170,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     docs) so one hot bucket cannot produce an O(n²) pair explosion.
     """
     assert num_hashes % band_size == 0
-    bands = _index_barrier(
-        minhash_bands(df, id_col, text_col, num_hashes, band_size, shingle_n))
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, shingle_n)
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
         bands = (bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
                  .filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n"))
+    # barrier AFTER the cap filter: both self-join sides read the filtered
+    # index — placed before it, the count window would execute once per
+    # side (incremental_lsh_pairs already orders it this way)
+    bands = _index_barrier(bands)
     left = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
     right = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
     return (left.join(right, ["band_id", "band_key"])
@@ -237,6 +245,11 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     candidates. Returns (id_a, id_b, hamming).
     """
     assert bits % bands == 0
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            f"pigeonhole recall guarantee (some band unchanged) only holds "
+            f"when fewer differing bits than bands exist")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sigs = simhash(df.select(id_col, text_col), text_col, bits)
@@ -284,6 +297,7 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
         T.word_shingles(F.col(text_col), shingle_n).alias("sh_a"),
     )
     if threshold <= 0:
+        sh = _index_barrier(sh)      # shingle pipeline once, not per side
         other = sh.select(F.col("__block"), F.col("id_a").alias("id_b"),
                           F.col("sh_a").alias("sh_b"))
         pairs = sh.join(other, "__block").filter(F.col("id_a") < F.col("id_b"))
@@ -357,14 +371,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     """
     # edges joins into EVERY iteration — without the checkpoint each round
     # would re-run the whole upstream candidate pipeline (minhash/bands/
-    # verify), turning k iterations into k full corpus passes
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-             .distinct())
-    nodes = edges.select(F.col("src").alias("id")).distinct()
+    # verify), turning k iterations into k full corpus passes. TWO stages:
+    # the symmetrized frame materializes first (candidate pipeline runs
+    # exactly once), then nodes/self-loops/labels derive from those blocks
+    # — deriving them from the lazy frame would re-run the pipeline on the
+    # first action (and inside the second barrier).
+    sym = materialize(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct())
+    nodes = sym.select(F.col("src").alias("id")).distinct()
     edges = materialize(
-        edges.union(nodes.select(F.col("id").alias("src"),
-                                 F.col("id").alias("dst"))))
+        sym.union(nodes.select(F.col("id").alias("src"),
+                               F.col("id").alias("dst"))))
     labels = nodes.withColumn("comp", F.col("id"))
     prev_chk = None
     for i in range(max_iter):
@@ -446,10 +465,17 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
                 .filter(F.col("src") != F.col("dst")).distinct())
 
     # checkpoint before the loop: round 1 and the node frame otherwise each
-    # re-evaluate the upstream candidate pipeline
-    edges = materialize(canon(pairs.select(F.col(id_a).alias("src"),
-                                           F.col(id_b).alias("dst"))))
-    nodes = materialize(edges.select(F.col("src").alias("id")).distinct())
+    # re-evaluate the upstream candidate pipeline. The node set comes from
+    # the BASE frame (before canon drops self-loops): a node whose only
+    # pair is (x, x) — e.g. a singleton star edge from a prior snapshot —
+    # must still get its output row, matching connected_components.
+    base = materialize(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .distinct())
+    nodes = materialize(base.select(F.col("src").alias("id")).distinct())
+    edges = base.filter(F.col("src") != F.col("dst"))
 
     prev_chk = None
     for _ in range(max_rounds):
@@ -505,9 +531,12 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     from .similarity import dot, l2_norm
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(
+    # _index_barrier: without it the cast+norm projection (and whatever
+    # produced df) evaluates once per self-join SIDE — the "norms computed
+    # once per vector" claim only holds against a materialized frame
+    base = _index_barrier(df.select(
         *( [F.col(block_col).alias("__block")] if block_col else [F.lit(1).alias("__block")] ),
-        F.col(id_col).alias("id_a"), vd.alias("v_a"), l2_norm(vd).alias("nrm_a"))
+        F.col(id_col).alias("id_a"), vd.alias("v_a"), l2_norm(vd).alias("nrm_a")))
     other = base.select(F.col("__block"), F.col("id_a").alias("id_b"),
                         F.col("v_a").alias("v_b"), F.col("nrm_a").alias("nrm_b"))
     pairs = base.join(other, "__block").filter(F.col("id_a") < F.col("id_b"))

@@ -29,7 +29,12 @@ def _spread_bits(col: Column, bits: int) -> Column:
 def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
     """Z-order key of two non-negative ints already scaled to ``bits``
     bits (use ``scale_to_bits`` for arbitrary ranges). Pure codegen —
-    ``2·bits`` shift/mask terms, no UDF."""
+    ``2·bits`` shift/mask terms, no UDF. ``bits`` must be 1..31: at 32 the
+    b-column's top interleaved bit lands on the long's SIGN bit, flipping
+    the largest keys negative and silently inverting the clustering
+    order."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"morton_key bits must be in 1..31, got {bits}")
     return _spread_bits(a.cast("long"), bits).bitwiseOR(
         F.shiftleft(_spread_bits(b.cast("long"), bits), 1))
 

@@ -78,7 +78,24 @@ def loc_scale_bounds(df: DataFrame, value: str, keys: Sequence[str] = (),
     med = (base.groupBy(*gb).agg(_median(F.col("__y"), approx).alias("__med"),
                                  F.max(F.abs(F.col("__x"))).alias("__absmax")))
     # Bounds relation: |groups| rows — broadcast back onto the data.
-    with_med = base.join(F.broadcast(med), gb, "inner") if gb else base.crossJoin(F.broadcast(med))
+    # NULL-SAFE key equality: dplyr's group_by keeps NA as a regular group
+    # level (the reference fits bounds for e.g. the NULL-gear group), so a
+    # plain equi-join here would strand every NULL-keyed row from its own
+    # medians and silently skip outlier detection for those groups. The
+    # med side's keys are renamed first — both sides descend from df, so
+    # same-name references would be ambiguous.
+    if gb:
+        med_r = med
+        for c in gb:
+            med_r = med_r.withColumnRenamed(c, f"__m_{c}")
+        cond = None
+        for c in gb:
+            e = base[c].eqNullSafe(F.col(f"__m_{c}"))
+            cond = e if cond is None else (cond & e)
+        with_med = (base.join(F.broadcast(med_r), cond, "inner")
+                    .drop(*[f"__m_{c}" for c in gb]))
+    else:
+        with_med = base.crossJoin(F.broadcast(med))
     mad = (with_med.groupBy(*gb)
            .agg(_median(F.abs(F.col("__y") - F.col("__med")), approx).alias("__mad_raw"),
                 F.first("__med").alias("__med"),
@@ -129,16 +146,30 @@ def loc_scale_bounds_multi(df: DataFrame, specs: dict,
 def alert_outlier(df: DataFrame, value: str, alert_if_low, alert_if_high,
                   keys: Sequence[str] = (), k: float = 3.0, logt: bool = True,
                   approx: bool = False,
-                  alert_name: str = "alert", bounds_transform: str = "expm1") -> DataFrame:
+                  alert_name: str = "alert",
+                  bounds_transform: str | None = None) -> DataFrame:
     """A4 — per-row outlier alert (reference `alert_outlier`,
     `R/validation-functions.R:21-58`): compute (grouped or global) LocScaleB
     bounds, broadcast-join them back, emit ``alert_if_low``/``alert_if_high``
     where the value crosses a bound, NULL otherwise.
     """
+    if bounds_transform is None:
+        # the back-transform undoes the log1p fit: exponentiating RAW-space
+        # bounds (logt=False) would be numerically meaningless
+        bounds_transform = "expm1" if logt else "none"
     bounds = loc_scale_bounds(df, value, keys=keys, k=k, logt=logt,
                               back_transform=bounds_transform, approx=approx)
     if keys:
-        joined = df.join(F.broadcast(bounds), list(keys), "left")
+        gb = list(keys)
+        b_r = bounds
+        for c in gb:
+            b_r = b_r.withColumnRenamed(c, f"__b_{c}")
+        cond = None
+        for c in gb:
+            e = df[c].eqNullSafe(F.col(f"__b_{c}"))   # NA group keeps bounds
+            cond = e if cond is None else (cond & e)
+        joined = (df.join(F.broadcast(b_r), cond, "left")
+                  .drop(*[f"__b_{c}" for c in gb]))
     else:
         joined = df.crossJoin(F.broadcast(bounds))
     v = F.col(value)

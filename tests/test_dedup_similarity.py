@@ -476,3 +476,41 @@ def test_barrier_uses_reliable_checkpoints_when_configured(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             spark._jvm.scala.Option.empty())
     assert sc.getCheckpointDir() is None
+
+
+def test_fourth_review_regressions(spark):
+    """Pin the fourth review pass's fixes: NULL-text rows all survive exact
+    dedup (missing content is not duplicate content); a self-pair singleton
+    keeps its component row in BOTH components variants (the star variant
+    used to drop it — the exact shape incremental_components feeds);
+    simhash_pairs rejects a max_hamming that voids the pigeonhole recall
+    guarantee; NULL-keyed groups get LocScaleB bounds and alerts."""
+    from peskas_malawi_data_pipeline_spark.operators import validation as V
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string")
+    survivors = {r.doc_id for r in D.exact_dedup(docs).collect()}
+    assert survivors == {1, 3, 4}
+
+    pairs = spark.createDataFrame([(1, 2), (9, 9)], ["id_a", "id_b"])
+    for fn in (D.connected_components, D.connected_components_star):
+        got = {(r.id, r.component) for r in fn(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (9, 9)}, fn.__name__
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(docs.filter("text is not null"),
+                        bits=16, bands=4, max_hamming=4)
+
+    vals = spark.createDataFrame(
+        [("g", 10.0), ("g", 11.0), ("g", 12.0), ("g", 1000.0),
+         (None, 10.0), (None, 11.0), (None, 12.0), (None, 1000.0)],
+        "grp string, v double")
+    bounds = {r.grp: r.upper_bound for r in V.loc_scale_bounds(
+        vals, "v", keys=["grp"], k=2.0).collect()}
+    assert bounds["g"] is not None
+    assert bounds[None] is not None          # NA group gets bounds too
+    alerts = V.alert_outlier(vals, "v", 1, 2, keys=["grp"], k=2.0)
+    flagged = {(r.grp, r.v) for r in alerts.filter("alert = 2").collect()}
+    assert (None, 1000.0) in flagged and ("g", 1000.0) in flagged
