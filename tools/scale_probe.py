@@ -61,6 +61,16 @@ ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
 
 
+def _orderkey_offset() -> int:
+    """Shared per-replica order-key offset for lineitem AND orders — both
+    must shift by the same amount or the fact-to-fact join breaks."""
+    a = pq.read_table(os.path.join(SRC, "orders.parquet"),
+                      columns=["o_orderkey"]).column(0).to_numpy().max()
+    b = pq.read_table(os.path.join(SRC, "lineitem.parquet"),
+                      columns=["l_orderkey"]).column(0).to_numpy().max()
+    return int(max(a, b)) + 1
+
+
 def _shuffle_words(text: str, rng: random.Random) -> str:
     words = text.split(" ")
     rng.shuffle(words)
@@ -71,11 +81,29 @@ def build(dest: str = DEST) -> None:
     os.makedirs(dest, exist_ok=True)
 
     for t in ALL_TABLES:
-        if t in ("lineitem", "documents", "events", "embeddings"):
+        if t in ("lineitem", "documents", "events", "embeddings", "orders"):
             continue
         link = os.path.join(dest, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+
+    # orders x10 in LOCKSTEP with lineitem: same o_orderkey offset, so
+    # fact-to-fact joins keep their true selectivity; o_custkey unchanged
+    # (the customer dimension stays fixed, like part)
+    ord_path = os.path.join(dest, "orders.parquet")
+    if not os.path.exists(ord_path) or os.path.islink(ord_path):
+        if os.path.islink(ord_path):
+            os.remove(ord_path)
+        orders = pq.read_table(os.path.join(SRC, "orders.parquet"))
+        offset = _orderkey_offset()
+        okey = orders.column("o_orderkey").to_numpy()
+        writer = pq.ParquetWriter(ord_path, orders.schema)
+        for r in range(REPLICAS):
+            writer.write_table(orders.set_column(
+                orders.schema.get_field_index("o_orderkey"), "o_orderkey",
+                pa.array(okey + r * offset,
+                         type=orders.schema.field("o_orderkey").type)))
+        writer.close()
 
     # embeddings x10: fresh vec_ids; replicas r>0 rotate the component
     # order by r (norm-preserving, cosine-to-original low) so replicas are
@@ -130,7 +158,7 @@ def build(dest: str = DEST) -> None:
     if not os.path.exists(li_path):
         li = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
         okey = li.column("l_orderkey").to_numpy()
-        offset = int(okey.max()) + 1
+        offset = _orderkey_offset()
         writer = pq.ParquetWriter(li_path, li.schema)
         for r in range(REPLICAS):
             shifted = pa.array(okey + r * offset, type=li.schema.field("l_orderkey").type)
