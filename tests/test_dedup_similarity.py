@@ -514,3 +514,127 @@ def test_fourth_review_regressions(spark):
     alerts = V.alert_outlier(vals, "v", 1, 2, keys=["grp"], k=2.0)
     flagged = {(r.grp, r.v) for r in alerts.filter("alert = 2").collect()}
     assert (None, 1000.0) in flagged and ("g", 1000.0) in flagged
+
+
+# ---------------------------------------------------------------------------
+# containment (overlap-coefficient) pairs
+
+
+def test_containment_catches_partial_dup_jaccard_misses(spark):
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta"),
+        Row(doc_id=2, text="alpha beta gamma delta " + " ".join(
+            f"w{i} x{i} y{i}" for i in range(30))),  # doc1 quoted inside
+        Row(doc_id=3, text="totally unrelated words here now"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("block", F.lit(1))
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in D.containment_pairs(df, "block", threshold=0.5).collect()}
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in D.jaccard_pairs(df, "block", threshold=0.0).collect()}
+    # doc1's 2 trigram shingles both appear in doc2 -> containment 1.0
+    assert cont[(1, 2)] == 1.0
+    # ... while Jaccard is crushed by doc2's length
+    assert jac[(1, 2)] < 0.05
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_containment_requires_positive_threshold(spark):
+    df = _docs(spark).withColumn("block", F.lit(1))
+    with pytest.raises(ValueError, match="threshold > 0"):
+        D.containment_pairs(df, "block", threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style)
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    rows = [
+        # cluster around +x
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=10, embedding=[0.99, 0.01]),   # near-dup of 0 -> dropped
+        Row(vec_id=11, embedding=[0.98, 0.02]),   # near-dup of 0 -> dropped
+        # cluster around +y
+        Row(vec_id=1, embedding=[0.0, 1.0]),
+        Row(vec_id=20, embedding=[0.01, 0.99]),   # near-dup of 1 -> dropped
+        Row(vec_id=21, embedding=[-0.9, 0.1]),    # same cluster, dissimilar -> kept
+    ]
+    df = spark.createDataFrame(rows)
+    cents = (df.filter(F.col("vec_id") < 2)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    out = S.semantic_dedup_survivors(df, cents, threshold=0.95)
+    got = {r.vec_id: r.centroid_id for r in out.collect()}
+    assert set(got) == {0, 1, 21}
+    assert got[0] == 0 and got[1] == 1 and got[21] == 1
+
+
+def test_semantic_dedup_keeps_cross_cluster_near_dups(spark):
+    # two near-identical vectors that land in DIFFERENT clusters survive:
+    # semantic dedup only prunes within a cluster (the documented SemDeDup
+    # trade: candidate generation is bounded by the clustering)
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(rows)
+    cents = df.select(F.col("vec_id").alias("centroid_id"), "embedding")
+    out = S.semantic_dedup_survivors(df, cents, threshold=0.9)
+    assert sorted(r.vec_id for r in out.collect()) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+
+
+def _kmv_ref(values, k=64):
+    """Reference KMV: same md5-hash / kth-min / integer-division formula."""
+    import hashlib
+
+    hs = sorted({int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:13], 16)
+                 for v in values})
+    m = min(len(hs), k)
+    if m < k:
+        return m, m
+    return m, (k - 1) * (1 << 52) // hs[k - 1]
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from peskas_malawi_data_pipeline_spark.operators import sketches as K
+
+    rows = ([Row(g="small", v=f"u{i % 7}") for i in range(100)]
+            + [Row(g="big", v=f"u{i}") for i in range(5000)])
+    df = spark.createDataFrame(rows)
+    got = {r.g: (r.sketch_size, r.est_distinct)
+           for r in K.kmv_distinct(df, "g", "v", k=64).collect()}
+    # below k: the sketch IS the distinct set -> exact
+    assert got["small"] == (7, 7)
+    m, est = _kmv_ref([f"u{i}" for i in range(5000)])
+    assert got["big"] == (m, est)
+    # k=64 KMV has ~1/sqrt(62) ≈ 13% std error; this hash draw lands close
+    assert abs(est - 5000) / 5000 < 0.3
+
+
+def test_kmv_invariant_to_partitioning_and_duplicates(spark):
+    from peskas_malawi_data_pipeline_spark.operators import sketches as K
+
+    rows = [Row(g="g", v=f"user-{i % 300}") for i in range(3000)]
+    base = spark.createDataFrame(rows)
+    outs = []
+    for df in (base.coalesce(1), base.repartition(32), base.repartition(3, "v")):
+        outs.append(tuple(K.kmv_distinct(df, "g", "v", k=64).first()))
+    assert outs[0] == outs[1] == outs[2]
+    m, est = _kmv_ref([f"user-{i}" for i in range(300)])
+    assert outs[0] == ("g", m, est)
+
+
+def test_kmv_excludes_nulls_and_validates_k(spark):
+    from peskas_malawi_data_pipeline_spark.operators import sketches as K
+
+    df = spark.createDataFrame([Row(g="g", v="a"), Row(g="g", v=None),
+                                Row(g="g", v="b")])
+    assert tuple(K.kmv_distinct(df, "g", "v", k=8).first()) == ("g", 2, 2)
+    with pytest.raises(ValueError, match="k must be"):
+        K.kmv_distinct(df, "g", "v", k=1)
+    with pytest.raises(ValueError, match="k must be"):
+        K.kmv_distinct(df, "g", "v", k=5000)
