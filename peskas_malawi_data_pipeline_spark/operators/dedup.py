@@ -171,6 +171,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     assert num_hashes % band_size == 0
     bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, shingle_n)
+    return lsh_pairs_from_bands(bands, id_col, max_bucket)
+
+
+def lsh_pairs_from_bands(bands: DataFrame, id_col: str = "doc_id",
+                         max_bucket: int | None = 1000) -> DataFrame:
+    """Candidate pairs from a prebuilt band index (:func:`minhash_bands`
+    output) — use this when the index is computed once and consumed by
+    several stages (e.g. full-corpus pairs AND the persisted side of an
+    incremental join), so the expensive shingle → hash → signature map
+    never re-runs per consumer."""
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
         bands = (bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))

@@ -79,3 +79,32 @@ def global_ntile(df: DataFrame, order_by: list[str | Column], n_tiles: int,
     return (ranked.crossJoin(F.broadcast(total))
             .withColumn(out_col, tile.cast("long"))
             .drop("__grank", "__n"))
+
+
+def shuffle_shards(df: DataFrame, id_col: str = "doc_id",
+                   n_shards: int = 16, seed: str = "shuf:") -> DataFrame:
+    """Deterministic global corpus shuffle into equal training shards —
+    the pretraining-prep step that breaks source/time locality before
+    sequence packing. Adds ``shard`` (0..n_shards-1) and ``pos`` (0-based
+    position within the shard).
+
+    Order is the md5 hash of the id (tie-broken by id — a total order), so
+    the permutation is a pure function of ids: stable across runs,
+    partitionings, and engines, no RNG state to coordinate. The global
+    rank comes from :func:`global_row_number` (two-pass range partition —
+    no global window funnel), and shards are assigned round-robin by rank,
+    which makes every shard an evenly-sized (±1) hash-stratified sample of
+    the corpus rather than a contiguous hash range.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    from ..functions.text import hash32_md5
+
+    h = hash32_md5(F.col(id_col).cast("string"), seed)
+    ranked = global_row_number(df.withColumn("__h", h), ["__h", id_col],
+                               out_col="__g")
+    return (ranked
+            .withColumn("shard", ((F.col("__g") - 1) % n_shards).cast("int"))
+            .withColumn("pos",
+                        F.expr(f"CAST((__g - 1) div {n_shards} AS BIGINT)"))
+            .drop("__h", "__g"))

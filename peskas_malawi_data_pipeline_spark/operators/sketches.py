@@ -77,3 +77,68 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
             .select(group_col,
                     F.col("sketch_size").cast("long").alias("sketch_size"),
                     est.cast("long").alias("est_distinct")))
+
+
+def heavy_hitters(df: DataFrame, value_col: str,
+                  support_ppm: int = 10_000) -> DataFrame:
+    """EXACT heavy hitters — every value occurring in more than
+    ``support_ppm`` parts-per-million of the non-null rows, with its exact
+    count — without ever shuffling the full value distribution.
+
+    The single-pass answer (groupBy(value).count() then filter) shuffles
+    one row per *distinct value*; on a 100 TB corpus with billions of
+    distinct tokens that shuffle dwarfs the answer. This is the classic
+    two-pass fix (Misra-Gries 1982):
+
+    1. **Candidate pass** — per input partition, a k-counter Misra-Gries
+       summary (k = ⌈10⁶/support_ppm⌉) over Arrow batches in
+       ``mapInPandas``. MG guarantees any value with partition frequency
+       > n_p/(k+1) survives its partition's summary, and a value with
+       GLOBAL frequency > n·support must exceed that bar in at least one
+       partition (pigeonhole) — so the union of summaries (≤ k·P tiny
+       rows, materialized) is a superset of the true heavy hitters.
+       Per-partition row counts ride along in the same summary, so the
+       corpus is scanned exactly twice overall.
+    2. **Exact pass** — broadcast-semi-join the candidates back, count
+       only them, and keep count·10⁶ > n·support_ppm (all-integer: the
+       threshold compares identically in any engine).
+
+    The candidate SET depends on partitioning; the returned RESULT does
+    not — every true heavy hitter is guaranteed present and the exact
+    recount discards every false candidate. Deterministic output,
+    partition-layout-free.
+    """
+    import pandas as pd
+
+    if not 1 <= support_ppm <= 1_000_000:
+        raise ValueError(f"support_ppm must be in [1, 1e6] (got {support_ppm})")
+    k = -(-1_000_000 // support_ppm)  # ceil
+
+    def mg(batches):
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for v, c in pdf["v"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # batched MG reduction: subtract the (k+1)-th largest count
+                # from everyone; ≤ k values stay strictly positive. Total
+                # decrement per value ≤ n_p/(k+1) — the MG error bound.
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+        yield pd.DataFrame({"v": list(counters) + [None],
+                            "pn": [None] * len(counters) + [n]})
+
+    vals = (df.select(F.col(value_col).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull()))
+    from ..core.barrier import materialize
+    summary = materialize(vals.mapInPandas(mg, "v string, pn long"))
+    cands = summary.filter(F.col("v").isNotNull()).select("v").distinct()
+    total = summary.agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("__n"))
+    counts = (vals.join(F.broadcast(cands), "v", "left_semi")
+              .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * 1_000_000 > F.col("__n") * support_ppm)
+            .select(F.col("v").alias(value_col),
+                    F.col("cnt").cast("long").alias("cnt")))

@@ -1325,13 +1325,19 @@ def incremental_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the FULL corpus — the incremental path must reproduce the
     full recompute exactly (it does; caps never trigger at oracle scale,
     see incremental_lsh_pairs on cap semantics)."""
+    from .core.barrier import materialize
+
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 7 == 0)
     old = docs.filter(F.col("doc_id") % 7 != 0)
-    prior = dedup_ops.connected_components(dedup_ops.minhash_lsh_pairs(
+    # ONE sketch pass over the old corpus: the materialized band index is
+    # what production persists, and both consumers below (prior-state
+    # rebuild + incremental join) read it — without the barrier each
+    # consumer would re-run the shingle→hash→signature map over old.
+    index_bands = materialize(dedup_ops.minhash_bands(
         old, num_hashes=8, band_size=2, shingle_n=3))
-    index_bands = dedup_ops.minhash_bands(
-        old, num_hashes=8, band_size=2, shingle_n=3)
+    prior = dedup_ops.connected_components(
+        dedup_ops.lsh_pairs_from_bands(index_bands))
     new_bands = dedup_ops.minhash_bands(
         new, num_hashes=8, band_size=2, shingle_n=3)
     new_pairs = dedup_ops.incremental_lsh_pairs(new_bands, index_bands,
@@ -3326,6 +3332,50 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-free two-level k-smallest plan."""
     ev = _t(spark, sf_dir, "events")
     return sketch_ops.kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+@register("heavy_hitter_tokens", f"""
+WITH tok AS (SELECT u.t AS tok
+             FROM (SELECT {_DUCK_TOKS} AS t FROM documents), UNNEST(t) AS u(t)),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY tok
+HAVING count(*) * 1000000 > (SELECT n FROM tot) * 10000
+""")
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy-hitter tokens (> 1% of all occurrences) via the
+    Misra-Gries two-pass in sketches.heavy_hitters: per-partition k-counter
+    candidate summaries (mapInPandas, Arrow), then an exact broadcast-
+    semi-join recount of candidates only — the shuffle carries ≤ k·P
+    candidate rows instead of one row per distinct token, which is the
+    difference between an answer-sized shuffle and a corpus-vocabulary
+    shuffle at 100 TB. The oracle is the naive full groupBy: the two-pass
+    result is provably identical (candidate superset + exact recount)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    return sketch_ops.heavy_hitters(tok, "tok", support_ppm=10_000)
+
+
+@register("corpus_shuffle", """
+WITH h AS (SELECT doc_id,
+           CAST('0x' || substr(md5('shuf:' || doc_id), 1, 8) AS BIGINT) AS hh
+           FROM documents),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) AS g FROM h)
+SELECT doc_id, CAST((g - 1) % 16 AS INT) AS shard,
+       CAST((g - 1) // 16 AS BIGINT) AS pos
+FROM r
+""")
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into 16 equal training shards
+    (ranking.shuffle_shards): md5-hash order (pure function of ids — no
+    RNG state), global rank via the two-pass range-partition plan (the
+    oracle's single ORDER BY window is exactly the funnel the Spark side
+    avoids), round-robin shard assignment so every shard is a
+    hash-stratified 1/16th sample."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators import ranking
+    out = ranking.shuffle_shards(docs, id_col="doc_id", n_shards=16)
+    return out.select("doc_id", "shard", "pos")
 
 
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;

@@ -638,3 +638,54 @@ def test_kmv_excludes_nulls_and_validates_k(spark):
         K.kmv_distinct(df, "g", "v", k=1)
     with pytest.raises(ValueError, match="k must be"):
         K.kmv_distinct(df, "g", "v", k=5000)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+
+
+def test_heavy_hitters_equals_naive_groupby_under_any_partitioning(spark):
+    from peskas_malawi_data_pipeline_spark.operators import sketches as K
+
+    # skewed distribution: a few giants, a long tail
+    rows = ([Row(v="alpha")] * 400 + [Row(v="beta")] * 150
+            + [Row(v="gamma")] * 30
+            + [Row(v=f"tail{i}") for i in range(420)])
+    base = spark.createDataFrame(rows)
+    want = {("alpha", 400), ("beta", 150), ("gamma", 30)}
+    for df in (base.coalesce(1), base.repartition(32), base.repartition(7, "v")):
+        got = {(r.v, r.cnt)
+               for r in K.heavy_hitters(df, "v", support_ppm=20_000).collect()}
+        # threshold: cnt * 1e6 > 1000 * 20000 -> cnt > 20
+        assert got == want
+
+
+def test_heavy_hitters_adversarial_spread_across_partitions(spark):
+    from peskas_malawi_data_pipeline_spark.operators import sketches as K
+
+    # the heavy value is a *local minority* in every partition (each
+    # partition dominated by its own distinct noise) — the pigeonhole
+    # guarantee must still surface it from at least one MG summary
+    rows = []
+    for p in range(8):
+        rows += [Row(pk=p, v="needle")] * 30
+        rows += [Row(pk=p, v=f"noise-{p}-{i}") for i in range(170)]
+    df = spark.createDataFrame(rows).repartition(8, "pk").drop("pk")
+    got = {(r.v, r.cnt)
+           for r in K.heavy_hitters(df, "v", support_ppm=100_000).collect()}
+    # n=1600, threshold cnt > 160; needle = 240, every noise value = 1
+    assert got == {("needle", 240)}
+
+
+def test_heavy_hitters_nulls_empty_and_validation(spark):
+    from peskas_malawi_data_pipeline_spark.operators import sketches as K
+
+    df = spark.createDataFrame([Row(v="a"), Row(v=None), Row(v="a"),
+                                Row(v="b")])
+    got = {(r.v, r.cnt)
+           for r in K.heavy_hitters(df, "v", support_ppm=500_000).collect()}
+    # n=3 non-null; threshold cnt > 1.5 -> only "a"
+    assert got == {("a", 2)}
+    assert K.heavy_hitters(df.filter("v = 'zzz'"), "v").count() == 0
+    with pytest.raises(ValueError, match="support_ppm"):
+        K.heavy_hitters(df, "v", support_ppm=0)

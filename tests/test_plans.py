@@ -565,6 +565,7 @@ def test_registry_wide_plan_hygiene(spark):
         "weighted_sample",   # 8-row shard-total prefix sum
         "ann_ivf_topk",      # 16-row centroid seed numbering
         "ntile_deciles",     # |buckets|-row offset frame (ranking.global_ntile)
+        "corpus_shuffle",    # |buckets|-row offset frame (ranking.shuffle_shards)
     }
     utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
     offenders = {}
@@ -746,3 +747,40 @@ def test_versioned_table_commit_protocol(spark, tmp_path):
     assert os.path.exists(t.data_dir(5)) and os.path.exists(t.data_dir(v_new))
     assert not os.path.exists(t.data_dir(v_new + 2))
     assert t.read(spark).count() == 9
+
+
+def test_shuffle_shards_balanced_deterministic_partition_free(spark):
+    """ranking.shuffle_shards: equal shard sizes (±1), (shard, pos) unique
+    and dense per shard, and the assignment is a pure function of ids —
+    identical across input partitionings."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import ranking
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = ranking.shuffle_shards(docs, n_shards=7)
+    rows = [(r.doc_id, r.shard, r.pos) for r in out.collect()]
+    n = len(rows)
+    sizes = {}
+    for _, s, _ in rows:
+        sizes[s] = sizes.get(s, 0) + 1
+    assert set(sizes) == set(range(7))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # per-shard positions dense 0..size-1
+    by_shard = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(sizes[s]))
+    # partitioning-free: same assignment from a different layout
+    again = ranking.shuffle_shards(docs.repartition(3, "text"), n_shards=7)
+    assert {(r.doc_id, r.shard, r.pos) for r in again.collect()} == set(rows)
+    # shards are hash-stratified, not contiguous id ranges: the first 7
+    # ids should not all land in one shard
+    first = {s for d, s, _ in rows if d < 7}
+    assert len(first) > 1
+
+    import pytest
+    with pytest.raises(ValueError, match="n_shards"):
+        ranking.shuffle_shards(docs, n_shards=0)
