@@ -689,3 +689,37 @@ def test_heavy_hitters_nulls_empty_and_validation(spark):
     assert K.heavy_hitters(df.filter("v = 'zzz'"), "v").count() == 0
     with pytest.raises(ValueError, match="support_ppm"):
         K.heavy_hitters(df, "v", support_ppm=0)
+
+
+def test_sketches_property_random_multisets(spark):
+    """Property: heavy_hitters equals the naive exact groupBy-filter and
+    kmv_distinct equals the reference KMV formula on randomized skewed
+    multisets, across partition layouts, support levels, and sketch
+    sizes."""
+    import random
+    from collections import Counter
+
+    from peskas_malawi_data_pipeline_spark.operators import sketches as K
+
+    rng = random.Random(7)
+    for trial in range(4):
+        vals = []
+        for v in range(rng.randint(3, 30)):
+            vals += [f"v{v}"] * rng.randint(1, 120)
+        rng.shuffle(vals)
+        n = len(vals)
+        support_ppm = rng.choice([50_000, 120_000, 300_000])
+        c = Counter(vals)
+        want = {(v, cnt) for v, cnt in c.items()
+                if cnt * 1_000_000 > n * support_ppm}
+        df = (spark.createDataFrame([(v,) for v in vals], ["v"])
+              .repartition(rng.choice([1, 5, 32])))
+        got = {(r.v, r.cnt)
+               for r in K.heavy_hitters(df, "v", support_ppm).collect()}
+        assert got == want, (trial, support_ppm)
+
+        k = rng.choice([8, 32, 64])
+        want_kmv = _kmv_ref(set(vals), k)
+        row = (K.kmv_distinct(df.withColumn("g", F.lit("g")), "g", "v", k=k)
+               .first())
+        assert (row.sketch_size, row.est_distinct) == want_kmv, (trial, k)
