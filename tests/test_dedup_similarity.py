@@ -379,6 +379,13 @@ def test_pagerank_invariant_to_partitioning_and_checkpointing(spark):
                        variant, iterations=4,
                        checkpoint_interval=ci).collect()}
             assert got == ref
+    # the broadcast and shuffled-join regimes (and therefore whatever
+    # "auto" picks at any node count) are the same algorithm
+    for bcast in (True, False):
+        got = {r.id: r.score_micro
+               for r in G.pagerank_integer(df, iterations=4,
+                                           broadcast_scores=bcast).collect()}
+        assert got == ref
 
 
 def test_incremental_components_equals_full_recompute(spark):

@@ -77,7 +77,7 @@ def _shuffle_words(text: str, rng: random.Random) -> str:
     return " ".join(words)
 
 
-def build(dest: str = DEST) -> None:
+def build(dest: str = DEST, replicas: int = REPLICAS) -> None:
     os.makedirs(dest, exist_ok=True)
 
     for t in ALL_TABLES:
@@ -98,7 +98,7 @@ def build(dest: str = DEST) -> None:
         offset = _orderkey_offset()
         okey = orders.column("o_orderkey").to_numpy()
         writer = pq.ParquetWriter(ord_path, orders.schema)
-        for r in range(REPLICAS):
+        for r in range(replicas):
             writer.write_table(orders.set_column(
                 orders.schema.get_field_index("o_orderkey"), "o_orderkey",
                 pa.array(okey + r * offset,
@@ -121,7 +121,7 @@ def build(dest: str = DEST) -> None:
         vecs = emb.column("embedding").to_pylist()
         v_off = int(vid.max()) + 1
         writer = pq.ParquetWriter(emb_path, emb.schema)
-        for r in range(REPLICAS):
+        for r in range(replicas):
             if r == 0:
                 vr = vecs
             else:
@@ -144,7 +144,7 @@ def build(dest: str = DEST) -> None:
         uid = ev.column("user_id").to_numpy()
         e_off, u_off = int(eid.max()) + 1, int(uid.max()) + 1
         writer = pq.ParquetWriter(ev_path, ev.schema)
-        for r in range(REPLICAS):
+        for r in range(replicas):
             tbl = ev.set_column(
                 ev.schema.get_field_index("event_id"), "event_id",
                 pa.array(eid + r * e_off, type=ev.schema.field("event_id").type))
@@ -160,7 +160,7 @@ def build(dest: str = DEST) -> None:
         okey = li.column("l_orderkey").to_numpy()
         offset = _orderkey_offset()
         writer = pq.ParquetWriter(li_path, li.schema)
-        for r in range(REPLICAS):
+        for r in range(replicas):
             shifted = pa.array(okey + r * offset, type=li.schema.field("l_orderkey").type)
             writer.write_table(li.set_column(
                 li.schema.get_field_index("l_orderkey"), "l_orderkey", shifted))
@@ -173,7 +173,7 @@ def build(dest: str = DEST) -> None:
         texts = docs.column("text").to_pylist()
         offset = int(ids.max()) + 1
         writer = pq.ParquetWriter(doc_path, docs.schema)
-        for r in range(REPLICAS):
+        for r in range(replicas):
             tbl = docs
             if r > 0:
                 rng = random.Random(1_000_003 * r)
@@ -191,12 +191,18 @@ def build(dest: str = DEST) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--replicas", type=int, default=REPLICAS,
+                    help="replication factor over sf0.1 (10 -> 'sf1', 100 -> 'sf10')")
+    ap.add_argument("--dest", default=None,
+                    help="probe-data dir (default .scale/sf<replicas/10>)")
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args()
 
-    build()
+    label_big = f"sf{args.replicas / 10:g}"
+    dest = args.dest or os.path.join(REPO, ".scale", label_big)
+    build(dest, args.replicas)
     if args.build_only:
-        print(f"built {DEST}")
+        print(f"built {dest}")
         return
 
     sys.path.insert(0, REPO)
@@ -228,7 +234,7 @@ def main() -> None:
         except Exception:
             pass
         row = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf1", DEST)):
+        for label, sf_dir in (("sf0.1", SRC), (label_big, dest)):
             # noop sink, not count(): count() lets Catalyst eliminate
             # unique-key left joins and prune aggregate expressions, timing
             # a fraction of the real plan; noop evaluates every output
@@ -243,7 +249,7 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 secs.append(round(time.time() - t0, 2))
             row[label] = {"sec": min(secs), "rows": fn(spark, sf_dir).count()}
-        row["ratio"] = round(row["sf1"]["sec"] / max(row["sf0.1"]["sec"], 1e-9), 2)
+        row["ratio"] = round(row[label_big]["sec"] / max(row["sf0.1"]["sec"], 1e-9), 2)
         results[name] = row
         print(json.dumps({name: row}))
 
