@@ -179,3 +179,31 @@ def fingerprint(col: Column) -> Column:
     """
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def token_chunks(col: Column, size: int, overlap: int = 0) -> Column:
+    """Overlapping token-window chunks of a document, as array<string> —
+    the RAG/pretraining document-splitting step (cf. pack_chunks, which
+    concatenates ACROSS documents; this splits WITHIN one).
+
+    Chunk i covers tokens [i·step, i·step + size) with step = size −
+    overlap; the final chunk may be shorter, a document of ≤ size tokens
+    yields exactly one chunk (an empty document yields one empty chunk —
+    filter upstream if that's unwanted). Pure higher-order functions: one
+    tokenize per row (bound once), a sequence of chunk indices, a slice +
+    join per chunk. No shuffle, no Python.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"need 0 <= overlap < size (got size={size}, overlap={overlap})")
+    step = size - overlap
+
+    def chunks(t: Column) -> Column:
+        n = F.size(t)
+        n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+            F.ceil((n - size) / F.lit(step)).cast("int") + 1)
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(t, i * step + 1, size), " "))
+
+    return bound(tokens(col), chunks)

@@ -3378,6 +3378,39 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "pos")
 
 
+@register("doc_chunks", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+ch AS (SELECT doc_id,
+  list_transform(range(0, CASE WHEN len(t) <= 64 THEN 1
+                              ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) + 1 END),
+                 i -> struct_pack(cid := i,
+                                  chunk := array_to_string(t[i*48+1 : i*48+64], ' '))) AS cs
+  FROM toks)
+SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+       CAST(len(list_filter(string_split(u.chunk, ' '), x -> x <> ''))
+            AS BIGINT) AS n_tokens,
+       md5(u.chunk) AS chunk_md5
+FROM (SELECT doc_id, UNNEST(cs) AS u FROM ch)
+""")
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document overlapping token-window chunking (64-token windows,
+    16-token overlap) — the RAG / long-context document-splitting step,
+    complementary to pack_chunks (which concatenates ACROSS documents).
+    Pure higher-order functions: one tokenize per doc, slice+join per
+    chunk, posexplode — no shuffle at all until a downstream consumer
+    groups. Chunks are emitted as (id, ordinal, token count, md5) so the
+    oracle hash-compares content without shipping full text."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.posexplode(T.token_chunks(F.col("text"), 64, 16))
+        .alias("chunk_id", "chunk"))
+    return ch.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        T.token_count(F.col("chunk")).cast("long").alias("n_tokens"),
+        F.md5("chunk").alias("chunk_md5"))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

@@ -259,3 +259,36 @@ def test_word_shingles_tokenizes_once(spark):
                 T.lang_id(F.col("text"))):
         plan = df.select(col.alias("c"))._jdf.queryExecution().analyzed().toString()
         assert plan.count("split(") == 1, plan
+
+
+def test_token_chunks_windows_overlap_and_edges(spark):
+    from pyspark.sql import Row, functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    df = spark.createDataFrame([
+        Row(i=1, text=" ".join(f"w{k}" for k in range(10))),  # 10 toks
+        Row(i=2, text="a b c"),                                # <= size
+        Row(i=3, text=""),                                     # empty
+    ])
+    out = {r.i: r.chunks for r in df.select(
+        "i", T.token_chunks(F.col("text"), 4, 2).alias("chunks")).collect()}
+    # size=4 step=2 over 10 tokens: ceil((10-4)/2)+1 = 4 chunks
+    assert out[1] == ["w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7",
+                      "w6 w7 w8 w9"]
+    assert out[2] == ["a b c"]
+    assert out[3] == [""]
+    # exact-multiple edge: 8 tokens, size 4, step 2 -> ceil(4/2)+1 = 3
+    df8 = spark.createDataFrame([Row(text=" ".join("t" + str(k)
+                                                   for k in range(8)))])
+    got = df8.select(T.token_chunks(F.col("text"), 4, 2)
+                     .alias("c")).first().c
+    assert got == ["t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7"]
+    # every token appears in at least one chunk; consecutive chunks share
+    # exactly `overlap` tokens
+    for a, b in zip(out[1], out[1][1:]):
+        assert a.split()[-2:] == b.split()[:2]
+
+    import pytest
+    with pytest.raises(ValueError, match="overlap < size"):
+        T.token_chunks(F.col("text"), 4, 4)
