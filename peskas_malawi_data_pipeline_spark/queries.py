@@ -3411,6 +3411,82 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk").alias("chunk_md5"))
 
 
+def _dataset_card_sql() -> str:
+    hits = {lang: _duck_lang_hits(lang, marks)
+            for lang, marks in T.LANG_MARKERS.items()}
+    langs = sorted(hits)
+    score_cols = ",\n         ".join(
+        f"{hits[lang]} AS hits_{lang}" for lang in langs)
+    g = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {g} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH toks AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS t FROM documents),
+scored AS (SELECT doc_id, source, text, t, len(t) AS n_tokens,
+                  {score_cols}
+           FROM toks),
+feat AS (
+  SELECT source, n_tokens,
+         CASE WHEN {case} = 'en' THEN 1 ELSE 0 END AS is_en,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text,
+             '[\\.,;:!\\?"''\\(\\)\\[\\]\\{{\\}}]', '', 'g')) AS n_punct,
+         CASE WHEN len(t) > 0 THEN
+           CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is')))
+                AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM scored),
+q AS (SELECT source, n_tokens, is_en, fp,
+        CAST(floor((0.4 * least(n / 500.0, 1.0)
+          + 0.3 * (1.0 - least(CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE)/n ELSE 0.0 END * 5.0, 1.0))
+          + 0.3 * least(stop_ratio * 5.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
+      FROM feat)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(floor(quantile_cont(n_tokens, 0.5)) AS BIGINT) AS p50_tokens,
+       CAST(floor(quantile_cont(n_tokens, 0.9)) AS BIGINT) AS p90_tokens,
+       CAST(sum(is_en) * 1000000 // count(*) AS BIGINT) AS en_ppm,
+       CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+       CAST(sum(quality_micro) // count(*) AS BIGINT) AS mean_quality_micro
+FROM q GROUP BY source
+"""
+
+
+@register("dataset_card", _dataset_card_sql())
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary table a training-data release
+    ships (counts, token volume and percentiles, language share, exact-dup
+    rate, mean quality), in ONE grouped aggregation over one scan. Every
+    statistic is integer-deterministic (ppm shares and micro-unit means
+    via integer division; exact interpolated percentiles floored), so the
+    card hash-matches across engines — no float drift in a published
+    artifact. Scale shape: pure map features + one groupBy(source) with
+    map-side partials; count(DISTINCT fp) is the only expanding term."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        (T.lang_id(F.col("text")) == "en").cast("int").alias("is_en"),
+        F.floor(T.quality_score(F.col("text")) * 1000000).cast("long")
+        .alias("quality_micro"),
+        T.fingerprint(F.col("text")).alias("fp"))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.floor(F.expr("percentile(n_tokens, 0.5)")).cast("long")
+        .alias("p50_tokens"),
+        F.floor(F.expr("percentile(n_tokens, 0.9)")).cast("long")
+        .alias("p90_tokens"),
+        F.expr("CAST(sum(is_en) * 1000000 div count(1) AS BIGINT)")
+        .alias("en_ppm"),
+        F.expr("CAST((count(1) - count(DISTINCT fp)) * 1000000 div count(1) "
+               "AS BIGINT)").alias("dup_ppm"),
+        F.expr("CAST(sum(quality_micro) div count(1) AS BIGINT)")
+        .alias("mean_quality_micro"))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).
