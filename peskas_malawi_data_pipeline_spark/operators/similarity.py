@@ -40,7 +40,8 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
                      query_id: str = "query_id", corpus_id: str = "corpus_id",
                      vec_col: str = "embedding",
-                     round_digits: int | None = 6) -> DataFrame:
+                     round_digits: int | None = 6,
+                     anti_match_col: str | None = None) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector over the corpus.
 
     Plan shape: broadcast the (small) query set against the corpus — the
@@ -48,11 +49,24 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     row_number window on (query, −similarity). For large query sets,
     block-partition the queries and union. ``round_digits`` + corpus-id
     tie-break makes the selection deterministic across summation orders.
+
+    ``anti_match_col``: when set (a column present in BOTH frames), only
+    pairs whose values DIFFER are considered — the hard-negative mining
+    restriction (nearest neighbors with a different class/label/source).
+    Rows with a NULL value never match an inequality and are excluded,
+    same as in any SQL engine.
     """
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    q = queries.select(F.col(query_id), vd.alias("__qv"), l2_norm(vd).alias("__qn"))
-    c = corpus.select(F.col(corpus_id), vd.alias("__cv"), l2_norm(vd).alias("__cn"))
-    scored = c.join(F.broadcast(q), F.col(query_id) != F.col(corpus_id))
+    extra_q = [F.col(anti_match_col).alias("__qm")] if anti_match_col else []
+    extra_c = [F.col(anti_match_col).alias("__cm")] if anti_match_col else []
+    q = queries.select(F.col(query_id), vd.alias("__qv"),
+                       l2_norm(vd).alias("__qn"), *extra_q)
+    c = corpus.select(F.col(corpus_id), vd.alias("__cv"),
+                      l2_norm(vd).alias("__cn"), *extra_c)
+    cond = F.col(query_id) != F.col(corpus_id)
+    if anti_match_col:
+        cond = cond & (F.col("__qm") != F.col("__cm"))
+    scored = c.join(F.broadcast(q), cond)
     denom = F.col("__qn") * F.col("__cn")
     sim = F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom)
     if round_digits is not None:

@@ -3411,6 +3411,39 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk").alias("chunk_md5"))
 
 
+@register("hard_negatives", f"""
+WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, label AS cl, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+s AS (SELECT query_id, corpus_id, round({_DUCK_COS}, 6) AS cosine
+      FROM q, c WHERE query_id <> corpus_id AND ql <> cl),
+r AS (SELECT query_id, corpus_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id) AS rank
+      FROM s)
+SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""")
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each anchor's top-3
+    most-similar vectors with a DIFFERENT label — the near-miss examples a
+    retrieval/embedding model learns the most from. Same broadcast-anchor
+    plan as ann_bruteforce_topk (corpus never shuffles) with the label
+    inequality pushed into the join condition, so same-label pairs never
+    materialize."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding",
+                       "label"))
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding",
+                        "label")
+    out = sim_ops.brute_force_topk(anchors, corpus, k=3,
+                                   anti_match_col="label")
+    return out.select("query_id", "corpus_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def _dataset_card_sql() -> str:
     hits = {lang: _duck_lang_hits(lang, marks)
             for lang, marks in T.LANG_MARKERS.items()}

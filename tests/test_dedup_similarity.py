@@ -730,3 +730,24 @@ def test_sketches_property_random_multisets(spark):
         row = (K.kmv_distinct(df.withColumn("g", F.lit("g")), "g", "v", k=k)
                .first())
         assert (row.sketch_size, row.est_distinct) == want_kmv, (trial, k)
+
+
+def test_brute_force_topk_anti_match_mines_hard_negatives(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),   # anchor
+        Row(vec_id=1, embedding=[0.99, 0.1], label=0),  # same label: excluded
+        Row(vec_id=2, embedding=[0.9, 0.2], label=1),   # hard negative
+        Row(vec_id=3, embedding=[0.0, 1.0], label=1),   # easy negative
+        Row(vec_id=4, embedding=[0.5, 0.5], label=None),  # NULL label: excluded
+    ]
+    df = spark.createDataFrame(rows)
+    anchors = (df.filter(F.col("vec_id") == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding",
+                       "label"))
+    corpus = df.select(F.col("vec_id").alias("corpus_id"), "embedding",
+                       "label")
+    got = [(r.corpus_id, r.rank) for r in
+           S.brute_force_topk(anchors, corpus, k=2, anti_match_col="label")
+           .orderBy("rank").collect()]
+    # nearest different-label first; same-label and NULL-label never appear
+    assert got == [(2, 1), (3, 2)]
