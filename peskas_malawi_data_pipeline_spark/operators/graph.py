@@ -78,6 +78,10 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
         # nodes is materialized above — the count reads cached blocks, no
         # recompute of the upstream edge pipeline
         broadcast_scores = nodes.count() <= BROADCAST_SCORE_MAX_NODES
+    elif not isinstance(broadcast_scores, bool):
+        raise ValueError(
+            f"broadcast_scores must be True, False, or 'auto' "
+            f"(got {broadcast_scores!r})")
 
     base = F.lit((100 - damping_pct) * UNIT // 100).cast("long")
     scores = nodes.withColumn("score_micro", F.lit(UNIT).cast("long"))

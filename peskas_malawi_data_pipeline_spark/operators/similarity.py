@@ -290,7 +290,11 @@ def assign_nearest_centroid(df: DataFrame, centroids: DataFrame,
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     dists = q.crossJoin(F.broadcast(cents)).select(
         id_col, "__cid", d2.alias("__d2"))
-    w = Window.partitionBy(id_col).orderBy("__d2", "__cid")
+    # nulls LAST: a dimension-mismatched vector/centroid pair yields a NULL
+    # distance (zip_with pads with NULL), and Spark's default NULLS FIRST
+    # would silently crown it the argmin — also aligns with the SQL
+    # oracle's NULLS LAST ordering
+    w = Window.partitionBy(id_col).orderBy(F.asc_nulls_last("__d2"), "__cid")
     return (dists.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(id_col, F.col("__cid").alias(cid_col)))

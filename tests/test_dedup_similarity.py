@@ -751,3 +751,23 @@ def test_brute_force_topk_anti_match_mines_hard_negatives(spark):
            .orderBy("rank").collect()]
     # nearest different-label first; same-label and NULL-label never appear
     assert got == [(2, 1), (3, 2)]
+
+
+def test_assign_nearest_centroid_null_distance_never_wins(spark):
+    """A dimension-mismatched centroid yields a NULL distance (zip_with
+    pads); NULLS LAST ordering must keep it from beating a real distance."""
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    cents = spark.createDataFrame([
+        Row(centroid_id=0, embedding=[0.0, 1.0]),        # valid, far
+        Row(centroid_id=1, embedding=[1.0, 0.0, 0.0]),   # 3-dim: NULL d2
+    ])
+    got = S.assign_nearest_centroid(df, cents).first()
+    assert got.centroid_id == 0
+
+
+def test_pagerank_rejects_invalid_broadcast_mode(spark):
+    from peskas_malawi_data_pipeline_spark.operators import graph as G
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="broadcast_scores"):
+        G.pagerank_integer(df, iterations=1, broadcast_scores="yes")

@@ -292,3 +292,47 @@ def test_token_chunks_windows_overlap_and_edges(spark):
     import pytest
     with pytest.raises(ValueError, match="overlap < size"):
         T.token_chunks(F.col("text"), 4, 4)
+
+
+def test_token_chunks_hypothesis_fuzz_vs_reference(spark):
+    """Property (hypothesis): token_chunks equals a plain-Python reference
+    for arbitrary token counts, sizes, and overlaps — all examples checked
+    in ONE Spark job (hypothesis drives the case list, not the executor)."""
+    from hypothesis import given, settings, strategies as st
+
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(n=st.integers(0, 40), size=st.integers(1, 12),
+           overlap=st.integers(0, 11))
+    def collect(n, size, overlap):
+        if overlap < size:
+            cases.append((n, size, overlap))
+
+    collect()
+    assert cases
+
+    from pyspark.sql import Row, functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    def ref(n, size, overlap):
+        toks = [f"t{k}" for k in range(n)]
+        step = size - overlap
+        n_chunks = 1 if n <= size else -(-(n - size) // step) + 1
+        return [" ".join(toks[i * step:i * step + size])
+                for i in range(n_chunks)]
+
+    rows = [Row(cid=i, n=n, size=size, overlap=overlap,
+                text=" ".join(f"t{k}" for k in range(n)))
+            for i, (n, size, overlap) in enumerate(cases)]
+    df = spark.createDataFrame(rows)
+    # one job per distinct (size, overlap) combination present
+    combos = sorted({(s, o) for _, s, o in cases})
+    for size, overlap in combos:
+        sub = df.filter((F.col("size") == size) & (F.col("overlap") == overlap))
+        got = {r.cid: r.chunks for r in sub.select(
+            "cid", T.token_chunks(F.col("text"), size, overlap)
+            .alias("chunks")).collect()}
+        for r in sub.select("cid", "n").collect():
+            assert got[r.cid] == ref(r.n, size, overlap), (r.n, size, overlap)
