@@ -3444,6 +3444,41 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register("join_key_skew", """
+WITH c AS (SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c),
+r AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rn FROM c)
+SELECT r.key, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(cnt * 100 // greatest(t.total // t.n_keys, 1) AS BIGINT)
+         AS skew_x100
+FROM r, t WHERE rn <= 10
+""")
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — the pre-join diagnosis that decides whether a
+    key needs salting and at what factor: the 10 hottest keys with exact
+    count, corpus share (ppm), and hotness as ×100 of the mean key
+    population (`skew_x100 / 100` ≈ the salting factor that would level
+    that key). All-integer outputs (integer division against the floored
+    mean) so the report is engine-exact. Plan: one map-side-combining
+    groupBy, a broadcast 1-row totals frame, and TakeOrderedAndProject for
+    the top-10 — no global window over the (possibly billions-of-keys)
+    count frame; the oracle's row_number formulation is the funnel this
+    plan avoids."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("__total"),
+              F.count(F.lit(1)).alias("__n_keys"))
+    top = c.orderBy(F.desc("cnt"), "key").limit(10)
+    return (top.crossJoin(F.broadcast(t))
+            .select("key", F.col("cnt").cast("long").alias("cnt"),
+                    F.expr("CAST(cnt * 1000000 div __total AS BIGINT)")
+                    .alias("share_ppm"),
+                    F.expr("CAST(cnt * 100 div greatest(__total div __n_keys,"
+                           " 1) AS BIGINT)").alias("skew_x100")))
+
+
 def _dataset_card_sql() -> str:
     hits = {lang: _duck_lang_hits(lang, marks)
             for lang, marks in T.LANG_MARKERS.items()}
