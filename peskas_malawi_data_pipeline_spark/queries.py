@@ -3258,7 +3258,10 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check Jaccard misses: a short document quoted whole inside a longer one
     scores ~1.0 on |∩|/min(|A|,|B|) while |∩|/|∪| stays tiny. Same
     materialized inverted-index plan as jaccard_pairs (posting self-join on
-    (block, shingle); only pairs sharing ≥1 shingle materialize)."""
+    (block, shingle); only pairs sharing ≥1 shingle materialize). Uncapped
+    is fine at bench scale; beyond ~10× on a shared-vocabulary corpus pass
+    ``max_shingle_df`` — measured at 100×: uncapped exhausts local disk,
+    ``max_shingle_df=200`` completes in ~150 s (SCALE.md §10b)."""
     out = dedup_ops.containment_pairs(
         _t(spark, sf_dir, "documents"), block_col="lang",
         shingle_n=3, threshold=0.2)

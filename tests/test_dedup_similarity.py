@@ -771,3 +771,44 @@ def test_pagerank_rejects_invalid_broadcast_mode(spark):
     df = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError, match="broadcast_scores"):
         G.pagerank_integer(df, iterations=1, broadcast_scores="yes")
+
+
+def test_containment_property_vs_python_reference(spark):
+    """Property: containment_pairs equals a plain-Python shingle-set
+    reference on randomized corpora (shared vocabulary, varying lengths),
+    across thresholds."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = {i: " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(1, 40)))
+                for i in range(1, 15)}
+
+        def shingles(text, n=3):
+            toks = text.lower().split()
+            if len(toks) <= n - 1:
+                return {" ".join(toks)}
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+        thr = rng.choice([0.2, 0.5, 0.8])
+        want = {}
+        for a in docs:
+            for b in docs:
+                if a < b:
+                    sa, sb = shingles(docs[a]), shingles(docs[b])
+                    inter = len(sa & sb)
+                    if inter == 0:
+                        continue
+                    c = inter / min(len(sa), len(sb))
+                    if c >= thr:
+                        want[(a, b)] = round(c, 6)
+
+        df = (spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in docs.items()])
+            .withColumn("block", F.lit(1)))
+        got = {(r.id_a, r.id_b): round(r.containment, 6)
+               for r in D.containment_pairs(df, "block",
+                                            threshold=thr).collect()}
+        assert got == want, (trial, thr)
