@@ -86,11 +86,17 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(col, n))
 
 
-def hash32_md5(col: Column, seed: str = "") -> Column:
-    """Deterministic 32-bit hash: first 8 hex chars of md5(seed || value),
-    as a bigint. Identical in any engine with md5 (DuckDB:
-    ``CAST('0x' || substr(md5(seed || v), 1, 8) AS BIGINT)``)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 8), 16, 10).cast("long")
+def hash32_md5(col: Column, seed: str = "", hex_chars: int = 8) -> Column:
+    """Deterministic md5-prefix hash: first ``hex_chars`` hex chars of
+    md5(seed || value), as a bigint (``hex_chars`` ≤ 15 so the value fits
+    int64 exactly). Identical in any engine with md5 (DuckDB:
+    ``CAST('0x' || substr(md5(seed || v), 1, n) AS BIGINT)``). The default
+    8 chars = 32 bits; sketches.kmv_distinct uses 13 (52 bits, clear of
+    double rounding)."""
+    if not 1 <= hex_chars <= 15:
+        raise ValueError(f"hex_chars must be in [1, 15] (got {hex_chars})")
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)),
+                              1, hex_chars), 16, 10).cast("long")
 
 
 def punct_ratio(col: Column) -> Column:

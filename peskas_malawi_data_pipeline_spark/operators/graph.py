@@ -67,6 +67,12 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
     serialization per round, so the fusion win GROWS with scale. Keep the
     interval bounded (default 5): unbounded lazy chaining makes analysis
     time and failure re-computation grow with iteration count."""
+    if broadcast_scores != "auto" and not isinstance(broadcast_scores, bool):
+        # validate BEFORE the eager materializations below — an invalid
+        # argument must not cost a full edge-pipeline checkpoint first
+        raise ValueError(
+            f"broadcast_scores must be True, False, or 'auto' "
+            f"(got {broadcast_scores!r})")
     nodes = materialize(edges.select(F.col(src).alias("id"))
                         .union(edges.select(F.col(dst).alias("id")))
                         .distinct())
@@ -78,10 +84,6 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
         # nodes is materialized above — the count reads cached blocks, no
         # recompute of the upstream edge pipeline
         broadcast_scores = nodes.count() <= BROADCAST_SCORE_MAX_NODES
-    elif not isinstance(broadcast_scores, bool):
-        raise ValueError(
-            f"broadcast_scores must be True, False, or 'auto' "
-            f"(got {broadcast_scores!r})")
 
     base = F.lit((100 - damping_pct) * UNIT // 100).cast("long")
     scores = nodes.withColumn("score_micro", F.lit(UNIT).cast("long"))

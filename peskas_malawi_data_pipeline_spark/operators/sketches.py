@@ -52,12 +52,13 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     (union the hash sets, re-take the k minimum), which is exactly what the
     two-level plan exploits.
     """
+    from ..functions.text import hash32_md5
+
     if not 2 <= k <= 2047:
         raise ValueError(f"k must be in [2, 2047] (got {k}): "
                          f"(k-1)·2^{_HASH_BITS} must fit in int64")
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit(seed), F.col(value_col).cast("string"))),
-        1, _HASH_BITS // 4), 16, 10).cast("long")
+    h = hash32_md5(F.col(value_col).cast("string"), seed,
+                   hex_chars=_HASH_BITS // 4)
     d = (df.filter(F.col(value_col).isNotNull())
          .select(F.col(group_col), h.alias("__h"))
          .distinct()
@@ -106,7 +107,10 @@ def heavy_hitters(df: DataFrame, value_col: str,
     The candidate SET depends on partitioning; the returned RESULT does
     not — every true heavy hitter is guaranteed present and the exact
     recount discards every false candidate. Deterministic output,
-    partition-layout-free.
+    partition-layout-free. Values travel through the MG summaries as
+    strings (pandas dict keys) and are cast back to the input column's
+    type on return, so a numeric heavy-hitter list joins back against its
+    source column without implicit casts.
     """
     import pandas as pd
 
@@ -138,7 +142,8 @@ def heavy_hitters(df: DataFrame, value_col: str,
     total = summary.agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("__n"))
     counts = (vals.join(F.broadcast(cands), "v", "left_semi")
               .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
+    out_type = df.schema[value_col].dataType
     return (counts.crossJoin(F.broadcast(total))
             .filter(F.col("cnt") * 1_000_000 > F.col("__n") * support_ppm)
-            .select(F.col("v").alias(value_col),
+            .select(F.col("v").cast(out_type).alias(value_col),
                     F.col("cnt").cast("long").alias("cnt")))

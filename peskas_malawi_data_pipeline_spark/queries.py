@@ -3468,9 +3468,15 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-10 — no global window over the (possibly billions-of-keys)
     count frame; the oracle's row_number formulation is the funnel this
     plan avoids."""
+    from .core.barrier import materialize
+
     li = _t(spark, sf_dir, "lineitem")
-    c = li.groupBy(F.col("l_partkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt"))
+    # materialized barrier: the count frame feeds TWO branches (totals and
+    # top-10); without it each branch re-runs the scan+groupBy unless the
+    # exchange-reuse rule happens to fire — the same hazard
+    # ranking.global_row_number documents
+    c = materialize(li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")))
     t = c.agg(F.sum("cnt").alias("__total"),
               F.count(F.lit(1)).alias("__n_keys"))
     top = c.orderBy(F.desc("cnt"), "key").limit(10)

@@ -812,3 +812,14 @@ def test_containment_property_vs_python_reference(spark):
                for r in D.containment_pairs(df, "block",
                                             threshold=thr).collect()}
         assert got == want, (trial, thr)
+
+
+def test_heavy_hitters_preserves_value_type(spark):
+    """A numeric value column comes back with its own type, so the
+    heavy-hitter list joins against the source without implicit casts."""
+    from peskas_malawi_data_pipeline_spark.operators import sketches as K
+
+    df = spark.createDataFrame([Row(v=7)] * 9 + [Row(v=k) for k in range(3)])
+    out = K.heavy_hitters(df, "v", support_ppm=500_000)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert [(r.v, r.cnt) for r in out.collect()] == [(7, 9)]

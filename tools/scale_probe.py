@@ -198,6 +198,11 @@ def main() -> None:
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args()
 
+    if args.replicas < 2:
+        # replicas=1 would label the big side "sf0.1" — colliding with the
+        # baseline label and silently self-comparing (ratio always 1.0)
+        ap.error("--replicas must be >= 2 (a 1-replica probe compares "
+                 "sf0.1 with itself)")
     label_big = f"sf{args.replicas / 10:g}"
     dest = args.dest or os.path.join(REPO, ".scale", label_big)
     build(dest, args.replicas)
