@@ -20,6 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.barrier import materialize
+from ..functions.text import hash32_md5
+
 #: hash space: 13 hex chars = 52 bits. (k-1)·2⁵² must fit int64 → k ≤ 2047.
 _HASH_BITS = 52
 _HASH_SPACE = 1 << _HASH_BITS
@@ -52,8 +55,6 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     (union the hash sets, re-take the k minimum), which is exactly what the
     two-level plan exploits.
     """
-    from ..functions.text import hash32_md5
-
     if not 2 <= k <= 2047:
         raise ValueError(f"k must be in [2, 2047] (got {k}): "
                          f"(k-1)·2^{_HASH_BITS} must fit in int64")
@@ -136,7 +137,6 @@ def heavy_hitters(df: DataFrame, value_col: str,
 
     vals = (df.select(F.col(value_col).cast("string").alias("v"))
             .filter(F.col("v").isNotNull()))
-    from ..core.barrier import materialize
     summary = materialize(vals.mapInPandas(mg, "v string, pn long"))
     cands = summary.filter(F.col("v").isNotNull()).select("v").distinct()
     total = summary.agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("__n"))

@@ -15,6 +15,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .core.barrier import materialize
 from .functions import expressions as E
 from .functions import text as T
 from .operators import aggregates as agg_ops
@@ -1325,8 +1326,6 @@ def incremental_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the FULL corpus — the incremental path must reproduce the
     full recompute exactly (it does; caps never trigger at oracle scale,
     see incremental_lsh_pairs on cap semantics)."""
-    from .core.barrier import materialize
-
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 7 == 0)
     old = docs.filter(F.col("doc_id") % 7 != 0)
@@ -1424,7 +1423,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-def _corpus_clean_sql() -> str:
+def _duck_lang_parts() -> tuple[str, str]:
+    """(hit-count select list, argmax CASE) of the marker language ID —
+    the SQL twin of text.lang_id, shared by the corpus_clean and
+    dataset_card oracles."""
     hits = {lang: _duck_lang_hits(lang, marks)
             for lang, marks in T.LANG_MARKERS.items()}
     langs = sorted(hits)
@@ -1434,6 +1436,28 @@ def _corpus_clean_sql() -> str:
     case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
         f"WHEN hits_{lang} = {g} THEN '{lang}'" for lang in langs[:-1]
     ) + f" ELSE '{langs[-1]}' END"
+    return score_cols, case
+
+
+#: per-row quality features (SQL twin of text.quality_score's inputs over
+#: columns text/t) — shared by the corpus_clean and dataset_card oracles
+_DUCK_QUALITY_FEATURES = """length(text) AS n,
+         length(text) - length(regexp_replace(text,
+             '[\\.,;:!\\?"''\\(\\)\\[\\]\\{\\}]', '', 'g')) AS n_punct,
+         CASE WHEN len(t) > 0 THEN
+           CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is')))
+                AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp"""
+
+#: integer-micro quality score over n / n_punct / stop_ratio (SQL twin of
+#: floor(text.quality_score * 1e6))
+_DUCK_QUALITY_MICRO = """CAST(floor((0.4 * least(n / 500.0, 1.0)
+           + 0.3 * (1.0 - least(CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE)/n ELSE 0.0 END * 5.0, 1.0))
+           + 0.3 * least(stop_ratio * 5.0, 1.0)) * 1000000) AS BIGINT)"""
+
+
+def _corpus_clean_sql() -> str:
+    score_cols, case = _duck_lang_parts()
     return f"""
 WITH toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents),
 scored AS (
@@ -1443,19 +1467,11 @@ scored AS (
 feat AS (
   SELECT doc_id, n_tokens,
          {case} AS lang_pred,
-         length(text) AS n,
-         length(text) - length(regexp_replace(text,
-             '[\\.,;:!\\?"''\\(\\)\\[\\]\\{{\\}}]', '', 'g')) AS n_punct,
-         CASE WHEN len(t) > 0 THEN
-           CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is')))
-                AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         {_DUCK_QUALITY_FEATURES}
   FROM scored),
 q AS (
   SELECT doc_id, n_tokens, fp,
-         CAST(floor((0.4 * least(n / 500.0, 1.0)
-           + 0.3 * (1.0 - least(CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE)/n ELSE 0.0 END * 5.0, 1.0))
-           + 0.3 * least(stop_ratio * 5.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
+         {_DUCK_QUALITY_MICRO} AS quality_micro
   FROM feat
   WHERE lang_pred = 'en' AND n_tokens BETWEEN 10 AND 2000),
 kept AS (SELECT q.*, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM q
@@ -3468,8 +3484,6 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-10 — no global window over the (possibly billions-of-keys)
     count frame; the oracle's row_number formulation is the funnel this
     plan avoids."""
-    from .core.barrier import materialize
-
     li = _t(spark, sf_dir, "lineitem")
     # materialized barrier: the count frame feeds TWO branches (totals and
     # top-10); without it each branch re-runs the scan+groupBy unless the
@@ -3489,15 +3503,7 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dataset_card_sql() -> str:
-    hits = {lang: _duck_lang_hits(lang, marks)
-            for lang, marks in T.LANG_MARKERS.items()}
-    langs = sorted(hits)
-    score_cols = ",\n         ".join(
-        f"{hits[lang]} AS hits_{lang}" for lang in langs)
-    g = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
-    case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
-        f"WHEN hits_{lang} = {g} THEN '{lang}'" for lang in langs[:-1]
-    ) + f" ELSE '{langs[-1]}' END"
+    score_cols, case = _duck_lang_parts()
     return f"""
 WITH toks AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS t FROM documents),
 scored AS (SELECT doc_id, source, text, t, len(t) AS n_tokens,
@@ -3506,18 +3512,10 @@ scored AS (SELECT doc_id, source, text, t, len(t) AS n_tokens,
 feat AS (
   SELECT source, n_tokens,
          CASE WHEN {case} = 'en' THEN 1 ELSE 0 END AS is_en,
-         length(text) AS n,
-         length(text) - length(regexp_replace(text,
-             '[\\.,;:!\\?"''\\(\\)\\[\\]\\{{\\}}]', '', 'g')) AS n_punct,
-         CASE WHEN len(t) > 0 THEN
-           CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is')))
-                AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         {_DUCK_QUALITY_FEATURES}
   FROM scored),
 q AS (SELECT source, n_tokens, is_en, fp,
-        CAST(floor((0.4 * least(n / 500.0, 1.0)
-          + 0.3 * (1.0 - least(CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE)/n ELSE 0.0 END * 5.0, 1.0))
-          + 0.3 * least(stop_ratio * 5.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
+        {_DUCK_QUALITY_MICRO} AS quality_micro
       FROM feat)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
