@@ -67,11 +67,12 @@ def main() -> None:
     for _ in range(passes):
         for name, (fn, _sql) in REGISTRY.items():
             # Drop Python references to the previous query's DataFrames so
-            # the ContextCleaner can release their localCheckpoint blocks;
-            # without this, iterative queries late in the pass run against
-            # a block-manager full of dead blocks (measured: pagerank +4 s
-            # in a polluted session vs fresh). Outside the timer — this is
-            # inter-query hygiene, not query cost.
+            # the ContextCleaner can release their localCheckpoint blocks.
+            # (The in-session slowdown originally blamed on dead blocks was
+            # later root-caused to codegen class-cache thrash, fixed via
+            # spark.sql.codegen.cache.maxEntries in core.session; the
+            # gc.collect stays as cheap reference hygiene.) Outside the
+            # timer — inter-query hygiene, not query cost.
             gc.collect()
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -784,3 +784,18 @@ def test_shuffle_shards_balanced_deterministic_partition_free(spark):
     import pytest
     with pytest.raises(ValueError, match="n_shards"):
         ranking.shuffle_shards(docs, n_shards=0)
+
+
+def test_shuffle_shards_more_shards_than_rows(spark):
+    """n_shards > |corpus|: ranks 1..n round-robin into the first n shards,
+    each with a single row at pos 0 — no empty-shard crash, no collisions."""
+    from peskas_malawi_data_pipeline_spark.operators import ranking
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id").limit(3)
+    rows = [(r.shard, r.pos) for r in
+            ranking.shuffle_shards(docs, n_shards=7).collect()]
+    assert len(rows) == 3
+    assert all(p == 0 for _, p in rows)
+    assert len({s for s, _ in rows}) == 3          # three distinct shards
+    assert all(0 <= s < 7 for s, _ in rows)
