@@ -86,17 +86,21 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(col, n))
 
 
-def hash32_md5(col: Column, seed: str = "", hex_chars: int = 8) -> Column:
-    """Deterministic md5-prefix hash: first ``hex_chars`` hex chars of
-    md5(seed || value), as a bigint (``hex_chars`` ≤ 15 so the value fits
-    int64 exactly). Identical in any engine with md5 (DuckDB:
-    ``CAST('0x' || substr(md5(seed || v), 1, n) AS BIGINT)``). The default
-    8 chars = 32 bits; sketches.kmv_distinct uses 13 (52 bits, clear of
-    double rounding)."""
+def md5_prefix_hash(col: Column, seed: str = "", hex_chars: int = 8) -> Column:
+    """Variable-width deterministic md5-prefix hash: first ``hex_chars``
+    hex chars of md5(seed || value) — 4·``hex_chars`` bits — as a bigint
+    (``hex_chars`` ≤ 15 so the value fits int64 exactly). Identical in any
+    engine with md5 (DuckDB: ``CAST('0x' || substr(md5(seed || v), 1, n)
+    AS BIGINT)``). The default 8 chars = 32 bits; sketches.kmv_distinct
+    uses 13 (52 bits, clear of double rounding)."""
     if not 1 <= hex_chars <= 15:
         raise ValueError(f"hex_chars must be in [1, 15] (got {hex_chars})")
     return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)),
                               1, hex_chars), 16, 10).cast("long")
+
+
+#: Backwards-compatible alias from when the helper was fixed at 32 bits.
+hash32_md5 = md5_prefix_hash
 
 
 def punct_ratio(col: Column) -> Column:

@@ -2,7 +2,7 @@
 
 Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
 SimHash, and n-gram Jaccard — all as DataFrame expressions over md5-based
-32-bit hashes (functions.text.hash32_md5), which makes every signature
+32-bit hashes (functions.text.md5_prefix_hash), which makes every signature
 bit-identical in any engine with md5 and therefore oracle-checkable.
 
 Scale notes (100 TB):
@@ -74,7 +74,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes > {len(MINHASH_A)} not supported")
     hashes = F.transform(T.word_shingles(F.col(text_col), shingle_n),
-                         lambda s: T.hash32_md5(s, "mh:"))
+                         lambda s: T.md5_prefix_hash(s, "mh:"))
     a_arr = F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]])
     b_arr = F.array(*[F.lit(b) for b in MINHASH_B[:num_hashes]])
     p = F.lit(MINHASH_P)
@@ -368,7 +368,7 @@ def _shingle_intersections(df: DataFrame, block_col: str, id_col: str,
 def containment_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
                       text_col: str = "text", shingle_n: int = 3,
                       threshold: float = 0.5,
-                      max_shingle_df: int | None = None) -> DataFrame:
+                      max_shingle_df: int | None = 10_000) -> DataFrame:
     """Overlap-coefficient ("containment") near-dup pairs within a blocking
     key: |A∩B| / min(|A|, |B|) ≥ threshold over word-shingle sets.
 
@@ -379,6 +379,16 @@ def containment_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
     the plan is the same materialized inverted-index join as jaccard_pairs
     (only pairs sharing ≥1 shingle materialize; stop-shingle capping bounds
     hot postings at scale), which cannot see zero-overlap pairs.
+
+    ``max_shingle_df`` defaults ON (10 000): the repo's own 100× probe
+    (SCALE.md §10b) measured the uncapped inverted index exhausting >30 GB
+    of shuffle disk on a shared-vocabulary corpus while the capped run
+    finished in ~150 s — beyond about one decade of growth the cap is
+    mandatory, so the safe behavior is opt-out. Capping drops shingles
+    whose block-level document frequency exceeds the cap, so the reported
+    containment is a LOWER bound (no false positives; pairs whose entire
+    overlap is hot boilerplate may be missed). Pass ``max_shingle_df=None``
+    for the exact uncapped semantics on corpora known to be small.
     """
     if threshold <= 0:
         raise ValueError(

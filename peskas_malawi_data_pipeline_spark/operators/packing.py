@@ -35,7 +35,7 @@ from ..functions import text as TX
 
 
 def _with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
-    shard = (TX.hash32_md5(F.col(id_col).cast("string"), seed="shard:")
+    shard = (TX.md5_prefix_hash(F.col(id_col).cast("string"), seed="shard:")
              % F.lit(n_shards)).cast("int")
     return df.withColumn("shard", shard)
 

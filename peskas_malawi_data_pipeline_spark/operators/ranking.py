@@ -98,9 +98,9 @@ def shuffle_shards(df: DataFrame, id_col: str = "doc_id",
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
-    from ..functions.text import hash32_md5
+    from ..functions.text import md5_prefix_hash
 
-    h = hash32_md5(F.col(id_col).cast("string"), seed)
+    h = md5_prefix_hash(F.col(id_col).cast("string"), seed)
     ranked = global_row_number(df.withColumn("__h", h), ["__h", id_col],
                                out_col="__g")
     return (ranked

@@ -30,7 +30,7 @@ def weighted_systematic_sample(df: DataFrame, weight_col: str, n: int,
     ``weight_col`` (systematic/low-variance; rows heavier than the stride
     are always selected). Returns the input columns plus ``sample_key``.
     """
-    key = TX.hash32_md5(F.col(id_col).cast("string"), seed="samp:")
+    key = TX.md5_prefix_hash(F.col(id_col).cast("string"), seed="samp:")
     base = (df.withColumn("__key", key)
             .withColumn("__shard", (F.col("__key") % n_shards).cast("int")))
 

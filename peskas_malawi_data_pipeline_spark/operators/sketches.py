@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..core.barrier import materialize
-from ..functions.text import hash32_md5
+from ..functions.text import md5_prefix_hash
 
 #: hash space: 13 hex chars = 52 bits. (k-1)·2⁵² must fit int64 → k ≤ 2047.
 _HASH_BITS = 52
@@ -58,8 +58,8 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     if not 2 <= k <= 2047:
         raise ValueError(f"k must be in [2, 2047] (got {k}): "
                          f"(k-1)·2^{_HASH_BITS} must fit in int64")
-    h = hash32_md5(F.col(value_col).cast("string"), seed,
-                   hex_chars=_HASH_BITS // 4)
+    h = md5_prefix_hash(F.col(value_col).cast("string"), seed,
+                        hex_chars=_HASH_BITS // 4)
     d = (df.filter(F.col(value_col).isNotNull())
          .select(F.col(group_col), h.alias("__h"))
          .distinct()
@@ -71,8 +71,14 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     kept = (pruned.withColumn("__rn", F.row_number().over(w_grp))
             .filter(F.col("__rn") <= k))
     numer = (k - 1) * _HASH_SPACE
+    # greatest(__kth, 1): hash 0 is a legal md5 prefix, and a zero k-th
+    # minimum would make the estimator div NULL instead of a number. With
+    # k ≥ 2 distinct hashes the k-th minimum is provably ≥ 1, so the guard
+    # never changes a value — it makes the estimator total by construction
+    # rather than by that side argument.
     est = (F.when(F.col("sketch_size") < k, F.col("sketch_size"))
-           .otherwise(F.expr(f"CAST({numer} AS BIGINT) div __kth")))
+           .otherwise(F.expr(f"CAST({numer} AS BIGINT) "
+                             f"div greatest(__kth, 1)")))
     return (kept.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("sketch_size"),
                  F.max("__h").alias("__kth"))

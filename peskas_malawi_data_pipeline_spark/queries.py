@@ -994,7 +994,7 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and runs; pure map, zero shuffle). md5-derived so the oracle
     computes identical buckets."""
     docs = _t(spark, sf_dir, "documents")
-    h = T.hash32_md5(F.col("doc_id").cast("string"), "split:") % 100
+    h = T.md5_prefix_hash(F.col("doc_id").cast("string"), "split:") % 100
     split = (F.when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
     return docs.select("doc_id", split.alias("split"))
 
@@ -1013,7 +1013,7 @@ def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes 'random' per-group top-k reproducible — one shuffle on source,
     partial top-k per partition via WindowGroupLimit."""
     docs = _t(spark, sf_dir, "documents")
-    h = T.hash32_md5(F.col("doc_id").cast("string"), "split:")
+    h = T.md5_prefix_hash(F.col("doc_id").cast("string"), "split:")
     out = agg_ops.top_k_per_group(
         docs.select("source", "doc_id", h.alias("__h")),
         ["source"], [F.col("__h"), F.col("doc_id")], k=20)
@@ -2938,7 +2938,7 @@ def source_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(1000000).cast("long"),
                  F.expr("((__t div __k) * 1000000) div n_before")))
              .select("source", "n_before", "rate_ppm"))
-    keep_hash = T.hash32_md5(F.col("doc_id").cast("string"), seed="mix:")
+    keep_hash = T.md5_prefix_hash(F.col("doc_id").cast("string"), seed="mix:")
     kept = (docs.join(F.broadcast(rates), "source")
             .filter(keep_hash % 1000000 < F.col("rate_ppm")))
     n_kept = (kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")))
@@ -3274,10 +3274,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check Jaccard misses: a short document quoted whole inside a longer one
     scores ~1.0 on |∩|/min(|A|,|B|) while |∩|/|∪| stays tiny. Same
     materialized inverted-index plan as jaccard_pairs (posting self-join on
-    (block, shingle); only pairs sharing ≥1 shingle materialize). Uncapped
-    is fine at bench scale; beyond ~10× on a shared-vocabulary corpus pass
-    ``max_shingle_df`` — measured at 100×: uncapped exhausts local disk,
-    ``max_shingle_df=200`` completes in ~150 s (SCALE.md §10b)."""
+    (block, shingle); only pairs sharing ≥1 shingle materialize). The
+    stop-shingle cap now defaults ON (``max_shingle_df=10_000``) after the
+    100× probe measured the uncapped index exhausting local disk while
+    ``max_shingle_df=200`` completed in ~150 s (SCALE.md §10b); at bench
+    scale no shingle's document frequency approaches the default cap, so
+    the capped plan is bit-identical to the uncapped oracle here."""
     out = dedup_ops.containment_pairs(
         _t(spark, sf_dir, "documents"), block_col="lang",
         shingle_n=3, threshold=0.2)

@@ -552,6 +552,37 @@ def test_containment_requires_positive_threshold(spark):
         D.containment_pairs(df, "block", threshold=0.0)
 
 
+def test_containment_stop_shingle_cap_defaults_finite(spark):
+    # The 100x probe (SCALE.md §10b) proved the cap mandatory beyond ~one
+    # decade of growth, so the safe behavior must be opt-out: the default
+    # is a finite df cap, None is the explicit uncapped opt-out, and at
+    # cap-not-binding scale the two agree exactly.
+    import inspect
+
+    default = inspect.signature(
+        D.containment_pairs).parameters["max_shingle_df"].default
+    assert isinstance(default, int) and default > 0
+
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=3, text="alpha beta gamma other words entirely"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("block", F.lit(1))
+    capped = {(r.id_a, r.id_b): r.containment
+              for r in D.containment_pairs(df, "block",
+                                           threshold=0.2).collect()}
+    uncapped = {(r.id_a, r.id_b): r.containment
+                for r in D.containment_pairs(df, "block", threshold=0.2,
+                                             max_shingle_df=None).collect()}
+    assert capped == uncapped and capped
+
+    # A binding cap only LOWERS containment (drops hot postings): with
+    # every shingle's df capped at 1 no pair shares a posting at all.
+    assert not D.containment_pairs(df, "block", threshold=0.2,
+                                   max_shingle_df=1).take(1)
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style)
 

@@ -80,6 +80,26 @@ def _shuffle_words(text: str, rng: random.Random) -> str:
 def build(dest: str = DEST, replicas: int = REPLICAS) -> None:
     os.makedirs(dest, exist_ok=True)
 
+    # Replica-count marker: the per-table builds below skip regeneration
+    # when the parquet already exists, so re-running with a different
+    # --replicas into the same dest would silently reuse stale data while
+    # labeling the results with the new scale factor. Refuse instead.
+    marker = os.path.join(dest, ".replicas")
+    existing = [t for t in ("lineitem", "documents", "events", "embeddings",
+                            "orders")
+                if os.path.exists(os.path.join(dest, f"{t}.parquet"))]
+    if os.path.exists(marker):
+        stored = int(open(marker).read().strip())
+        if stored != replicas:
+            raise SystemExit(
+                f"{dest} was built with --replicas={stored}, requested "
+                f"{replicas}; delete the dir (or pass a fresh --dest) to "
+                f"rebuild at the new factor")
+    elif existing:
+        raise SystemExit(
+            f"{dest} holds pre-marker fact tables ({', '.join(existing)}) of "
+            f"unknown replica count; delete the dir to rebuild")
+
     for t in ALL_TABLES:
         if t in ("lineitem", "documents", "events", "embeddings", "orders"):
             continue
@@ -186,6 +206,9 @@ def build(dest: str = DEST, replicas: int = REPLICAS) -> None:
                                  "doc_id", shifted)
             writer.write_table(tbl)
         writer.close()
+
+    with open(marker, "w") as fh:
+        fh.write(f"{replicas}\n")
 
 
 def main() -> None:
