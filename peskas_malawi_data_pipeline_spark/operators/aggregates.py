@@ -100,3 +100,78 @@ def salted_two_stage_agg(df: DataFrame, keys: Sequence[str], value: Column,
     return (partial.groupBy(*list(keys))
             .agg(F.sum("__psum").alias("value_sum"),
                  F.sum("__pcnt").alias("n")))
+
+
+def grouped_percentile_cont(df: DataFrame, keys: Sequence[str],
+                            value_col: str,
+                            ps: dict[str, float]) -> DataFrame:
+    """EXACT interpolated percentiles per group — bit-identical to Spark's
+    ``percentile(value, p)`` aggregate — without its scale cliff.
+
+    ``ps`` maps output column name -> percentile in [0, 1]; the result has
+    one row per group with ``keys`` + one double column per entry.
+
+    Why not ``percentile()``: Spark's exact percentile buffers every value
+    of a group inside ONE reducer's aggregation buffer (an in-memory
+    value->count map that cannot spill) — O(|group|) memory in one task,
+    which on a billion-document source is a multi-GB buffer and an OOM.
+    This operator is the two-pass rank-based form:
+
+    1. compress to (keys, value) DISTINCT-value counts — one shuffle with
+       map-side partial aggregation; state per task is O(distinct values
+       seen), and the frame that continues is |distinct values| rows, not
+       |rows|;
+    2. a per-group cumulative-count window over the compressed frame gives
+       each distinct value its 0-based rank interval [cum−cnt, cum);
+       WindowExec buffers are spillable, and they hold distinct values
+       only;
+    3. each requested p needs the values at sorted positions
+       ⌊p·(n−1)⌋ and ⌈p·(n−1)⌉ — exactly one compressed row covers each —
+       picked out by a conditional aggregate, then interpolated with the
+       SAME floating-point expression Spark's ``Percentile.getPercentile``
+       uses (``lo·(hi_idx−pos) + hi·(pos−lo_idx)``), so results are
+       IEEE-identical to the built-in, ulp for ulp.
+
+    The step-2/3 shuffle on ``keys`` reuses its partitioning for the final
+    group reduce (EnsureRequirements sees hash(keys) twice), so the whole
+    operator costs two shuffles of the COMPRESSED frame. NULL values are
+    ignored (like ``percentile()``); a group whose values are all NULL is
+    absent from the output — left-join and treat missing as NULL to match
+    the built-in exactly.
+    """
+    for name, p in ps.items():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {name}={p} outside [0, 1]")
+    keys = list(keys)
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(*keys, value_col)
+              .agg(F.count(F.lit(1)).alias("__cnt")))
+    w_cum = (Window.partitionBy(*keys).orderBy(value_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.partitionBy(*keys)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cur = (counts
+           .withColumn("__cum", F.sum("__cnt").over(w_cum))
+           .withColumn("__n", F.sum("__cnt").over(w_all)))
+    v = F.col(value_col).cast("double")
+    start = F.col("__cum") - F.col("__cnt")        # 0-based interval start
+    aggs, outs = [F.max("__n").alias("__n")], []
+    for i, (name, p) in enumerate(ps.items()):
+        pos = F.lit(float(p)) * (F.col("__n") - F.lit(1))
+        lo_i, hi_i = F.floor(pos), F.ceil(pos)
+        aggs.append(F.max(F.when((start <= lo_i) & (lo_i < F.col("__cum")),
+                                 v)).alias(f"__lo{i}"))
+        aggs.append(F.max(F.when((start <= hi_i) & (hi_i < F.col("__cum")),
+                                 v)).alias(f"__hi{i}"))
+    res = cur.groupBy(*keys).agg(*aggs)
+    for i, (name, p) in enumerate(ps.items()):
+        pos = F.lit(float(p)) * (F.col("__n") - F.lit(1))
+        lo_i, hi_i = F.floor(pos), F.ceil(pos)
+        lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
+        # Percentile.getPercentile's exact expression shape and order
+        outs.append(F.when(lo_i == hi_i, lo)
+                    .otherwise(lo * (hi_i.cast("double") - pos)
+                               + hi * (pos - lo_i.cast("double")))
+                    .alias(name))
+    return res.select(*keys, *outs)

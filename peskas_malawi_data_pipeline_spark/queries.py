@@ -3540,28 +3540,39 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     via integer division; exact interpolated percentiles floored), so the
     card hash-matches across engines — no float drift in a published
     artifact. Scale shape: pure map features + one groupBy(source) with
-    map-side partials; count(DISTINCT fp) is the only expanding term."""
+    map-side partials for every statistic except the percentiles, which
+    run through aggregates.grouped_percentile_cont — the two-pass
+    rank-based exact form whose state is O(distinct token counts) and
+    spillable, replacing ``percentile()``'s O(|group|) non-spillable
+    reducer buffer (a multi-GB buffer on a billion-doc source). The
+    two-pass result is bit-identical to the built-in (pinned in
+    tests/test_validation.py), so the DuckDB quantile_cont oracle is
+    unchanged. The feature frame is materialized once and feeds both
+    branches; the card side broadcast-joins the 20-row percentile frame."""
     docs = _t(spark, sf_dir, "documents")
-    per = docs.select(
+    per = materialize(docs.select(
         "source",
         T.token_count(F.col("text")).alias("n_tokens"),
         (T.lang_id(F.col("text")) == "en").cast("int").alias("is_en"),
         F.floor(T.quality_score(F.col("text")) * 1000000).cast("long")
         .alias("quality_micro"),
-        T.fingerprint(F.col("text")).alias("fp"))
-    return per.groupBy("source").agg(
+        T.fingerprint(F.col("text")).alias("fp")))
+    pct = agg_ops.grouped_percentile_cont(
+        per, ["source"], "n_tokens", {"__p50": 0.5, "__p90": 0.9})
+    card = per.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.floor(F.expr("percentile(n_tokens, 0.5)")).cast("long")
-        .alias("p50_tokens"),
-        F.floor(F.expr("percentile(n_tokens, 0.9)")).cast("long")
-        .alias("p90_tokens"),
         F.expr("CAST(sum(is_en) * 1000000 div count(1) AS BIGINT)")
         .alias("en_ppm"),
         F.expr("CAST((count(1) - count(DISTINCT fp)) * 1000000 div count(1) "
                "AS BIGINT)").alias("dup_ppm"),
         F.expr("CAST(sum(quality_micro) div count(1) AS BIGINT)")
         .alias("mean_quality_micro"))
+    return (card.join(F.broadcast(pct), "source", "left")
+            .select("source", "n_docs", "total_tokens",
+                    F.floor("__p50").cast("long").alias("p50_tokens"),
+                    F.floor("__p90").cast("long").alias("p90_tokens"),
+                    "en_ppm", "dup_ppm", "mean_quality_micro"))
 
 
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;

@@ -119,6 +119,53 @@ def test_global_ntile_property_random_frames(spark):
         assert want.exceptAll(got).count() == 0, (n, k)
 
 
+def test_grouped_percentile_cont_bit_identical_to_builtin(spark):
+    """Property: the two-pass rank-based grouped_percentile_cont equals
+    Spark's exact percentile() aggregate ULP-FOR-ULP on random tie-heavy
+    frames with NULLs, single-row groups, and boundary percentiles. Exact
+    (==) comparison on the doubles — interpolation must reproduce
+    Percentile.getPercentile's floating-point expression, not just its
+    mathematical value."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import aggregates as A
+
+    rng = random.Random(11)
+    ps = {"p0": 0.0, "p37": 0.37, "p50": 0.5, "p90": 0.9, "p100": 1.0}
+    rows = []
+    for g in range(6):
+        for i in range(rng.choice([1, 2, 17, 400])):
+            v = rng.choice([None, float(rng.randint(0, 9)),
+                            rng.uniform(-1e6, 1e6), 0.1 + 0.2])
+            rows.append(Row(g=g, v=v))
+    rows.append(Row(g=99, v=None))          # all-NULL group
+    df = spark.createDataFrame(rows, "g int, v double")
+
+    got = {r.g: r for r in A.grouped_percentile_cont(
+        df, ["g"], "v", ps).collect()}
+    want = {r.g: r for r in df.groupBy("g").agg(
+        *[F.expr(f"percentile(v, {p})").alias(name)
+          for name, p in ps.items()]).collect()}
+
+    # the all-NULL group is absent from the two-pass output (documented)
+    assert set(got) == set(want) - {99}
+    for g, w in want.items():
+        if g == 99:
+            continue
+        for name in ps:
+            assert got[g][name] == w[name], (g, name, got[g][name], w[name])
+
+
+def test_grouped_percentile_cont_rejects_out_of_range(spark):
+    from peskas_malawi_data_pipeline_spark.operators import aggregates as A
+    df = spark.createDataFrame([(1, 1.0)], "g int, v double")
+    with pytest.raises(ValueError, match="outside"):
+        A.grouped_percentile_cont(df, ["g"], "v", {"bad": 1.5})
+
+
 def test_global_ranking_edge_cases(spark):
     """Edges: more range buckets than rows (empty partitions) and a
     single-row frame must still rank correctly."""
