@@ -46,6 +46,40 @@ def _epoch_s(ts: pd.Series) -> np.ndarray:
     return ts.values.astype("datetime64[ns]").astype("int64") // 1_000_000_000
 
 
+def _segment_stats(seg: np.ndarray,
+                   secs: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]:
+    """Per-segment (start, size, max) over a sorted batch — pure numpy.
+
+    ``seg`` is a non-decreasing segment id per event and ``secs`` the
+    sorted epoch seconds, so every segment is one contiguous slice: its
+    min is its first element, its max its last. Boundary detection + two
+    fancy-index reads replace the pandas groupby->iterrows assembly the
+    per-batch path used before — the 10× probe showed batches carrying
+    hundreds of sessions per user, where the per-session Python loop was
+    measurable interpreter time inside the hot stateful operator."""
+    first = np.empty(len(seg), dtype=bool)
+    first[0] = True
+    np.not_equal(seg[1:], seg[:-1], out=first[1:])
+    idx = np.flatnonzero(first)
+    ends = np.empty_like(idx)
+    ends[:-1] = idx[1:] - 1
+    ends[-1] = len(seg) - 1
+    return secs[idx].copy(), np.diff(np.append(idx, len(seg))), secs[ends].copy()
+
+
+def _session_frame(user_id, starts: np.ndarray, sizes: np.ndarray,
+                   maxs: np.ndarray) -> pd.DataFrame:
+    """Assemble the operator's output batch columnar-ly (matches
+    SESSION_OUTPUT_SCHEMA)."""
+    return pd.DataFrame({
+        "user_id": np.full(len(starts), user_id, dtype="int64"),
+        "session_start_s": starts.astype("int64"),
+        "n_events": sizes.astype("int64"),
+        "duration_s": (maxs - starts).astype("int64"),
+    })
+
+
 def stateful_sessionize(events: DataFrame, gap_s: int = 1800,
                         user_col: str = "user_id",
                         ts_col: str = "ts") -> DataFrame:
@@ -84,31 +118,24 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800,
         new_flag = (secs - prev) > gap_s
         seg = np.cumsum(new_flag)          # 0 = continuation of carried session
 
-        frame = pd.DataFrame({"seg": seg, "s": secs})
-        agg = frame.groupby("seg")["s"].agg(["size", "min", "max"])
+        starts, sizes, maxs = _segment_stats(seg, secs)
+        if seg[0] == 0:                    # extends the carried open session
+            sizes[0] += n
+            starts[0] = start_s
+            # max(): a valid out-of-order event (above the watermark but
+            # below the carried last_s) falls INSIDE the open session —
+            # taking the batch max alone would regress last_s, emit a
+            # shrunken duration, and re-arm the eviction timer early
+            # enough to split the session
+            maxs[0] = max(maxs[0], last_s)
+        start_s, last_s, n = int(starts[-1]), int(maxs[-1]), int(sizes[-1])
 
-        out = []
-        for seg_id, row in agg.iterrows():
-            if seg_id == 0:                # extends the carried open session
-                n += int(row["size"])
-                # max(): a valid out-of-order event (above the watermark but
-                # below the carried last_s) falls INSIDE the open session —
-                # taking the batch max alone would regress last_s, emit a
-                # shrunken duration, and re-arm the eviction timer early
-                # enough to split the session
-                last_s = max(last_s, int(row["max"]))
-            else:                          # a fresh session in this batch
-                start_s, last_s = int(row["min"]), int(row["max"])
-                n = int(row["size"])
-            out.append((user_id, start_s, n, last_s - start_s))
-
-        state.update((int(start_s), int(last_s), int(n)))
+        state.update((start_s, last_s, n))
         # expire the open session the moment the watermark proves it closed
         timeout_ms = (last_s + gap_s + 1) * 1000
         state.setTimeoutTimestamp(max(timeout_ms,
                                       state.getCurrentWatermarkMs() + 1))
-        yield pd.DataFrame(out, columns=["user_id", "session_start_s",
-                                         "n_events", "duration_s"])
+        yield _session_frame(user_id, starts, sizes, maxs)
 
     return (events.groupBy(user_col).applyInPandasWithState(
         fn, outputStructType=SESSION_OUTPUT_SCHEMA,
@@ -160,19 +187,14 @@ def make_session_processor(gap_s: int = 1800, user_col: str = "user_id",
                 np.maximum(prev, last_s, out=prev)
             seg = np.cumsum((secs - prev) > gap_s)
 
-            agg = (pd.DataFrame({"seg": seg, "s": secs})
-                   .groupby("seg")["s"].agg(["size", "min", "max"]))
-            out = []
-            for seg_id, row in agg.iterrows():
-                if seg_id == 0:
-                    n += int(row["size"])
-                    # max(): see stateful_sessionize — an out-of-order event
-                    # inside the open session must not regress last_s
-                    last_s = max(last_s, int(row["max"]))
-                else:
-                    start_s, last_s = int(row["min"]), int(row["max"])
-                    n = int(row["size"])
-                out.append((user_id, start_s, n, last_s - start_s))
+            starts, sizes, maxs = _segment_stats(seg, secs)
+            if seg[0] == 0:
+                sizes[0] += n
+                starts[0] = start_s
+                # max(): see stateful_sessionize — an out-of-order event
+                # inside the open session must not regress last_s
+                maxs[0] = max(maxs[0], last_s)
+            start_s, last_s, n = int(starts[-1]), int(maxs[-1]), int(sizes[-1])
 
             # evict when the watermark proves the session closed; delete the
             # previously armed timer first — registerTimer ADDS a timer
@@ -183,10 +205,8 @@ def make_session_processor(gap_s: int = 1800, user_col: str = "user_id",
             if armed_ms and armed_ms != timeout_ms:
                 self._handle.deleteTimer(armed_ms)
             self._handle.registerTimer(timeout_ms)
-            self._open.update((int(start_s), int(last_s), int(n),
-                               int(timeout_ms)))
-            yield pd.DataFrame(out, columns=["user_id", "session_start_s",
-                                             "n_events", "duration_s"])
+            self._open.update((start_s, last_s, n, int(timeout_ms)))
+            yield _session_frame(user_id, starts, sizes, maxs)
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             # Only the currently armed timer may evict: a stale timer
