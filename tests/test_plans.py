@@ -479,6 +479,34 @@ def test_compact_swap_strategy_is_pluggable(spark, tmp_path):
     assert spark.read.parquet(path).count() == 100
 
 
+def test_compact_delta_table_binding(spark, tmp_path):
+    """core.io.compact_delta_table: the Delta Lake binding of the commit
+    slot — transactional self-overwrite compaction, no side directory, no
+    swap window. ENVIRONMENT-GATED like the protobuf streaming twin: this
+    sandbox prohibits installs and ships without delta-spark, so the
+    binding is recorded as an environment refusal (the gate itself is
+    asserted un-gated below)."""
+    import importlib.util
+
+    import pytest
+
+    from peskas_malawi_data_pipeline_spark.core import io as io_ops
+
+    if importlib.util.find_spec("delta") is None:
+        # the refusal path must be a clear, actionable error either way
+        with pytest.raises(ModuleNotFoundError, match="delta-spark"):
+            io_ops.compact_delta_table(spark, str(tmp_path / "t"), 2)
+        pytest.skip("delta-spark not installed and installs are prohibited "
+                    "in this environment (recorded refusal)")
+
+    path = str(tmp_path / "t")
+    (spark.range(1000).repartition(16)
+     .write.format("delta").save(path))
+    n_after = io_ops.compact_delta_table(spark, path, target_files=2)
+    assert n_after <= 2
+    assert spark.read.format("delta").load(path).count() == 1000
+
+
 def test_storage_adapters_contract(spark, tmp_path):
     """core.io adapter seam (S4/K1 parity): parquet adapter honors
     truncate-and-load (second write fully replaces), and the MongoDB
