@@ -284,7 +284,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
                   threshold: float = 0.0,
-                  max_shingle_df: int | None = None) -> DataFrame:
+                  max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a blocking key
     (e.g. MinHash band bucket, source, or length band).
 
@@ -298,8 +298,15 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
     shingles whose document frequency exceeds a cap) bounds the hot-shingle
     buckets; AQE skew-join splits the rest.
 
+    ``max_shingle_df`` defaults ON (10 000), same rationale and lower-bound
+    semantics as :func:`containment_pairs` (the 100× probe measured the
+    uncapped posting join exhausting local disk, SCALE.md §10b); capped
+    Jaccard can only shrink, so no false positives appear above any
+    threshold. ``max_shingle_df=None`` opts out.
+
     ``threshold <= 0`` must also emit zero-overlap pairs, so it falls back to
-    the all-pairs block join with array_intersect/array_union.
+    the all-pairs block join with array_intersect/array_union (the cap does
+    not apply on that path — it has no posting index to cap).
     """
     sh = df.select(
         F.col(block_col).alias("__block"),

@@ -350,18 +350,23 @@ FROM orders GROUP BY o_orderpriority
 """)
 def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (p50/p90/p99 of order value per
-    priority): Spark's JVM ``percentile`` aggregate vs DuckDB
-    ``quantile_cont`` — both linear-interpolate the same way, and
-    floor-cents output makes the compare integer-exact. The documented
-    scale swap is ``percentile_approx`` (SCALE.md §6); the exact form is
-    the oracle-checked default."""
+    priority) via ``aggregates.grouped_percentile_cont`` — the two-pass
+    rank-based form (distinct-value compression + cumulative window),
+    bit-identical to the ``percentile()`` aggregate it replaced (pinned
+    ULP-for-ULP in tests) but with spillable O(distinct-values) state
+    instead of the built-in's non-spillable O(|group|) reducer buffer
+    (SCALE.md §10c). DuckDB ``quantile_cont`` linear-interpolates the same
+    way, and floor-cents output makes the compare integer-exact. The
+    documented approximate swap is ``percentile_approx`` (SCALE.md §6)."""
     o = _t(spark, sf_dir, "orders")
-    def band(p, name):
-        return (F.floor(F.expr(f"percentile(o_totalprice, {p})") * 100)
-                .cast("long").alias(name))
-    return (o.groupBy("o_orderpriority")
-            .agg(band(0.5, "p50_cents"), band(0.9, "p90_cents"),
-                 band(0.99, "p99_cents")))
+    pct = agg_ops.grouped_percentile_cont(
+        o, ["o_orderpriority"], "o_totalprice",
+        {"__p50": 0.5, "__p90": 0.9, "__p99": 0.99})
+    return pct.select(
+        "o_orderpriority",
+        *[(F.floor(F.col(c) * 100).cast("long").alias(name))
+          for c, name in [("__p50", "p50_cents"), ("__p90", "p90_cents"),
+                          ("__p99", "p99_cents")]])
 
 
 @register("min_price_supplier", """
@@ -3573,6 +3578,41 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor("__p50").cast("long").alias("p50_tokens"),
                     F.floor("__p90").cast("long").alias("p90_tokens"),
                     "en_ppm", "dup_ppm", "mean_quality_micro"))
+
+
+@register("winsorize_tokens", f"""
+WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
+n AS (SELECT doc_id, source, len(t) AS n_tokens FROM toks),
+b AS (SELECT source, quantile_cont(n_tokens, 0.25) AS lo,
+             quantile_cont(n_tokens, 0.75) AS hi
+      FROM n GROUP BY source)
+SELECT n.doc_id, n.source, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(least(greatest(CAST(n.n_tokens AS DOUBLE), b.lo), b.hi) * 4
+            AS BIGINT) AS winsorized_x4
+FROM n JOIN b USING (source)
+""")
+def winsorize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source IQR winsorization — every doc's token count clipped to
+    its source's exact [p25, p75] band, the outlier-robust normalization a
+    mixture-balancing pipeline applies before length-based sampling. The
+    quartile bounds come from aggregates.grouped_percentile_cont (two-pass
+    rank-based exact percentiles, spillable O(distinct-values) state —
+    SCALE.md §10c) and broadcast back onto the fact side, so the corpus
+    never reshuffles. Quarter percentiles are chosen deliberately: p·(n−1)
+    is binary-exact at p ∈ {{.25, .75}}, so the interpolated bound is an
+    exact quarter-integer and ×4 makes the whole output integer — the
+    oracle compares bit-for-bit with zero float tolerance."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select("doc_id", "source",
+                      T.token_count(F.col("text")).alias("n_tokens"))
+    pct = agg_ops.grouped_percentile_cont(
+        per, ["source"], "n_tokens", {"__lo": 0.25, "__hi": 0.75})
+    clipped = F.least(F.greatest(F.col("n_tokens").cast("double"),
+                                 F.col("__lo")), F.col("__hi"))
+    return (per.join(F.broadcast(pct), "source")
+            .select("doc_id", "source",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    (clipped * 4).cast("long").alias("winsorized_x4")))
 
 
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;

@@ -396,3 +396,29 @@ def test_stateful_sessionize_out_of_order_across_batches(spark, tmp_path):
     e = int(t0.timestamp())
     # one session: 4 events, duration to the TRUE max (45 min), never 10
     assert got == {(1, e): (4, 45 * 60)}
+
+
+def test_segment_stats_matches_pandas_reference():
+    """Property: the numpy session assembly (stateful._segment_stats)
+    equals the pandas groupby it replaced, across random batch shapes —
+    single event, one giant session, alternating gaps, duplicate
+    timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    from peskas_malawi_data_pipeline_spark.streaming import stateful
+
+    rng = np.random.default_rng(5)
+    for trial in range(25):
+        n = int(rng.integers(1, 60))
+        secs = np.sort(rng.integers(0, 40, size=n).astype("int64"))
+        gaps = np.zeros(n, dtype=bool)
+        gaps[1:] = rng.random(n - 1) < 0.3
+        seg = np.cumsum(rng.integers(0, 2)
+                        * np.ones(1, dtype="int64"))[0] + np.cumsum(gaps)
+        starts, sizes, maxs = stateful._segment_stats(seg, secs)
+        ref = (pd.DataFrame({"seg": seg, "s": secs})
+               .groupby("seg")["s"].agg(["size", "min", "max"]))
+        assert list(starts) == list(ref["min"]), trial
+        assert list(sizes) == list(ref["size"]), trial
+        assert list(maxs) == list(ref["max"]), trial
