@@ -594,6 +594,8 @@ def test_registry_wide_plan_hygiene(spark):
         "ann_ivf_topk",      # 16-row centroid seed numbering
         "ntile_deciles",     # |buckets|-row offset frame (ranking.global_ntile)
         "corpus_shuffle",    # |buckets|-row offset frame (ranking.shuffle_shards)
+        "token_rank_fluency",  # |buckets|-row offset frame over the ≤100-row
+                               # heavy-hitter vocabulary (global_row_number)
     }
     utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
     offenders = {}
