@@ -3663,6 +3663,55 @@ def token_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "div count(1) AS BIGINT)").alias("mean_rank_micro")))
 
 
+@register("temperature_resample", """
+WITH counts AS (SELECT source, count(*) AS n_before FROM documents GROUP BY source),
+mn AS (SELECT min(n_before) AS m FROM counts),
+rates AS (SELECT source, n_before,
+                 CAST(floor(sqrt(m) * 1000000 / sqrt(n_before)) AS BIGINT)
+                   AS rate_ppm
+          FROM counts, mn),
+kept AS (
+  SELECT d.source
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % 1000000 < r.rate_ppm)
+SELECT r.source, CAST(r.n_before AS BIGINT) AS n_before, r.rate_ppm,
+       CAST(count(k.source) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+GROUP BY r.source, r.n_before, r.rate_ppm
+""")
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (α = 0.5): downsample each
+    source so final counts are ∝ √n — the standard multilingual/domain
+    temperature-sampling pass, softer than `source_mixture_resample`'s
+    uniform target (big sources stay larger, just less dominant). Keep
+    rate pᵢ = √(n_min)/√(nᵢ) ppm never upsamples (the smallest source
+    keeps ~everything), and stays engine-exact WITHOUT integer-only
+    arithmetic because IEEE-754 specifies sqrt and division as correctly
+    rounded — both engines produce the identical double before the floor.
+    Same deterministic md5 keep-hash as source_mixture_resample, so the
+    resample is reproducible under any partitioning.
+
+    Scale shape: |sources|-row rate table broadcast onto a single corpus
+    scan + hash filter; the report aggregation shuffles per-source partial
+    counts only."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    mn = counts.agg(F.min("n_before").alias("__m"))
+    rates = (counts.crossJoin(F.broadcast(mn))
+             .withColumn("rate_ppm",
+                         F.floor(F.sqrt(F.col("__m")) * 1000000
+                                 / F.sqrt(F.col("n_before"))).cast("long"))
+             .select("source", "n_before", "rate_ppm"))
+    keep_hash = T.md5_prefix_hash(F.col("doc_id").cast("string"), seed="temp:")
+    kept = (docs.join(F.broadcast(rates), "source")
+            .filter(keep_hash % 1000000 < F.col("rate_ppm")))
+    n_kept = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (rates.join(F.broadcast(n_kept), "source", "left")
+            .select("source", "n_before", "rate_ppm",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).
