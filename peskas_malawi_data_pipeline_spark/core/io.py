@@ -163,6 +163,13 @@ def compact_delta_table(spark: SparkSession, path: str,
     missing table (the crash-window the rename swap documents, closed the
     same way :class:`VersionedParquetTable`'s pointer commit closes it).
 
+    The write sets ``dataChange=false`` (the standard Delta small-file
+    compaction recipe): the commit rewrites the same rows, so marking it a
+    non-data change keeps Delta **streaming** sources from aborting on a
+    detected update and stops concurrent appenders from hitting spurious
+    conflict aborts. Batch-snapshot safety alone (above) does NOT extend
+    to streaming readers without this flag.
+
     Requires ``delta-spark`` on the session (import-gated; this sandbox
     prohibits installs, so the binding is exercised by a skip-gated test
     that records the environment refusal — tests/test_plans.py)."""
@@ -177,6 +184,7 @@ def compact_delta_table(spark: SparkSession, path: str,
             "plain parquet.")
     df = spark.read.format("delta").load(path)
     (df.repartition(target_files).write.format("delta")
+     .option("dataChange", "false")
      .mode("overwrite").save(path))
     return sum(1 for f in
                spark.read.format("delta").load(path).inputFiles()

@@ -284,7 +284,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
                   threshold: float = 0.0,
-                  max_shingle_df: int | None = 10_000) -> DataFrame:
+                  max_shingle_df: int | None = 10_000,
+                  allow_all_pairs: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a blocking key
     (e.g. MinHash band bucket, source, or length band).
 
@@ -305,9 +306,20 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
     threshold. ``max_shingle_df=None`` opts out.
 
     ``threshold <= 0`` must also emit zero-overlap pairs, so it falls back to
-    the all-pairs block join with array_intersect/array_union (the cap does
-    not apply on that path — it has no posting index to cap).
+    the all-pairs block join with array_intersect/array_union — a path where
+    ``max_shingle_df`` CANNOT apply (there is no posting index to cap), so
+    the disk-exhaustion cliff the 100× probe measured on the uncapped join
+    returns on large blocks. That path therefore requires the explicit
+    ``allow_all_pairs=True`` opt-in; the default refuses with a ValueError
+    rather than silently running an |block|² join at scale.
     """
+    if threshold <= 0 and not allow_all_pairs:
+        raise ValueError(
+            "jaccard_pairs with threshold <= 0 emits zero-overlap pairs via an "
+            "all-pairs block join on which max_shingle_df cannot apply — O(|block|^2) "
+            "rows, measured to exhaust local disk at 100x scale (SCALE.md §10b). "
+            "Pass allow_all_pairs=True to opt in on a block you know is small, "
+            "or use threshold > 0 for the capped inverted-index plan.")
     sh = df.select(
         F.col(block_col).alias("__block"),
         F.col(id_col).alias("id_a"),

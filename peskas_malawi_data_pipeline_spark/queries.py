@@ -3589,7 +3589,7 @@ b AS (SELECT source, quantile_cont(n_tokens, 0.25) AS lo,
 SELECT n.doc_id, n.source, CAST(n.n_tokens AS BIGINT) AS n_tokens,
        CAST(least(greatest(CAST(n.n_tokens AS DOUBLE), b.lo), b.hi) * 4
             AS BIGINT) AS winsorized_x4
-FROM n JOIN b USING (source)
+FROM n LEFT JOIN b USING (source)
 """)
 def winsorize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source IQR winsorization — every doc's token count clipped to
@@ -3601,7 +3601,14 @@ def winsorize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reshuffles. Quarter percentiles are chosen deliberately: p·(n−1)
     is binary-exact at p ∈ {{.25, .75}}, so the interpolated bound is an
     exact quarter-integer and ×4 makes the whole output integer — the
-    oracle compares bit-for-bit with zero float tolerance."""
+    oracle compares bit-for-bit with zero float tolerance.
+
+    The percentile frame is LEFT-joined: grouped_percentile_cont omits
+    groups whose values are all NULL (vs the builtin's NULL-bounds row),
+    so an inner join would silently drop that group's fact rows. With a
+    left join the missing bounds arrive as NULL, and Spark's null-ignoring
+    least/greatest (same semantics as DuckDB's) make the clip an identity
+    — the no-clip fallback, with no extra coalesce needed."""
     docs = _t(spark, sf_dir, "documents")
     per = docs.select("doc_id", "source",
                       T.token_count(F.col("text")).alias("n_tokens"))
@@ -3609,7 +3616,7 @@ def winsorize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         per, ["source"], "n_tokens", {"__lo": 0.25, "__hi": 0.75})
     clipped = F.least(F.greatest(F.col("n_tokens").cast("double"),
                                  F.col("__lo")), F.col("__hi"))
-    return (per.join(F.broadcast(pct), "source")
+    return (per.join(F.broadcast(pct), "source", "left")
             .select("doc_id", "source",
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     (clipped * 4).cast("long").alias("winsorized_x4")))
@@ -3663,12 +3670,33 @@ def token_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "div count(1) AS BIGINT)").alias("mean_rank_micro")))
 
 
-@register("temperature_resample", """
+# Temperature-resampling powers n^α, expressed as compositions of
+# IEEE-754 *correctly-rounded* primitives (sqrt, *, /) so Spark and the
+# DuckDB oracle compute bit-identical doubles before the floor.  Generic
+# pow() would NOT give that guarantee — java.lang.Math.pow is specified
+# to within 1 ulp (not correctly rounded), libm pow varies by platform —
+# so only dyadic-rational α (k/2^j), where n^α is a sqrt/multiply
+# composition, are oracle-exact.  Each entry is (Spark column fn, SQL
+# text fn); the two MUST mirror the same composition op-for-op.
+_TEMP_ALPHA_POWS = {
+    0.5: (lambda c: F.sqrt(c), lambda s: f"sqrt({s})"),
+    # n^0.75 = sqrt(n * sqrt(n)): sqrt → mul → sqrt, each correctly
+    # rounded, so both engines round identically at every step.
+    0.75: (lambda c: F.sqrt(c * F.sqrt(c)),
+           lambda s: f"sqrt({s} * sqrt({s}))"),
+    # n^0.25 = sqrt(sqrt(n))
+    0.25: (lambda c: F.sqrt(F.sqrt(c)), lambda s: f"sqrt(sqrt({s}))"),
+}
+
+
+def _temperature_resample_sql(alpha: float) -> str:
+    _, sql_pow = _TEMP_ALPHA_POWS[alpha]
+    return f"""
 WITH counts AS (SELECT source, count(*) AS n_before FROM documents GROUP BY source),
 mn AS (SELECT min(n_before) AS m FROM counts),
 rates AS (SELECT source, n_before,
-                 CAST(floor(sqrt(m) * 1000000 / sqrt(n_before)) AS BIGINT)
-                   AS rate_ppm
+                 CAST(floor({sql_pow('m')} * 1000000 / {sql_pow('n_before')})
+                      AS BIGINT) AS rate_ppm
           FROM counts, mn),
 kept AS (
   SELECT d.source
@@ -3679,29 +3707,36 @@ SELECT r.source, CAST(r.n_before AS BIGINT) AS n_before, r.rate_ppm,
        CAST(count(k.source) AS BIGINT) AS n_kept
 FROM rates r LEFT JOIN kept k ON r.source = k.source
 GROUP BY r.source, r.n_before, r.rate_ppm
-""")
-def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-based mixture rebalancing (α = 0.5): downsample each
-    source so final counts are ∝ √n — the standard multilingual/domain
-    temperature-sampling pass, softer than `source_mixture_resample`'s
-    uniform target (big sources stay larger, just less dominant). Keep
-    rate pᵢ = √(n_min)/√(nᵢ) ppm never upsamples (the smallest source
-    keeps ~everything), and stays engine-exact WITHOUT integer-only
-    arithmetic because IEEE-754 specifies sqrt and division as correctly
-    rounded — both engines produce the identical double before the floor.
-    Same deterministic md5 keep-hash as source_mixture_resample, so the
-    resample is reproducible under any partitioning.
+"""
+
+
+def _temperature_resample(spark: SparkSession, sf_dir: str,
+                          alpha: float) -> DataFrame:
+    """Temperature-based mixture rebalancing, parameterized by α:
+    downsample each source so final counts are ∝ n^α — the standard
+    multilingual/domain temperature-sampling pass, softer than
+    `source_mixture_resample`'s uniform target (big sources stay larger,
+    just less dominant). Keep rate pᵢ = n_min^α / nᵢ^α ppm never
+    upsamples (the smallest source keeps ~everything), and stays
+    engine-exact WITHOUT integer-only arithmetic for the supported dyadic
+    α because every step of the n^α composition (sqrt, multiply, divide)
+    is IEEE-754 correctly rounded — both engines produce the identical
+    double before the floor (see _TEMP_ALPHA_POWS for why generic pow()
+    cannot make that promise). Same deterministic md5 keep-hash as
+    source_mixture_resample, so the resample is reproducible under any
+    partitioning.
 
     Scale shape: |sources|-row rate table broadcast onto a single corpus
     scan + hash filter; the report aggregation shuffles per-source partial
     counts only."""
+    spark_pow, _ = _TEMP_ALPHA_POWS[alpha]
     docs = _t(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
     mn = counts.agg(F.min("n_before").alias("__m"))
     rates = (counts.crossJoin(F.broadcast(mn))
              .withColumn("rate_ppm",
-                         F.floor(F.sqrt(F.col("__m")) * 1000000
-                                 / F.sqrt(F.col("n_before"))).cast("long"))
+                         F.floor(spark_pow(F.col("__m")) * 1000000
+                                 / spark_pow(F.col("n_before"))).cast("long"))
              .select("source", "n_before", "rate_ppm"))
     keep_hash = T.md5_prefix_hash(F.col("doc_id").cast("string"), seed="temp:")
     kept = (docs.join(F.broadcast(rates), "source")
@@ -3710,6 +3745,20 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rates.join(F.broadcast(n_kept), "source", "left")
             .select("source", "n_before", "rate_ppm",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
+@register("temperature_resample", _temperature_resample_sql(0.5))
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α = 0.5 (∝ √n) temperature resample — see _temperature_resample."""
+    return _temperature_resample(spark, sf_dir, 0.5)
+
+
+@register("temperature_resample_a75", _temperature_resample_sql(0.75))
+def temperature_resample_a75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α = 0.75 temperature resample (the flatter mixture used for
+    high-resource-heavy corpora; n^0.75 = sqrt(n·sqrt(n)) keeps the
+    cross-engine bit-exactness argument) — see _temperature_resample."""
+    return _temperature_resample(spark, sf_dir, 0.75)
 
 
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;

@@ -58,6 +58,11 @@ def _segment_stats(seg: np.ndarray,
     per-batch path used before — the 10× probe showed batches carrying
     hundreds of sessions per user, where the per-session Python loop was
     measurable interpreter time inside the hot stateful operator."""
+    if len(seg) == 0:
+        # Total on empty input: Spark never emits empty per-key batches
+        # today, but the helper should not IndexError if a caller does.
+        empty = np.empty(0, dtype="int64")
+        return empty, empty.copy(), empty.copy()
     first = np.empty(len(seg), dtype=bool)
     first[0] = True
     np.not_equal(seg[1:], seg[:-1], out=first[1:])

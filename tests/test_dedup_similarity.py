@@ -45,7 +45,8 @@ def test_simhash_close_for_near_dups(spark):
 def test_jaccard_pairs_exact_values(spark):
     df = _docs(spark).withColumn("block", F.lit(1))
     pairs = {(r.id_a, r.id_b): r.jaccard
-             for r in D.jaccard_pairs(df, "block", shingle_n=3).collect()}
+             for r in D.jaccard_pairs(df, "block", shingle_n=3,
+                             allow_all_pairs=True).collect()}
     assert pairs[(1, 5)] == 1.0
     # doc1 vs doc3: 7 shingles each, 6 shared -> 6/8
     assert pairs[(1, 3)] == pytest.approx(6 / 8)
@@ -538,12 +539,26 @@ def test_containment_catches_partial_dup_jaccard_misses(spark):
     cont = {(r.id_a, r.id_b): r.containment
             for r in D.containment_pairs(df, "block", threshold=0.5).collect()}
     jac = {(r.id_a, r.id_b): r.jaccard
-           for r in D.jaccard_pairs(df, "block", threshold=0.0).collect()}
+           for r in D.jaccard_pairs(df, "block", threshold=0.0,
+                           allow_all_pairs=True).collect()}
     # doc1's 2 trigram shingles both appear in doc2 -> containment 1.0
     assert cont[(1, 2)] == 1.0
     # ... while Jaccard is crushed by doc2's length
     assert jac[(1, 2)] < 0.05
     assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_jaccard_zero_threshold_requires_optin(spark):
+    """The all-pairs fallback (threshold <= 0) bypasses max_shingle_df, so
+    the default refuses it; allow_all_pairs=True is the explicit opt-in."""
+    df = _docs(spark).withColumn("block", F.lit(1))
+    with pytest.raises(ValueError, match="allow_all_pairs"):
+        D.jaccard_pairs(df, "block", threshold=0.0)
+    # opt-in path still works and still emits zero-overlap pairs
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.jaccard_pairs(df, "block", threshold=0.0,
+                                      allow_all_pairs=True).collect()}
+    assert pairs[(1, 4)] == 0.0
 
 
 def test_containment_requires_positive_threshold(spark):

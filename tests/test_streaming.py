@@ -422,3 +422,16 @@ def test_segment_stats_matches_pandas_reference():
         assert list(starts) == list(ref["min"]), trial
         assert list(sizes) == list(ref["size"]), trial
         assert list(maxs) == list(ref["max"]), trial
+
+
+def test_segment_stats_total_on_empty_batch():
+    """_segment_stats must be total: a zero-row batch returns three empty
+    arrays instead of IndexError-ing on first[0]/ends[-1] (Spark never
+    emits empty per-key batches today, but the helper shouldn't care)."""
+    import numpy as np
+
+    from peskas_malawi_data_pipeline_spark.streaming import stateful
+
+    empty = np.empty(0, dtype="int64")
+    starts, sizes, maxs = stateful._segment_stats(empty, empty)
+    assert len(starts) == len(sizes) == len(maxs) == 0

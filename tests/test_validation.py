@@ -159,6 +159,84 @@ def test_grouped_percentile_cont_bit_identical_to_builtin(spark):
             assert got[g][name] == w[name], (g, name, got[g][name], w[name])
 
 
+def _pct_shape_all_distinct(rng):
+    # permutation of distinct doubles, incl. denormal-ish and huge magnitudes
+    vals = ([float(i) * 1.7 for i in range(97)]
+            + [1e-300, -1e-300, 1e300, -1e300, 3.141592653589793])
+    rng.shuffle(vals)
+    return [(0, v) for v in vals]
+
+
+def _pct_shape_heavy_ties(rng):
+    # 500 values drawn from only 3 distinct doubles — every rank interval
+    # spans many rows, exercising the [start, cum) interval containment
+    return [(0, rng.choice([1.0, 2.0, 0.1 + 0.2])) for _ in range(500)]
+
+
+def _pct_shape_single_row_groups(rng):
+    return [(g, rng.uniform(-1e6, 1e6)) for g in range(40)]
+
+
+def _pct_shape_all_null_groups(rng):
+    # NULL-only groups interleaved with tiny real groups
+    rows = []
+    for g in range(10):
+        rows.append((g, None))
+        if g % 2:
+            rows.append((g, float(g)))
+    return rows
+
+
+def _pct_shape_two_rows(rng):
+    # n=2 puts every interior p strictly between the two ranks: pure
+    # interpolation, where any expression-shape drift shows immediately
+    return [(g, v) for g in range(20)
+            for v in (rng.uniform(-1e9, 1e9), rng.uniform(-1e9, 1e9))]
+
+
+def _pct_shape_negative_zero(rng):
+    # -0.0 == 0.0 but they are distinct doubles; the compressed distinct
+    # frame must not split what the builtin's value map merges
+    return [(0, rng.choice([-0.0, 0.0, 1.0])) for _ in range(100)]
+
+
+@pytest.mark.parametrize("shape", [
+    _pct_shape_all_distinct, _pct_shape_heavy_ties,
+    _pct_shape_single_row_groups, _pct_shape_all_null_groups,
+    _pct_shape_two_rows, _pct_shape_negative_zero,
+])
+@pytest.mark.parametrize("seed", [3, 1009])
+def test_grouped_percentile_cont_adversarial_sweep(spark, shape, seed):
+    """Hypothesis-style sweep protecting the bit-identical claim: each
+    adversarial shape × seed is compared ULP-for-ULP against the builtin
+    percentile(), including boundary percentiles p=0 and p=1."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import aggregates as A
+
+    rows = shape(random.Random(seed))
+    df = spark.createDataFrame(rows, "g int, v double")
+    ps = {"p0": 0.0, "p01": 0.01, "p25": 0.25, "p50": 0.5,
+          "p73": 0.73, "p99": 0.99, "p100": 1.0}
+
+    got = {r.g: r for r in A.grouped_percentile_cont(
+        df, ["g"], "v", ps).collect()}
+    want = {r.g: r for r in df.groupBy("g").agg(
+        *[F.expr(f"percentile(v, {p})").alias(name)
+          for name, p in ps.items()]).collect()}
+
+    all_null = {g for g in want
+                if all(v is None for gg, v in rows if gg == g)}
+    assert set(got) == set(want) - all_null
+    for g, w in want.items():
+        if g in all_null:
+            continue
+        for name in ps:
+            assert got[g][name] == w[name], (g, name, got[g][name], w[name])
+
+
 def test_grouped_percentile_cont_rejects_out_of_range(spark):
     from peskas_malawi_data_pipeline_spark.operators import aggregates as A
     df = spark.createDataFrame([(1, 1.0)], "g int, v double")
