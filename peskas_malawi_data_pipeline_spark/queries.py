@@ -3761,6 +3761,52 @@ def temperature_resample_a75(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _temperature_resample(spark, sf_dir, 0.75)
 
 
+@register("dup_ngram_coverage", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
+posts AS (SELECT doc_id, u.sh AS sh FROM sh, UNNEST(s) AS u(sh)),
+df AS (SELECT sh, count(*) AS df FROM posts GROUP BY sh)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm,
+       sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1000000
+            // count(*) <= 500000 AS keep
+FROM posts p JOIN df d USING (sh)
+GROUP BY p.doc_id
+""")
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate n-gram coverage — the Gopher/RefinedWeb
+    quality gate the pairwise dedup family cannot express: for each
+    document, the fraction (ppm, integer-exact) of its distinct 3-gram
+    shingles that also occur in ANY other document, and a keep flag at
+    the standard 50% coverage threshold. Unlike jaccard/minhash (which
+    score PAIRS), this scores each doc against the whole corpus in
+    aggregate, catching boilerplate-saturated pages that are near-dups of
+    no single document.
+
+    Scale shape: the (doc, shingle) posting frame is materialized once
+    (core.barrier — Catalyst would otherwise re-run the tokenize+shingle
+    pipeline for both consumers), document frequency is a map-side-
+    combined groupBy with O(1) state per shingle, and the posts⋈df join
+    is co-partitioned on the shingle hash where AQE's skew-join splits
+    the hot-boilerplate keys — the reason this is a JOIN plan rather than
+    a count-over-window, which AQE cannot split. Nothing corpus-sized is
+    ever buffered per task; the final agg shuffles doc-keyed partials."""
+    docs = _t(spark, sf_dir, "documents")
+    posts = materialize(docs.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("sh")))
+    dfreq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    per = (posts.join(dfreq, "sh")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+                .alias("__dup")))
+    dup_ppm = F.expr("CAST(__dup * 1000000 DIV n_shingles AS BIGINT)")
+    return per.select("doc_id", "n_shingles", dup_ppm.alias("dup_ppm"),
+                      (dup_ppm <= 500000).alias("keep"))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

@@ -1,13 +1,20 @@
-"""Rewrite BASELINE.md's recorded-timings table from a bench.py JSON line.
+"""Rewrite BASELINE.md's recorded-timings table from bench.py JSON lines.
 
-Usage: python tools/record_baseline.py BENCH.json [--round N]
+Usage: python tools/record_baseline.py BENCH_SF01.json [--sf1 BENCH_SF1.json]
+                                       [--round N] [--passes N] [--sf1-passes N]
 
 Reads the one-line JSON bench.py prints (run it with
 SPARK_GRAFT_BENCH_PASSES=3 on an idle box for a recording-quality run),
 and replaces everything from the '## Recorded engine timings' heading to
-the end of BASELINE.md with a fresh two-column table plus the measurement
+the end of BASELINE.md with a fresh table plus the measurement
 provenance, so later rounds can compute per-query regression ratios
 against a complete, current base.
+
+With --sf1 (a bench run at the 10x fact-replicated `.scale/sf1` dir built
+by `tools/scale_probe.py --build-only`), the table gains sf1 and
+sf1/sf0.1-ratio columns: sub-second sf0.1 timings sit inside a ±50% noise
+band, so the 10x run is what makes per-query scaling exponents and
+round-over-round ratio judgments meaningful.
 """
 
 from __future__ import annotations
@@ -20,20 +27,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MARKER = "## Recorded engine timings"
 
 
+def _load(path: str) -> dict:
+    with open(path) as fh:
+        return json.loads(fh.read().strip())
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("bench_json")
-    ap.add_argument("--round", default="4")
+    ap.add_argument("--sf1", default=None,
+                    help="bench.py JSON recorded at the 10x .scale/sf1 dir")
+    ap.add_argument("--round", default="5")
     ap.add_argument("--passes", default="3")
+    ap.add_argument("--sf1-passes", default="2")
     args = ap.parse_args()
 
-    with open(args.bench_json) as fh:
-        payload = json.loads(fh.read().strip())
+    payload = _load(args.bench_json)
     q = dict(sorted(payload["queries"].items()))
     total = payload["value"]
-
     names = list(q)
-    half = (len(names) + 1) // 2
+
+    q1 = None
+    if args.sf1:
+        p1 = _load(args.sf1)
+        q1 = p1["queries"]
+
     lines = [
         f"{MARKER} (round-{args.round} baseline)",
         "",
@@ -47,23 +65,72 @@ def main() -> None:
         "the reference publishes no numbers.",
         "",
         f"Total wall time: **{total} s** across {len(names)} queries.",
-        "",
-        "| query | sec | query | sec |",
-        "|---|---|---|---|",
     ]
-    for i in range(half):
-        left = f"{names[i]} | {q[names[i]]}"
-        right = (f"{names[half + i]} | {q[names[half + i]]}"
-                 if half + i < len(names) else " | ")
-        lines.append(f"| {left} | {right} |")
-    lines.append("")
+
+    if q1 is not None:
+        t1 = round(sum(q1.values()), 3)
+        lines += [
+            "",
+            f"The sf1 column is the same bench at `.scale/sf1` — sf0.1 "
+            f"with the FACT tables (orders, lineitem, events, documents, "
+            f"embeddings) replicated 10× by `tools/scale_probe.py "
+            f"--build-only` (fresh keys / shuffled text / rotated vectors "
+            f"so candidate volumes grow like a real corpus, not like "
+            f"10-cliques; dimension tables stay fixed, as a real workload "
+            f"scales) — min of {getattr(args, 'sf1_passes')} passes. "
+            f"sf1 total: **{t1} s**. Variance notes: sf1 queries run "
+            f"~4-30× longer, so their relative noise is well under the "
+            f"sf0.1 sub-second ±50% band — the ratio column is the "
+            f"trustworthy per-query 10× scaling signal. Read ratios "
+            f"against the query's answer shape: a fixed-size answer "
+            f"(grouped report) should scale sublinearly (<10×); "
+            f"pair/explode answers that legitimately grow ~10× may "
+            f"approach linear; dimension-only queries sit near 1×. Two "
+            f"classes of known, by-construction outliers: `simhash_pairs` "
+            f"(the probe's word-shuffled replicas share each source doc's "
+            f"token MULTISET, and SimHash is order-insensitive — every "
+            f"replica family is a genuine near-dup clique, so output "
+            f"pairs grow ~100×; the shingle-based operators are immune "
+            f"because shuffling breaks shingles) and the all-pairs "
+            f"verify operators (`embedding_near_dup`, "
+            f"`edit_distance_verify`, `semantic_dedup`) whose "
+            f"within-block candidate sets grow quadratically by design — "
+            f"their scale paths are the banded/LSH/IVF variants, which "
+            f"measure 1-3× here. The "
+            f"raw JSONs are committed as `.baseline_r{args.round}_bench"
+            f".json` / `.baseline_r{args.round}_bench_sf1.json`.",
+            "",
+            "| query | sf0.1 s | sf1 s | ratio |",
+            "|---|---|---|---|",
+        ]
+        for n in names:
+            if n in q1 and q[n] > 0:
+                lines.append(f"| {n} | {q[n]} | {q1[n]} "
+                             f"| {round(q1[n] / q[n], 2)} |")
+            else:
+                lines.append(f"| {n} | {q[n]} | — | — |")
+        lines.append("")
+    else:
+        half = (len(names) + 1) // 2
+        lines += [
+            "",
+            "| query | sec | query | sec |",
+            "|---|---|---|---|",
+        ]
+        for i in range(half):
+            left = f"{names[i]} | {q[names[i]]}"
+            right = (f"{names[half + i]} | {q[names[half + i]]}"
+                     if half + i < len(names) else " | ")
+            lines.append(f"| {left} | {right} |")
+        lines.append("")
 
     path = os.path.join(REPO, "BASELINE.md")
     with open(path) as fh:
         head = fh.read().split(MARKER, 1)[0].rstrip() + "\n\n"
     with open(path, "w") as fh:
         fh.write(head + "\n".join(lines))
-    print(f"recorded {len(names)} queries, total {total} s -> {path}")
+    print(f"recorded {len(names)} queries, total {total} s -> {path}"
+          + (f" (+ sf1 column, {len(q1)} queries)" if q1 else ""))
 
 
 if __name__ == "__main__":
