@@ -81,13 +81,39 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    payload = json.dumps({
-        "metric": "total_query_wall_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }, separators=(",", ":"))
+
+    # The driver records only the LAST 2000 chars of stdout and JSON-parses
+    # that tail: a full 131-query dict (~3.4 KB) truncates mid-object and
+    # parses as null (BENCH_r01-r04 all show "parsed": null), leaving only
+    # a random ~half of the per-query times regex-recoverable. Emit the
+    # most informative payload that PARSES instead: per-query times sorted
+    # descending and capped so the line stays under the window — the
+    # expensive queries carry all the ratio signal (sub-second entries sit
+    # inside the documented ±50% noise band anyway). No silent cap: the
+    # note names what was dropped, and the COMPLETE per-query recordings
+    # are committed as .baseline_r*_bench*.json + the BASELINE.md table.
+    def payload_for(k: int) -> str:
+        top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:k])
+        doc = {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": top,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if k < len(timings):
+            doc["note"] = (f"queries = top {k} of {len(timings)} by sec; "
+                           f"full set in BASELINE.md")
+        return json.dumps(doc, separators=(",", ":"))
+
+    # SPARK_GRAFT_BENCH_MAX_CHARS=0 disables the cap (recording-quality
+    # runs feeding tools/record_baseline.py need every query).
+    payload = payload_for(len(timings))
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_CHARS", "1990"))
+    k = len(timings)
+    while limit > 0 and len(payload) > limit and k > 1:
+        k -= 5
+        payload = payload_for(k)
     os.write(_REAL_STDOUT, (payload + "\n").encode())
 
 
