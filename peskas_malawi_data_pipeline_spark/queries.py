@@ -3807,6 +3807,60 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (dup_ppm <= 500000).alias("keep"))
 
 
+@register("quality_classifier_linear", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, u.tok AS tok FROM toks, UNNEST(t) AS u(tok)),
+feat AS (SELECT doc_id,
+                CAST('0x' || substr(md5('fq:' || tok), 1, 8) AS BIGINT)
+                  % 4096 AS bucket
+         FROM tok),
+w AS (SELECT r.bucket,
+             CAST('0x' || substr(md5('w:' || CAST(r.bucket AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2001 - 1000 AS w_micro
+      FROM range(4096) r(bucket))
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w.w_micro) AS BIGINT) AS logit_micro,
+       sum(w.w_micro) >= 0 AS keep
+FROM feat f JOIN w USING (bucket)
+GROUP BY f.doc_id
+""")
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-quality classifier apply — the fasttext-style hashed
+    bag-of-words scorer CCNet/LLaMA-class pipelines run over every
+    document (here with a DETERMINISTIC hash-derived weight vector, since
+    no model file ships in this environment; swapping in trained weights
+    is a one-line change to the weight-table load). Each token hashes
+    into one of 4096 feature buckets; the document logit is the exact
+    integer-micro sum of its buckets' weights, and ``keep`` is the
+    logit>=0 decision. Integer micro-units keep it engine-exact — a
+    float dot product would be summation-order-dependent and could never
+    hash-match across engines.
+
+    Scale shape: stateless per-token bucket hash on a single corpus scan,
+    broadcast join against the 4096-row weight table (the weights never
+    shuffle, the corpus never re-partitions), then one doc-keyed agg with
+    map-side partial sums. This is the canonical 100 TB model-apply plan:
+    classifier size is O(buckets), independent of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        F.explode(T.tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        (T.md5_prefix_hash(F.col("tok"), seed="fq:") % 4096).alias("bucket"))
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (T.md5_prefix_hash(F.col("id").cast("string"), seed="w:") % 2001
+         - 1000).alias("w_micro"))
+    return (feat.join(F.broadcast(weights), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("w_micro").alias("logit_micro"))
+            .select("doc_id", "n_tokens", "logit_micro",
+                    (F.col("logit_micro") >= 0).alias("keep")))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).
