@@ -66,12 +66,19 @@ def word_ngrams(col: Column, n: int = 2) -> Column:
     """Word n-grams of ``col`` as array<string>, duplicates KEPT (unlike
     ``word_shingles``) — the repetition-analysis primitive: the gap between
     total and distinct n-grams is the repeated-content mass. Documents
-    shorter than ``n`` tokens yield one n-gram of the full token string."""
+    shorter than ``n`` tokens (but with ≥1) yield one n-gram of the full
+    token string; TOKEN-LESS documents yield an empty array — the
+    cross-engine totality the whitespace fuzz pinned (the DuckDB oracle's
+    ``list_distinct`` silently drops the NULL its empty-slice transform
+    produces, so a Spark sentinel ``''`` n-gram would make every empty
+    document a spurious near-dup of every other)."""
     def windows(t: Column) -> Column:
-        return F.transform(
+        grams = F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         )
+        return F.when(F.size(t) > 0, grams) \
+                .otherwise(F.array().cast("array<string>"))
 
     return bound(tokens(col), windows)
 
@@ -81,7 +88,8 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
     Built with higher-order functions: slide a window of ``n`` tokens and
     join with spaces. Documents shorter than ``n`` tokens yield the full
-    token string as a single shingle (so every doc has ≥1 shingle).
+    token string as a single shingle (so every doc with ≥1 token has ≥1
+    shingle); token-less documents yield no shingles (see word_ngrams).
     """
     return F.array_distinct(word_ngrams(col, n))
 

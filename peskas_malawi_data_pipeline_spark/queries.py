@@ -849,7 +849,7 @@ def outlier_alert_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis extension (lang-id, quality, tokens, fingerprints)
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKS = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+_DUCK_TOKS = ("list_filter(string_split_regex(lower(trim(text)), '[\\s\\v]+'), "
               "x -> x <> '')")
 
 
@@ -876,10 +876,10 @@ def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("token_stats", """
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), '[\\s\\v]+'),
                             x -> x <> '')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
-            + len(regexp_extract_all(text, '[^\\sa-zA-Z0-9_]')) AS BIGINT)
+            + len(regexp_extract_all(text, '[^\\s\\va-zA-Z0-9_]')) AS BIGINT)
          AS n_bpe_ish,
        CAST(length(text) AS BIGINT) AS n_chars_measured
 FROM documents
@@ -944,7 +944,7 @@ WITH base AS (
          length(text) AS n,
          length(text) - length(regexp_replace(text,
              '[\\.,;:!\\?"''\\(\\)\\[\\]\\{\\}]', '', 'g')) AS n_punct,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[\\s\\v]+'),
                      x -> x <> '') AS t
   FROM documents),
 feat AS (
@@ -1026,10 +1026,10 @@ def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("length_histogram", """
-SELECT CAST(least(floor(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+SELECT CAST(least(floor(len(list_filter(string_split_regex(lower(trim(text)), '[\\s\\v]+'),
                                         x -> x <> '')) / 16), 8) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '[\\s\\v]+'),
                                 x -> x <> ''))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY 1
 """)
@@ -1154,7 +1154,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("fingerprint_groups", """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+SELECT md5(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g')) AS fp,
        CAST(min(doc_id) AS BIGINT) AS keeper_id,
        CAST(count(*) AS BIGINT) AS group_size
 FROM documents
@@ -1173,7 +1173,7 @@ def fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT d.doc_id FROM documents d
 JOIN (SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) s
+      GROUP BY md5(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g'))) s
   ON d.doc_id = s.doc_id
 """)
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1452,7 +1452,7 @@ _DUCK_QUALITY_FEATURES = """length(text) AS n,
          CASE WHEN len(t) > 0 THEN
            CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is')))
                 AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp"""
+         md5(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g')) AS fp"""
 
 #: integer-micro quality score over n / n_punct / stop_ratio (SQL twin of
 #: floor(text.quality_score * 1e6))
@@ -2207,8 +2207,9 @@ def hof_transform_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("repetition_ratio", f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 g AS (SELECT doc_id, t,
-        list_transform(range(1, greatest(len(t)-1,1)+1),
-                       i -> array_to_string(t[i:i+1], ' ')) AS b
+        list_filter(list_transform(range(1, greatest(len(t)-1,1)+1),
+                                   i -> array_to_string(t[i:i+1], ' ')),
+                    x -> x IS NOT NULL) AS b
       FROM toks)
 SELECT doc_id,
   CAST(floor(CASE WHEN len(t) > 0
@@ -3410,7 +3411,7 @@ ch AS (SELECT doc_id,
   list_transform(range(0, CASE WHEN len(t) <= 64 THEN 1
                               ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) + 1 END),
                  i -> struct_pack(cid := i,
-                                  chunk := array_to_string(t[i*48+1 : i*48+64], ' '))) AS cs
+                                  chunk := coalesce(array_to_string(t[i*48+1 : i*48+64], ' '), ''))) AS cs
   FROM toks)
 SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
        CAST(len(list_filter(string_split(u.chunk, ' '), x -> x <> ''))
