@@ -976,11 +976,22 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     def micro(col):
         return F.floor(col * 1000000).cast("long")
 
-    return docs.select(
-        "doc_id",
-        micro(T.punct_ratio(F.col("text"))).alias("punct_ratio_micro"),
-        micro(T.stopword_ratio(F.col("text"))).alias("stopword_ratio_micro"),
-        micro(T.quality_score(F.col("text"))).alias("quality_micro"))
+    # punct_ratio and stopword_ratio each appear standalone AND inside the
+    # composite — compute each once behind a Generate barrier (see
+    # corpus_clean) and assemble the composite from the shared parts with
+    # quality_score's exact expression shape.
+    pr, sr = T.punct_ratio(F.col("text")), T.stopword_ratio(F.col("text"))
+    packed = F.struct(pr.alias("pr"), sr.alias("sr"),
+                      F.least(F.length("text").cast("double") / 500.0,
+                              F.lit(1.0)).alias("lt"))
+    quality = (0.4 * F.col("s.lt")
+               + 0.3 * (1.0 - F.least(F.col("s.pr") * 5.0, F.lit(1.0)))
+               + 0.3 * F.least(F.col("s.sr") * 5.0, F.lit(1.0)))
+    return (docs.select("doc_id", F.explode(F.array(packed)).alias("s"))
+            .select("doc_id",
+                    micro(F.col("s.pr")).alias("punct_ratio_micro"),
+                    micro(F.col("s.sr")).alias("stopword_ratio_micro"),
+                    micro(quality).alias("quality_micro")))
 
 
 _DUCK_H32 = "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
