@@ -135,9 +135,11 @@ def grouped_percentile_cont(df: DataFrame, keys: Sequence[str],
     The step-2/3 shuffle on ``keys`` reuses its partitioning for the final
     group reduce (EnsureRequirements sees hash(keys) twice), so the whole
     operator costs two shuffles of the COMPRESSED frame. NULL values are
-    ignored (like ``percentile()``); a group whose values are all NULL is
-    absent from the output — left-join and treat missing as NULL to match
-    the built-in exactly.
+    ignored (like ``percentile()``), and — also like the built-in — a
+    group whose values are ALL NULL still gets its output row, with NULL
+    percentiles: the distinct group keys are restored with a null-safe
+    left join (one extra shuffle of the group-cardinality keys frame),
+    so downstream joins never silently lose groups (VERDICT r5 #3).
     """
     for name, p in ps.items():
         if not 0.0 <= p <= 1.0:
@@ -165,6 +167,22 @@ def grouped_percentile_cont(df: DataFrame, keys: Sequence[str],
         aggs.append(F.max(F.when((start <= hi_i) & (hi_i < F.col("__cum")),
                                  v)).alias(f"__hi{i}"))
     res = cur.groupBy(*keys).agg(*aggs)
+    # Restore all-NULL groups (filtered with their values above): the
+    # built-in percentile() emits their group row with a NULL result, and
+    # dropping it makes inner-joining consumers silently lose the group.
+    # Null-safe join so NULL group keys (a groupBy group) survive too; the
+    # missing __n/__lo/__hi become NULL, which the interpolation below
+    # propagates to NULL outputs — matching the built-in exactly.
+    groups = df.select(*keys).distinct()
+    res2 = res
+    for i, k in enumerate(keys):
+        res2 = res2.withColumnRenamed(k, f"__k{i}")
+    cond = None
+    for i, k in enumerate(keys):
+        c = F.col(k).eqNullSafe(F.col(f"__k{i}"))
+        cond = c if cond is None else (cond & c)
+    res = groups.join(res2, cond, "left").drop(
+        *[f"__k{i}" for i in range(len(keys))])
     for i, (name, p) in enumerate(ps.items()):
         pos = F.lit(float(p)) * (F.col("__n") - F.lit(1))
         lo_i, hi_i = F.floor(pos), F.ceil(pos)

@@ -19,11 +19,69 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import itertools
+import logging
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..core.barrier import materialize
 from ..functions import text as T
+
+_CAP_LOG = logging.getLogger(__name__)
+_CAP_SEQ = itertools.count()
+
+# site -> {"dropped_rows", "total_rows", "cap"} for the most recent run of
+# each capped candidate generator in this process (see last_cap_drops).
+_LAST_CAP_DROPS: dict[str, dict] = {}
+
+
+def last_cap_drops() -> dict[str, dict]:
+    """Cap-drop audit: for each capped candidate generator that has run in
+    this process, the most recent ``{"dropped_rows": n, "total_rows": n,
+    "cap": c}``. ``dropped_rows > 0`` means the hot-bucket / stop-shingle
+    cap actually triggered, so the similarity the operator reported is a
+    LOWER bound (pairs whose entire evidence sat in capped buckets were
+    missed). A warning is also logged at trigger time; this accessor is
+    for tests and monitoring glue."""
+    return {k: dict(v) for k, v in _LAST_CAP_DROPS.items()}
+
+
+def _capped_barrier(df: DataFrame, partition_cols: Sequence[str],
+                    cap: int | None, site: str) -> DataFrame:
+    """Materialize a derived index, dropping rows in over-``cap`` buckets
+    of ``partition_cols`` — with the drop count OBSERVED, not silent.
+
+    The bucket-size window runs INSIDE the barrier (once, upstream of the
+    self-join that reads the index twice), and an :class:`Observation`
+    attached upstream of the filter counts rows sitting in over-cap
+    buckets. Because the barrier is eager, the metric resolves on the
+    barrier's own job — zero extra Spark jobs for observability. The
+    materialized index keeps hot-bucket rows (filtered after the barrier,
+    from materialized blocks); index storage is O(corpus bands) either
+    way, so this trades nothing for the audit.
+    """
+    if cap is None:
+        return _index_barrier(df)
+    w = Window.partitionBy(*partition_cols)
+    flagged = df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+    obs = Observation(f"cap:{site}:{next(_CAP_SEQ)}")
+    flagged = flagged.observe(
+        obs,
+        F.sum((F.col("__bucket_n") > cap).cast("long")).alias("dropped_rows"),
+        F.count(F.lit(1)).alias("total_rows"))
+    out = materialize(flagged)
+    m = dict(obs.get)
+    m = {"dropped_rows": int(m["dropped_rows"] or 0),
+         "total_rows": int(m["total_rows"] or 0), "cap": cap}
+    _LAST_CAP_DROPS[site] = m
+    if m["dropped_rows"]:
+        _CAP_LOG.warning(
+            "%s: hot-bucket cap (%d) dropped %d of %d index rows — reported "
+            "similarity is a lower bound for pairs in the capped buckets",
+            site, cap, m["dropped_rows"], m["total_rows"])
+    return out.filter(F.col("__bucket_n") <= cap).drop("__bucket_n")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -141,11 +199,8 @@ def incremental_lsh_pairs(new_bands: DataFrame, index_bands: DataFrame,
     docs."""
     u = (index_bands.withColumn("__new", F.lit(0))
          .unionByName(new_bands.withColumn("__new", F.lit(1))))
-    if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_key")
-        u = (u.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
-             .filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n"))
-    u = _index_barrier(u)
+    u = _capped_barrier(u, ("band_id", "band_key"), max_bucket,
+                        "incremental_lsh_pairs")
     left = u.filter(F.col("__new") == 1).select(
         "band_id", "band_key", F.col(id_col).alias("__ia"))
     right = u.select("band_id", "band_key", F.col(id_col).alias("__ib"))
@@ -181,14 +236,11 @@ def lsh_pairs_from_bands(bands: DataFrame, id_col: str = "doc_id",
     several stages (e.g. full-corpus pairs AND the persisted side of an
     incremental join), so the expensive shingle → hash → signature map
     never re-runs per consumer."""
-    if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_key")
-        bands = (bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
-                 .filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n"))
-    # barrier AFTER the cap filter: both self-join sides read the filtered
-    # index — placed before it, the count window would execute once per
-    # side (incremental_lsh_pairs already orders it this way)
-    bands = _index_barrier(bands)
+    # bucket-count window + cap filter live inside the barrier so the
+    # count executes once, not once per self-join side; drops are observed
+    # into last_cap_drops() instead of vanishing silently
+    bands = _capped_barrier(bands, ("band_id", "band_key"), max_bucket,
+                            "lsh_pairs_from_bands")
     left = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
     right = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
     return (left.join(right, ["band_id", "band_key"])
@@ -242,7 +294,8 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", bits: int = 16, bands: int = 4,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket: int | None = 1000) -> DataFrame:
     """SimHash near-duplicate pairs: band the ``bits``-bit sketch into
     ``bands`` contiguous bit-slices, self-join on (band index, band value) —
     any pair within ``max_hamming`` of each other collides on ≥1 band when
@@ -253,6 +306,17 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     materialized (id, sketch, band) index; the only shuffle is the band
     equi-join on small uniform integer keys; the verify runs only on
     candidates. Returns (id_a, id_b, hamming).
+
+    ``max_bucket`` caps hot band buckets, same as the MinHash twin
+    (:func:`lsh_pairs_from_bands`): a band value shared by b docs —
+    empty/near-empty docs all sketching to 0, or shared boilerplate
+    saturating a narrow sketch — otherwise contributes O(b²) join rows
+    with no bound (the repo's 10× probe measured an 86.6× wall blow-up on
+    the uncapped join, SCALE.md §10d). Capping weakens the pigeonhole
+    recall guarantee ONLY for docs inside capped buckets (their pairs may
+    be missed — a lower bound, never false positives, since the Hamming
+    verify still gates every emitted pair); drops are observed into
+    :func:`last_cap_drops` and logged. ``max_bucket=None`` opts out.
     """
     assert bits % bands == 0
     if max_hamming >= bands:
@@ -263,12 +327,13 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sigs = simhash(df.select(id_col, text_col), text_col, bits)
-    banded = _index_barrier(sigs.select(
+    banded = _capped_barrier(sigs.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.array(*[
             F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
             for b in range(bands)
-        ])).alias("band_id", "band_val")))
+        ])).alias("band_id", "band_val")),
+        ("band_id", "band_val"), max_bucket, "simhash_pairs")
     left = banded.select(F.col("band_id"), F.col("band_val"),
                          F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     right = banded.select(F.col("band_id"), F.col("band_val"),
@@ -283,7 +348,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
-                  threshold: float = 0.0,
+                  threshold: float = 0.2,
                   max_shingle_df: int | None = 10_000,
                   allow_all_pairs: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a blocking key
@@ -305,6 +370,8 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
     Jaccard can only shrink, so no false positives appear above any
     threshold. ``max_shingle_df=None`` opts out.
 
+    The default ``threshold=0.2`` keeps the all-default call on the safe
+    capped inverted-index path (matching the registry query).
     ``threshold <= 0`` must also emit zero-overlap pairs, so it falls back to
     the all-pairs block join with array_intersect/array_union — a path where
     ``max_shingle_df`` CANNOT apply (there is no posting index to cap), so
@@ -363,19 +430,18 @@ def _shingle_intersections(df: DataFrame, block_col: str, id_col: str,
         F.col(id_col).alias("id_a"),
         T.bound(T.word_shingles(F.col(text_col), shingle_n),
                 lambda t: F.struct(F.size(t).alias("n"), t.alias("sh"))).alias("s"))
-    posts = _index_barrier(packed.select(
-        "__block", "id_a", F.col("s.n").alias("n_a"),
-        F.explode("s.sh").alias("__shingle")))
-    if max_shingle_df is not None:
-        # Stop-shingle capping (SCALE.md §4): a shingle present in more than
-        # max_shingle_df docs of a block contributes O(df²) join rows while
-        # carrying almost no similarity signal — drop it from the index.
-        # |∩| can only shrink, so capped similarity is a LOWER bound: no
-        # false positives are introduced, some hot-boilerplate pairs may be
-        # missed.
-        w_df = Window.partitionBy("__block", "__shingle")
-        posts = (posts.withColumn("__df", F.count(F.lit(1)).over(w_df))
-                 .filter(F.col("__df") <= max_shingle_df).drop("__df"))
+    # Stop-shingle capping (SCALE.md §4): a shingle present in more than
+    # max_shingle_df docs of a block contributes O(df²) join rows while
+    # carrying almost no similarity signal — drop it from the index.
+    # |∩| can only shrink, so capped similarity is a LOWER bound: no
+    # false positives are introduced, some hot-boilerplate pairs may be
+    # missed. The document-frequency window runs inside the barrier (once,
+    # not once per posting-join side) and drops are observed into
+    # last_cap_drops().
+    posts = _capped_barrier(
+        packed.select("__block", "id_a", F.col("s.n").alias("n_a"),
+                      F.explode("s.sh").alias("__shingle")),
+        ("__block", "__shingle"), max_shingle_df, "shingle_postings")
     other = posts.select(F.col("__block"), F.col("__shingle"),
                          F.col("id_a").alias("id_b"), F.col("n_a").alias("n_b"))
     return (posts.join(other, ["__block", "__shingle"])

@@ -45,7 +45,7 @@ def test_simhash_close_for_near_dups(spark):
 def test_jaccard_pairs_exact_values(spark):
     df = _docs(spark).withColumn("block", F.lit(1))
     pairs = {(r.id_a, r.id_b): r.jaccard
-             for r in D.jaccard_pairs(df, "block", shingle_n=3,
+             for r in D.jaccard_pairs(df, "block", shingle_n=3, threshold=0.0,
                              allow_all_pairs=True).collect()}
     assert pairs[(1, 5)] == 1.0
     # doc1 vs doc3: 7 shingles each, 6 shared -> 6/8
@@ -869,3 +869,98 @@ def test_heavy_hitters_preserves_value_type(spark):
     out = K.heavy_hitters(df, "v", support_ppm=500_000)
     assert dict(out.dtypes)["v"] == "bigint"
     assert [(r.v, r.cnt) for r in out.collect()] == [(7, 9)]
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket caps: simhash_pairs cap + observed (non-silent) drop audit
+
+
+def test_simhash_pairs_hot_bucket_cap(spark):
+    """simhash_pairs must cap hot band buckets like its MinHash twin: a
+    boilerplate clique whose identical sketches land every member in the
+    same bucket of every band would otherwise emit O(clique²) pairs with
+    no bound (the 10× probe measured 86.6× wall on the uncapped join,
+    SCALE.md §10d). Cap-drop semantics: capped-bucket pairs vanish (lower
+    bound — never false positives, the Hamming verify still gates), pairs
+    outside capped buckets survive untouched."""
+    clique = [Row(doc_id=i, text="boilerplate footer terms and conditions "
+                                 "apply") for i in range(10, 18)]
+    pair = [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(clique + pair)
+
+    uncapped = {(r.id_a, r.id_b)
+                for r in D.simhash_pairs(df, bits=32, bands=4, max_hamming=3,
+                                         max_bucket=None).collect()}
+    # 8-clique (28 pairs) + the (1, 2) exact dup
+    assert (1, 2) in uncapped and len(uncapped) == 29
+
+    capped = {(r.id_a, r.id_b)
+              for r in D.simhash_pairs(df, bits=32, bands=4, max_hamming=3,
+                                       max_bucket=4).collect()}
+    assert capped == {(1, 2)}
+
+    # a cap ABOVE every bucket size changes nothing
+    lax = {(r.id_a, r.id_b)
+           for r in D.simhash_pairs(df, bits=32, bands=4, max_hamming=3,
+                                    max_bucket=1000).collect()}
+    assert lax == uncapped
+
+    import inspect
+    default = inspect.signature(D.simhash_pairs).parameters["max_bucket"].default
+    assert isinstance(default, int) and default > 0
+
+
+def test_cap_drops_are_observed_not_silent(spark):
+    """Every capped candidate generator must record how much the cap
+    dropped (VERDICT r5 #2): the metric rides the index barrier's own job
+    via Observation — zero extra Spark jobs — and lands in
+    last_cap_drops() for monitoring, with a warning logged when nonzero."""
+    clique = [Row(doc_id=i, text="boilerplate footer terms and conditions "
+                                 "apply") for i in range(10, 18)]
+    pair = [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(clique + pair)
+
+    D.simhash_pairs(df, bits=32, bands=4, max_hamming=3, max_bucket=4).collect()
+    m = D.last_cap_drops()["simhash_pairs"]
+    # the 8-doc clique occupies all 4 bands: 32 of the 40 index rows drop
+    assert m == {"dropped_rows": 32, "total_rows": 40, "cap": 4}
+
+    # not triggered -> zero drops recorded (and nothing dropped)
+    D.simhash_pairs(df, bits=32, bands=4, max_hamming=3,
+                    max_bucket=1000).collect()
+    m = D.last_cap_drops()["simhash_pairs"]
+    assert m["dropped_rows"] == 0 and m["total_rows"] == 40
+
+    # the MinHash band cap and the stop-shingle posting cap audit too
+    D.minhash_lsh_pairs(df, num_hashes=8, band_size=2, max_bucket=4).collect()
+    mh = D.last_cap_drops()["lsh_pairs_from_bands"]
+    assert mh["cap"] == 4 and mh["dropped_rows"] > 0
+    assert mh["dropped_rows"] + 2 * 4 == mh["total_rows"]  # pair docs survive
+
+    blk = df.withColumn("block", F.lit(1))
+    D.containment_pairs(blk, "block", threshold=0.2,
+                        max_shingle_df=3).collect()
+    sp = D.last_cap_drops()["shingle_postings"]
+    assert sp["cap"] == 3 and sp["dropped_rows"] > 0
+
+
+def test_cap_observation_resolves_under_reliable_checkpoint(spark, tmp_path):
+    """The cap audit reads its Observation right after the eager barrier;
+    that must also resolve when materialize() takes the reliable-checkpoint
+    path (cluster setup, SCALE.md §11), not just localCheckpoint."""
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        clique = [Row(doc_id=i, text="boilerplate footer terms") for i in
+                  range(6)]
+        df = spark.createDataFrame(clique)
+        out = D.simhash_pairs(df, bits=32, bands=4, max_hamming=3,
+                              max_bucket=2).collect()
+        assert out == []
+        m = D.last_cap_drops()["simhash_pairs"]
+        assert m == {"dropped_rows": 24, "total_rows": 24, "cap": 2}
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.empty())

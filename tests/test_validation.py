@@ -150,13 +150,14 @@ def test_grouped_percentile_cont_bit_identical_to_builtin(spark):
         *[F.expr(f"percentile(v, {p})").alias(name)
           for name, p in ps.items()]).collect()}
 
-    # the all-NULL group is absent from the two-pass output (documented)
-    assert set(got) == set(want) - {99}
+    # all-NULL groups get their row too, with NULL percentiles — same as
+    # the built-in (VERDICT r5 #3: dropping the row made inner-joining
+    # consumers silently lose the group)
+    assert set(got) == set(want)
     for g, w in want.items():
-        if g == 99:
-            continue
         for name in ps:
             assert got[g][name] == w[name], (g, name, got[g][name], w[name])
+    assert all(got[99][name] is None for name in ps)
 
 
 def _pct_shape_all_distinct(rng):
@@ -227,12 +228,8 @@ def test_grouped_percentile_cont_adversarial_sweep(spark, shape, seed):
         *[F.expr(f"percentile(v, {p})").alias(name)
           for name, p in ps.items()]).collect()}
 
-    all_null = {g for g in want
-                if all(v is None for gg, v in rows if gg == g)}
-    assert set(got) == set(want) - all_null
+    assert set(got) == set(want)
     for g, w in want.items():
-        if g in all_null:
-            continue
         for name in ps:
             assert got[g][name] == w[name], (g, name, got[g][name], w[name])
 
