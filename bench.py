@@ -112,7 +112,10 @@ def main() -> None:
     limit = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_CHARS", "1990"))
     k = len(timings)
     while limit > 0 and len(payload) > limit and k > 1:
-        k -= 5
+        # clamp so the smallest emitted payload is the single most
+        # expensive query (k-5 could land on 0 or negative otherwise,
+        # emitting an empty or mislabeled queries dict)
+        k = max(1, k - 5)
         payload = payload_for(k)
     os.write(_REAL_STDOUT, (payload + "\n").encode())
 

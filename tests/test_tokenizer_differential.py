@@ -31,9 +31,15 @@ _WORD_CHARS = string.ascii_letters + string.digits
 _PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 
 
-def _fuzz_strings(seed: int, n: int = 300) -> list[str]:
+def _fuzz_strings(seed: int, n: int = 300) -> list[str | None]:
     rng = random.Random(seed)
-    out = ["", " ", "  \t ", "\n\n", "a", " a ", "a  b", "\ta\vb\f"]
+    # None pins the NULL-document behavior on BOTH engines (previously
+    # untested): tokens are NULL in Spark (split of NULL) and NULL in
+    # DuckDB (string_split_regex of NULL); shingles/n-grams are [] on
+    # both (Spark's explicit otherwise-empty branch; DuckDB's
+    # list_distinct over the empty-slice transform) — so every consumer
+    # that explodes or intersects sees identical zero rows cross-engine.
+    out = [None, "", " ", "  \t ", "\n\n", "a", " a ", "a  b", "\ta\vb\f"]
     for _ in range(n):
         parts = []
         for _ in range(rng.randint(1, 12)):

@@ -103,12 +103,18 @@ def main() -> None:
             "| query | sf0.1 s | sf1 s | ratio |",
             "|---|---|---|---|",
         ]
-        for n in names:
-            if n in q1 and q[n] > 0:
-                lines.append(f"| {n} | {q[n]} | {q1[n]} "
-                             f"| {round(q1[n] / q[n], 2)} |")
-            else:
-                lines.append(f"| {n} | {q[n]} | — | — |")
+        # union of both key sets: a query present only in the sf1 JSON
+        # still gets its sf1 number (no silent drop), and a sf0.1 time
+        # that rounds to 0.000 keeps its sf1 cell — only the ratio is
+        # dashed (undefined against a zero/missing denominator)
+        for n in sorted(set(names) | set(q1)):
+            s01 = q.get(n)
+            s1 = q1.get(n)
+            s01_cell = s01 if s01 is not None else "—"
+            s1_cell = s1 if s1 is not None else "—"
+            ratio = (round(s1 / s01, 2)
+                     if s1 is not None and s01 else "—")
+            lines.append(f"| {n} | {s01_cell} | {s1_cell} | {ratio} |")
         lines.append("")
     else:
         half = (len(names) + 1) // 2
