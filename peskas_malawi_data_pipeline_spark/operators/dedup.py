@@ -487,6 +487,99 @@ def containment_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
             .filter(F.col("containment") >= threshold))
 
 
+def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 5,
+                     min_occurrences: int = 2) -> DataFrame:
+    """Exact SUBSTRING dedup — the span-level third dedup modality of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr) and RefinedWeb: find every maximal token span of
+    length ≥ ``k`` whose k-token shingles each occur at least
+    ``min_occurrences`` times in the corpus (total occurrences, so
+    within-document self-repetition counts, as in Lee et al.). Returns one
+    row per maximal span: (``id_col``, span_start, span_end, span_tokens),
+    token indices 1-based inclusive.
+
+    Plan (their global suffix array traded for Spark-native shuffles):
+
+    1. explode each document's k-token shingles WITH their start
+       positions — the position-aware posting frame, token-scale (same
+       order of magnitude as any tokenization pass);
+    2. one groupBy(shingle) count; hot boilerplate keys are absorbed by
+       map-side partial aggregation (a count, not a pair join — nothing
+       here is quadratic, unlike the pair-generating LSH buckets, so no
+       ``max_bucket`` cap is needed); only shingles with
+       occ ≥ min_occurrences survive;
+    3. left-semi join postings against the surviving shingles (1:1 per
+       posting) to mark duplicated start positions;
+    4. per-document gaps-and-islands merge: all intervals are length
+       ``k`` and sorted by start, so two duplicated starts belong to one
+       maximal span iff their gap is ≤ k (overlap or adjacency); one
+       window over ``id_col`` (documents are bounded, the window frame is
+       per-doc duplicated positions only).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2 (an occ-1 span is not a "
+            f"duplicate), got {min_occurrences}")
+    # docs shorter than k tokens (or NULL text) yield NO shingles — the
+    # otherwise-empty branch matters because sequence(1, 0) would generate
+    # a DESCENDING [1, 0], not an empty array
+    shingles_with_pos = T.bound(
+        T.tokens(F.col(text_col)),
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, k))))
+        .otherwise(F.array().cast("array<string>")))
+    posts = (df.select(F.col(id_col).alias("__id"),
+                       F.posexplode(shingles_with_pos).alias("__p0", "__sh"))
+             .select("__id", (F.col("__p0") + 1).alias("pos"), "__sh"))
+    dup = (posts.groupBy("__sh").agg(F.count(F.lit(1)).alias("__occ"))
+           .filter(F.col("__occ") >= min_occurrences).select("__sh"))
+    marked = posts.join(dup, "__sh", "left_semi")
+    w = Window.partitionBy("__id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    spans = (marked
+             .withColumn("__new", F.when(prev.isNull()
+                                         | (F.col("pos") - prev > k), 1)
+                         .otherwise(0))
+             .withColumn("__isl", F.sum("__new").over(
+                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+             .groupBy("__id", "__isl")
+             .agg(F.min("pos").alias("__start"), F.max("pos").alias("__last")))
+    return spans.select(
+        F.col("__id").alias(id_col),
+        F.col("__start").cast("long").alias("span_start"),
+        (F.col("__last") + (k - 1)).cast("long").alias("span_end"),
+        (F.col("__last") + (k - 1) - F.col("__start") + 1).cast("long")
+        .alias("span_tokens"))
+
+
+def substring_dedup_stats(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 5,
+                          min_occurrences: int = 2) -> DataFrame:
+    """Per-document outcome of span-level dedup (:func:`duplicated_spans`):
+    (``id_col``, n_tokens, dup_span_tokens, kept_tokens). Every document
+    appears, zero-span docs with dup_span_tokens=0 — the frame a pipeline
+    joins to decide drop/trim, and the aggregate the removal report
+    prints. One extra groupBy(id) of the answer-sized span frame plus a
+    left join against the per-doc token counts."""
+    spans = duplicated_spans(df, id_col, text_col, k, min_occurrences)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("__dup"))
+    base = df.select(F.col(id_col),
+                     T.token_count(F.col(text_col)).cast("long")
+                     .alias("n_tokens"))
+    return (base.join(per_doc, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce(F.col("__dup"), F.lit(0)).cast("long")
+                    .alias("dup_span_tokens"),
+                    (F.col("n_tokens") - F.coalesce(F.col("__dup"), F.lit(0)))
+                    .cast("long").alias("kept_tokens")))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25,
                          check_interval: int = 2) -> DataFrame:

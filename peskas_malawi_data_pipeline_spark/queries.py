@@ -3891,6 +3891,189 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("logit_micro") >= 0).alias("keep")))
 
 
+# ---------------------------------------------------------------------------
+# Exact substring (span-level) dedup — the Lee-et-al./RefinedWeb third dedup
+# modality (round 6): maximal >= k-token spans repeated across the corpus.
+# ---------------------------------------------------------------------------
+
+_DUCK_SPAN_CTES = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+spos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                array_to_string(t[i:i+4], ' ') AS s
+         FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)),
+sdup AS (SELECT s FROM spos GROUP BY s HAVING count(*) >= 2),
+smark AS (SELECT doc_id, pos FROM spos WHERE s IN (SELECT s FROM sdup)),
+sisl AS (SELECT doc_id, pos,
+                sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM (SELECT doc_id, pos,
+                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM smark)),
+spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                 CAST(max(pos) + 4 AS BIGINT) AS span_end,
+                 CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
+          FROM sisl GROUP BY doc_id, island)"""
+
+
+@register("substring_dedup_spans", f"""
+WITH {_DUCK_SPAN_CTES}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+""")
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr / RefinedWeb):
+    every maximal token span of length >= 5 whose 5-token shingles each
+    repeat anywhere in the corpus (within-doc self-repetition included).
+    Position-aware posting explode -> one shingle-count shuffle (map-side
+    partials absorb hot boilerplate; a count, nothing quadratic) -> 1:1
+    semi-join marking duplicated starts -> per-doc gaps-and-islands merge.
+    The oracle replays the identical plan relationally (lag + running-sum
+    islands); all-integer output makes the compare exact."""
+    return dedup_ops.duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=5, min_occurrences=2)
+
+
+@register("substring_dedup_stats", f"""
+WITH {_DUCK_SPAN_CTES},
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+dup AS (SELECT doc_id, sum(span_tokens) AS d FROM spans GROUP BY doc_id)
+SELECT base.doc_id, base.n_tokens,
+       CAST(coalesce(dup.d, 0) AS BIGINT) AS dup_span_tokens,
+       CAST(base.n_tokens - coalesce(dup.d, 0) AS BIGINT) AS kept_tokens
+FROM base LEFT JOIN dup USING (doc_id)
+""")
+def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-dedup outcome: total tokens, tokens inside
+    duplicated >= 5-token spans, and tokens that survive span removal —
+    the drop/trim decision frame and the removal report a training-data
+    release prints. Every document appears (zero-span docs with 0)."""
+    return dedup_ops.substring_dedup_stats(
+        _t(spark, sf_dir, "documents"), k=5, min_occurrences=2)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall harness (round 6): pins the approximation QUALITY of the LSH
+# and IVF scale paths against the exact brute-force baseline — the plan
+# shapes were already oracle-pinned, recall was not.
+# ---------------------------------------------------------------------------
+
+_DUCK_ANN_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(8))
+
+_DUCK_ANN_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+es AS (SELECT query_id, corpus_id, round({_DUCK_COS}, 6) AS cosine
+       FROM q, c WHERE query_id <> corpus_id),
+ex AS (SELECT query_id, corpus_id FROM (
+         SELECT query_id, corpus_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+         FROM es) WHERE rank <= 3),
+lq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+              {_DUCK_ANN_BUCKET} AS bucket
+       FROM embeddings WHERE vec_id < 20),
+lc AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+              {_DUCK_ANN_BUCKET} AS bucket
+       FROM embeddings),
+ls AS (SELECT query_id, corpus_id, round({_DUCK_COS}, 6) AS cosine
+       FROM lq JOIN lc USING (bucket) WHERE query_id <> corpus_id),
+lsh AS (SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, corpus_id) AS rank
+          FROM ls) WHERE rank <= 3),
+ic AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY corpus_id) AS centroid_id,
+                 v AS ev, sqrt(list_dot_product(v, v)) AS en
+          FROM (SELECT * FROM ic ORDER BY corpus_id LIMIT 8)),
+ica AS (SELECT corpus_id, v, centroid_id,
+               row_number() OVER (PARTITION BY corpus_id
+                   ORDER BY ({_DUCK_IVF_ASSIGN}) DESC NULLS LAST,
+                            centroid_id) AS r
+        FROM ic, cents),
+clists AS (SELECT corpus_id, centroid_id, v AS cv FROM ica WHERE r = 1),
+iq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id < 20),
+iqa AS (SELECT query_id, v, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY ({_DUCK_IVF_ASSIGN}) DESC NULLS LAST,
+                            centroid_id) AS r
+        FROM iq, cents),
+qlists AS (SELECT query_id, centroid_id, v AS qv FROM iqa WHERE r <= 2),
+ivs AS (SELECT DISTINCT query_id, corpus_id,
+               round(CASE WHEN sqrt(list_dot_product(qv, qv)) *
+                               sqrt(list_dot_product(cv, cv)) > 0 THEN
+                     list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv)))
+                     END, 6) AS cosine
+        FROM qlists JOIN clists USING (centroid_id)
+        WHERE query_id <> corpus_id),
+ivf AS (SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, corpus_id) AS rank
+          FROM ivs) WHERE rank <= 3),
+m AS (
+  SELECT 'lsh' AS method,
+         (SELECT count(*) FROM lsh JOIN ex USING (query_id, corpus_id)) AS hits,
+         (SELECT count(*) FROM lsh) AS approx_n,
+         (SELECT count(*) FROM ex) AS exact_n
+  UNION ALL
+  SELECT 'ivf',
+         (SELECT count(*) FROM ivf JOIN ex USING (query_id, corpus_id)),
+         (SELECT count(*) FROM ivf),
+         (SELECT count(*) FROM ex))
+SELECT method, CAST(hits AS BIGINT) AS hits,
+       CAST(approx_n AS BIGINT) AS approx_n,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(hits * 1000000 // exact_n AS BIGINT) AS recall_ppm
+FROM m
+"""
+
+
+@register("ann_recall_at_k", _DUCK_ANN_RECALL_SQL)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both approximate ANN paths against the exact baseline,
+    on the SAME query set (vec_id < 20) and k=3 — micro-averaged
+    (Σ hits / Σ exact over all queries; identical to the per-query mean
+    when every query has exactly k exact neighbors). Fully deterministic
+    (rounded cosines + corpus-id tie-break on both engines), so the
+    approximation QUALITY is oracle-pinned, not just the plan shape.
+
+    Plan: the exact top-k frame is answer-sized — materialized once and
+    broadcast into a hit-marking left join per method; each method row is
+    a one-row aggregate, unioned. The corpus is scanned by each method's
+    own plan (brute-force broadcast, LSH bucket join, IVF probe join) and
+    never reshuffled beyond what those paths already do."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = materialize(
+        sim_ops.brute_force_topk(q, c, k=3).select("query_id", "corpus_id")
+        .withColumn("__hit", F.lit(1)))
+    exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
+    rows = []
+    for method, approx in (
+            ("lsh", sim_ops.lsh_topk(q, c, k=3, n_axis_planes=8)),
+            ("ivf", sim_ops.ivf_topk(q, c, k=3, n_centroids=8, nprobe=2))):
+        agg = (approx.select("query_id", "corpus_id")
+               .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                    F.count(F.lit(1)).alias("approx_n"))
+               .crossJoin(F.broadcast(exact_n)))
+        rows.append(agg.select(
+            F.lit(method).alias("method"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("approx_n").cast("long").alias("approx_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+            .alias("recall_ppm")))
+    return rows[0].unionByName(rows[1])
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

@@ -964,3 +964,60 @@ def test_cap_observation_resolves_under_reliable_checkpoint(spark, tmp_path):
     finally:
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             spark._jvm.scala.Option.empty())
+
+
+# ---------------------------------------------------------------------------
+# exact substring (span-level) dedup — Lee et al. / RefinedWeb third modality
+
+
+def _span_docs(spark):
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h"),
+        Row(doc_id=2, text="x a b c d e y z"),          # shares "a b c d e"
+        Row(doc_id=3, text="p q r s t u p q r s t u"),  # self-repetition
+        Row(doc_id=4, text="m n o p"),                  # shorter than k=5
+        Row(doc_id=5, text="a b c d e f g h"),          # exact dup of doc 1
+        Row(doc_id=6, text="s1 s2 s3 s4 s5 f1 f2 f3 f4 f5 f6 "
+                           "s1 s2 s3 s4 s5"),           # two separated spans
+        Row(doc_id=7, text=None),                       # NULL text
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_duplicated_spans_maximal_merge(spark):
+    """Span semantics hand-checked: cross-doc shared spans, within-doc
+    self-repetition (counts, as in Lee et al.), adjacency merge (gap == k
+    chains into one maximal span), separated repeats stay two spans, and
+    short/NULL docs yield nothing."""
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in D.duplicated_spans(_span_docs(spark), k=5).collect()}
+    assert got == {
+        (1, 1, 8, 8),    # doc5 duplicates every doc-1 shingle -> whole doc
+        (2, 2, 6, 5),    # just the shared "a b c d e"
+        (3, 1, 12, 12),  # dup positions 1,2,7,8; gap 5 == k merges all
+        (5, 1, 8, 8),
+        (6, 1, 5, 5), (6, 12, 16, 5),  # gap 11 > k stays two spans
+    }
+
+
+def test_duplicated_spans_min_occurrences(spark):
+    # raising the occurrence floor to 3 keeps only the "a b c d e" shingle
+    # (docs 1, 2, 5) — every occ-2 span disappears
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in D.duplicated_spans(_span_docs(spark), k=5,
+                                       min_occurrences=3).collect()}
+    assert got == {(1, 1, 5), (2, 2, 6), (5, 1, 5)}
+    with pytest.raises(ValueError, match="min_occurrences"):
+        D.duplicated_spans(_span_docs(spark), k=5, min_occurrences=1)
+    with pytest.raises(ValueError, match="k must be"):
+        D.duplicated_spans(_span_docs(spark), k=0)
+
+
+def test_substring_dedup_stats_every_doc_present(spark):
+    got = {r.doc_id: (r.n_tokens, r.dup_span_tokens, r.kept_tokens)
+           for r in D.substring_dedup_stats(_span_docs(spark), k=5).collect()}
+    assert got == {
+        1: (8, 8, 0), 2: (8, 5, 3), 3: (12, 12, 0),
+        4: (4, 0, 4), 5: (8, 8, 0), 6: (16, 10, 6),
+        7: (None, 0, None),   # NULL text: token count NULL, no spans
+    }

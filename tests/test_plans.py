@@ -592,6 +592,7 @@ def test_registry_wide_plan_hygiene(spark):
     BOUNDED_GLOBAL_WINDOW_OK = {
         "weighted_sample",   # 8-row shard-total prefix sum
         "ann_ivf_topk",      # 16-row centroid seed numbering
+        "ann_recall_at_k",   # same 8-row centroid numbering via ivf_topk
         "ntile_deciles",     # |buckets|-row offset frame (ranking.global_ntile)
         "corpus_shuffle",    # |buckets|-row offset frame (ranking.shuffle_shards)
         "token_rank_fluency",  # |buckets|-row offset frame over the ≤100-row
