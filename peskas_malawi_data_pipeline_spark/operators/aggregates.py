@@ -137,52 +137,45 @@ def grouped_percentile_cont(df: DataFrame, keys: Sequence[str],
     operator costs two shuffles of the COMPRESSED frame. NULL values are
     ignored (like ``percentile()``), and — also like the built-in — a
     group whose values are ALL NULL still gets its output row, with NULL
-    percentiles: the distinct group keys are restored with a null-safe
-    left join (one extra shuffle of the group-cardinality keys frame),
-    so downstream joins never silently lose groups (VERDICT r5 #3).
+    percentiles (VERDICT r5 #3): NULL-value rows stay IN the compressed
+    frame (one row per group, sorted first) so the group reaches the
+    final reduce, while the conditional cumulative/total sums and the
+    NULL-guarded position picks exclude them from every percentile
+    computation — zero extra scans or joins versus the drop-the-group
+    contract, and downstream joins never silently lose groups.
     """
     for name, p in ps.items():
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"percentile {name}={p} outside [0, 1]")
     keys = list(keys)
-    counts = (df.filter(F.col(value_col).isNotNull())
-              .groupBy(*keys, value_col)
+    counts = (df.groupBy(*keys, value_col)
               .agg(F.count(F.lit(1)).alias("__cnt")))
-    w_cum = (Window.partitionBy(*keys).orderBy(value_col)
+    w_cum = (Window.partitionBy(*keys).orderBy(F.asc_nulls_first(value_col))
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = (Window.partitionBy(*keys)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
+    # only non-NULL values count toward ranks and totals; the NULL row
+    # (sorted first) contributes 0 to both, so it shifts nothing
+    nn_cnt = F.when(F.col(value_col).isNotNull(), F.col("__cnt")) \
+        .otherwise(F.lit(0))
     cur = (counts
-           .withColumn("__cum", F.sum("__cnt").over(w_cum))
-           .withColumn("__n", F.sum("__cnt").over(w_all)))
+           .withColumn("__cum", F.sum(nn_cnt).over(w_cum))
+           .withColumn("__n", F.sum(nn_cnt).over(w_all)))
     v = F.col(value_col).cast("double")
+    not_null = F.col(value_col).isNotNull()
     start = F.col("__cum") - F.col("__cnt")        # 0-based interval start
     aggs, outs = [F.max("__n").alias("__n")], []
     for i, (name, p) in enumerate(ps.items()):
         pos = F.lit(float(p)) * (F.col("__n") - F.lit(1))
         lo_i, hi_i = F.floor(pos), F.ceil(pos)
-        aggs.append(F.max(F.when((start <= lo_i) & (lo_i < F.col("__cum")),
+        aggs.append(F.max(F.when(not_null & (start <= lo_i)
+                                 & (lo_i < F.col("__cum")),
                                  v)).alias(f"__lo{i}"))
-        aggs.append(F.max(F.when((start <= hi_i) & (hi_i < F.col("__cum")),
+        aggs.append(F.max(F.when(not_null & (start <= hi_i)
+                                 & (hi_i < F.col("__cum")),
                                  v)).alias(f"__hi{i}"))
     res = cur.groupBy(*keys).agg(*aggs)
-    # Restore all-NULL groups (filtered with their values above): the
-    # built-in percentile() emits their group row with a NULL result, and
-    # dropping it makes inner-joining consumers silently lose the group.
-    # Null-safe join so NULL group keys (a groupBy group) survive too; the
-    # missing __n/__lo/__hi become NULL, which the interpolation below
-    # propagates to NULL outputs — matching the built-in exactly.
-    groups = df.select(*keys).distinct()
-    res2 = res
-    for i, k in enumerate(keys):
-        res2 = res2.withColumnRenamed(k, f"__k{i}")
-    cond = None
-    for i, k in enumerate(keys):
-        c = F.col(k).eqNullSafe(F.col(f"__k{i}"))
-        cond = c if cond is None else (cond & c)
-    res = groups.join(res2, cond, "left").drop(
-        *[f"__k{i}" for i in range(len(keys))])
     for i, (name, p) in enumerate(ps.items()):
         pos = F.lit(float(p)) * (F.col("__n") - F.lit(1))
         lo_i, hi_i = F.floor(pos), F.ceil(pos)
