@@ -580,6 +580,50 @@ def substring_dedup_stats(df: DataFrame, id_col: str = "doc_id",
                     .cast("long").alias("kept_tokens")))
 
 
+def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 5,
+                            min_occurrences: int = 2) -> DataFrame:
+    """APPLY span-level dedup (:func:`duplicated_spans`): drop every token
+    inside a duplicated span and return the cleaned documents —
+    (``id_col``, clean_text, n_tokens, kept_tokens). ``clean_text`` is the
+    kept token sequence re-joined with single spaces over the normalized
+    (lower/trim/whitespace-split) token stream — the same normalization
+    every shingle operator sees; NULL text stays NULL, fully-duplicated
+    docs come back as ''.
+
+    Plan: the span frame is answer-sized — collect it to a per-doc
+    interval array, hash-join it back onto the corpus (broadcast at any
+    realistic duplication rate), then ONE higher-order filter drops
+    covered positions per row. The corpus token stream is never exploded
+    or shuffled; per-row cost is O(n_tokens · spans_in_doc) with small
+    span counts by construction (spans are maximal, so ≤ n_tokens/k).
+    """
+    spans = duplicated_spans(df, id_col, text_col, k, min_occurrences)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("span_start").alias("s"),
+                                F.col("span_end").alias("e"))).alias("__spans"))
+    joined = df.join(per_doc, id_col, "left")
+    spans_arr = F.coalesce(F.col("__spans"),
+                           F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    # F.filter's two-arg lambda exposes the 0-based element index; spans
+    # are 1-based inclusive token intervals
+    packed = T.bound(T.tokens(F.col(text_col)), lambda t: F.struct(
+        F.size(t).alias("n"),
+        F.filter(t, lambda tok, i: ~F.exists(
+            spans_arr, lambda sp: (sp["s"] <= i + 1) & (i + 1 <= sp["e"])))
+        .alias("kept")))
+    # Generate barrier (same rationale as dataset_card): one tokenization
+    # per row even though the struct is consumed three times
+    staged = joined.select(F.col(id_col), F.col(text_col).alias("__text"),
+                           F.explode(F.array(packed)).alias("__s"))
+    return staged.select(
+        F.col(id_col),
+        F.when(F.col("__text").isNotNull(),
+               F.concat_ws(" ", F.col("__s.kept"))).alias("clean_text"),
+        F.col("__s.n").cast("long").alias("n_tokens"),
+        F.size("__s.kept").cast("long").alias("kept_tokens"))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25,
                          check_interval: int = 2) -> DataFrame:

@@ -3949,6 +3949,37 @@ def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), k=5, min_occurrences=2)
 
 
+@register("substring_dedup_clean", f"""
+WITH {_DUCK_SPAN_CTES},
+toksp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+          FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+keptp AS (SELECT tp.doc_id, tp.pos, tp.tok FROM toksp tp
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = tp.doc_id
+                              AND tp.pos BETWEEN s.span_start AND s.span_end)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+               count(*) AS kc
+        FROM keptp GROUP BY doc_id)
+SELECT toks.doc_id,
+       CASE WHEN toks.t IS NOT NULL THEN coalesce(agg.ct, '') END AS clean_text,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       CASE WHEN toks.t IS NOT NULL
+            THEN CAST(coalesce(agg.kc, 0) AS BIGINT) END AS kept_tokens
+FROM toks LEFT JOIN agg USING (doc_id)
+""")
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED span-level dedup: the corpus with every duplicated
+    >= 5-token span removed (dedup.remove_duplicated_spans) — detect ->
+    decide -> REMOVE completes the ExactSubstr modality. The span frame
+    is answer-sized and joins back per doc as an interval array; a single
+    higher-order filter drops covered positions, so the corpus token
+    stream is never exploded or shuffled. The oracle removes the same
+    positions relationally (NOT EXISTS against the span intervals +
+    ordered string_agg)."""
+    return dedup_ops.remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=5, min_occurrences=2)
+
+
 # ---------------------------------------------------------------------------
 # ANN recall harness (round 6): pins the approximation QUALITY of the LSH
 # and IVF scale paths against the exact brute-force baseline — the plan

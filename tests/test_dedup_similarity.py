@@ -1021,3 +1021,56 @@ def test_substring_dedup_stats_every_doc_present(spark):
         4: (4, 0, 4), 5: (8, 8, 0), 6: (16, 10, 6),
         7: (None, 0, None),   # NULL text: token count NULL, no spans
     }
+
+
+def test_remove_duplicated_spans_applies_decision(spark):
+    """detect -> remove: covered positions drop, everything else keeps its
+    order; NULL text stays NULL, fully-duplicated docs come back ''."""
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.kept_tokens)
+           for r in D.remove_duplicated_spans(_span_docs(spark),
+                                              k=5).collect()}
+    assert got == {
+        1: ("", 8, 0), 2: ("x y z", 8, 3), 3: ("", 12, 0),
+        4: ("m n o p", 4, 4), 5: ("", 8, 0),
+        6: ("f1 f2 f3 f4 f5 f6", 16, 6),
+        7: (None, None, None),
+    }
+
+
+def test_duplicated_spans_property_vs_python_reference(spark):
+    """Random small-vocabulary corpora (the shingle-collision worst case)
+    checked against a brute-force Python reference of the same spec:
+    k-shingle occurrence counts -> duplicated starts -> gap<=k island
+    merge. One Spark job per (seed, k)."""
+    import random
+
+    def reference(texts, k, min_occ):
+        toks = {i: t.split() for i, t in texts.items()}
+        occ = {}
+        for t in toks.values():
+            for i in range(len(t) - k + 1):
+                s = " ".join(t[i:i + k])
+                occ[s] = occ.get(s, 0) + 1
+        spans = set()
+        for doc, t in toks.items():
+            starts = [i + 1 for i in range(len(t) - k + 1)
+                      if occ[" ".join(t[i:i + k])] >= min_occ]
+            while starts:
+                s0 = prev = starts.pop(0)
+                while starts and starts[0] - prev <= k:
+                    prev = starts.pop(0)
+                spans.add((doc, s0, prev + k - 1, prev + k - s0))
+        return spans
+
+    for seed, k in [(3, 5), (11, 3), (77, 7)]:
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(8)]     # tiny vocab -> heavy repeats
+        texts = {i: " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 30)))
+                 for i in range(40)}
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in texts.items()],
+            "doc_id int, text string")
+        got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+               for r in D.duplicated_spans(df, k=k).collect()}
+        assert got == reference(texts, k, 2), (seed, k)
