@@ -43,7 +43,11 @@ def global_row_number(df: DataFrame, order_by: list[str | Column],
     part = materialize(df.repartitionByRange(buckets, *order_by)
                        .withColumn("__pid", F.spark_partition_id()))
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
-    # |buckets| rows: the only globally-ordered window in the plan
+    # |buckets| rows: the only globally-ordered window in the plan. Spark
+    # logs "WindowExec: No Partition Defined ... moving all data to a
+    # single partition" here — EXPECTED and harmless: the frame is the
+    # |buckets|-row per-bucket count table (≤ defaultParallelism rows),
+    # bounded by construction, not the data. Don't chase the warning.
     w_off = (Window.orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.select(

@@ -151,6 +151,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     cents = (corpus.orderBy(corpus_id).limit(n_centroids)
              .select(F.col(corpus_id).alias("__cent_seed"), vd.alias("__cv")))
     cents = cents.select(
+        # global window over the n_centroids-row seed frame only (bounded
+        # by construction) — the "No Partition Defined" WindowExec warning
+        # this triggers is expected and harmless
         F.row_number().over(Window.orderBy("__cent_seed")).alias("centroid_id"),
         F.col("__cv").alias("__cent_vec"),
         l2_norm(F.col("__cv")).alias("__cent_norm"))
