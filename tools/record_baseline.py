@@ -85,18 +85,18 @@ def main() -> None:
             f"against the query's answer shape: a fixed-size answer "
             f"(grouped report) should scale sublinearly (<10×); "
             f"pair/explode answers that legitimately grow ~10× may "
-            f"approach linear; dimension-only queries sit near 1×. Two "
-            f"classes of known, by-construction outliers: `simhash_pairs` "
-            f"(the probe's word-shuffled replicas share each source doc's "
-            f"token MULTISET, and SimHash is order-insensitive — every "
-            f"replica family is a genuine near-dup clique, so output "
-            f"pairs grow ~100×; the shingle-based operators are immune "
-            f"because shuffling breaks shingles) and the all-pairs "
-            f"verify operators (`embedding_near_dup`, "
-            f"`edit_distance_verify`, `semantic_dedup`) whose "
-            f"within-block candidate sets grow quadratically by design — "
-            f"their scale paths are the banded/LSH/IVF variants, which "
-            f"measure 1-3× here. The "
+            f"approach linear; dimension-only queries sit near 1×. Known "
+            f"by-construction outliers: the all-pairs verify operators "
+            f"(`embedding_near_dup`, `edit_distance_verify`, "
+            f"`semantic_dedup`) whose within-block candidate sets grow "
+            f"quadratically by design — their scale paths are the "
+            f"banded/LSH/IVF variants, which measure 1-3× here. "
+            f"(`simhash_pairs` was this list's worst case through round 5 "
+            f"— 86.6× from word-shuffled replicas sharing token multisets "
+            f"— until round 6's `max_bucket` hot-bucket cap bounded it; "
+            f"its capped output is a documented LOWER bound on this "
+            f"saturated probe corpus, with drops observed in "
+            f"`dedup.last_cap_drops()` — see SCALE.md §10e.) The "
             f"raw JSONs are committed as `.baseline_r{args.round}_bench"
             f".json` / `.baseline_r{args.round}_bench_sf1.json`.",
             "",
