@@ -260,3 +260,43 @@ def token_chunks(col: Column, size: int, overlap: int = 0) -> Column:
             lambda i: F.array_join(F.slice(t, i * step + 1, size), " "))
 
     return bound(tokens(col), chunks)
+
+
+# PII patterns for training-data redaction. Engine-portable subset only:
+# character classes, bounded quantifiers, and \b — no lookaround, no
+# backreferences — so Java regex (Spark) and RE2 (DuckDB, and most other
+# engines) match IDENTICALLY; the cross-engine agreement is pinned by
+# tests/test_pii_differential.py on crafted edge strings. Deliberately
+# recall-oriented shapes (999.999.999.999 counts as an IP; a leading "("
+# before a phone survives) — a scrubber over-redacts rather than leaks.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9 ()\-]{6,}[0-9]"
+
+#: replacement order matters: emails first (their local parts may contain
+#: digit runs), then IPs (dotted digits would otherwise be half-eaten by
+#: the phone class, which has no '.'), then phones over what remains.
+PII_REPLACEMENTS = [(PII_EMAIL, "<EMAIL>"), (PII_IP, "<IP>"),
+                    (PII_PHONE, "<PHONE>")]
+
+
+def redact_pii(col: Column) -> Column:
+    """``col`` with emails, IPv4 addresses, and phone-number-shaped digit
+    runs replaced by <EMAIL>/<IP>/<PHONE> tokens — the standard scrub
+    stage of a training-data pipeline. Pure per-row regexp_replace chain,
+    JVM-evaluated, no shuffle; NULL passes through."""
+    out = col
+    for pat, tok in PII_REPLACEMENTS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-class PII match counts over the RAW text (each class counted
+    independently; the classes cannot overlap — see PII_REPLACEMENTS):
+    {'n_emails', 'n_ips', 'n_phones'}, 0 for clean rows, NULL for NULL."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), 0)),
+        "n_ips": F.size(F.regexp_extract_all(col, F.lit(PII_IP), 0)),
+        "n_phones": F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), 0)),
+    }

@@ -3980,6 +3980,56 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), k=5, min_occurrences=2)
 
 
+_PII_INJECT_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 3) % 256 AS VARCHAR) || ' call +265 99 123 ' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE text END")
+
+
+@register("pii_redact", f"""
+WITH inj AS (SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{T.PII_IP}', '<IP>', 'g'),
+           '{T.PII_PHONE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t, '{T.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{T.PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{T.PII_PHONE}')) AS BIGINT) AS n_phones
+FROM inj
+""")
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage: emails / IPv4s / phone-shaped digit runs replaced
+    by typed tokens, with per-class counts — the standard redaction pass a
+    training-data release runs before packing. The harness corpus carries
+    no organic PII, so every 7th document gets a deterministic synthetic
+    contact line (same expression in both engines) and the regex chain is
+    exercised end-to-end; cross-engine regex parity (Java vs RE2) holds
+    because the patterns use the portable subset only (functions.text
+    PII_*, pinned by tests/test_pii_differential.py). Pure per-row map —
+    no shuffle, scan-bound at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                 ((F.col("doc_id") * 3) % 256).cast("string"),
+                 F.lit(" call +265 99 123 "),
+                 (F.lit(1000) + F.col("doc_id") % 9000).cast("string"))
+    ).otherwise(F.col("text"))
+    c = T.pii_counts(F.col("__t"))
+    return (docs.select("doc_id", injected.alias("__t"))
+            .select("doc_id",
+                    T.redact_pii(F.col("__t")).alias("redacted"),
+                    c["n_emails"].cast("long").alias("n_emails"),
+                    c["n_ips"].cast("long").alias("n_ips"),
+                    c["n_phones"].cast("long").alias("n_phones")))
+
+
 # ---------------------------------------------------------------------------
 # ANN recall harness (round 6): pins the approximation QUALITY of the LSH
 # and IVF scale paths against the exact brute-force baseline — the plan
