@@ -76,3 +76,36 @@ def zorder_write(df: DataFrame, path: str, col_a: str, col_b: str,
      .sortWithinPartitions("__z")
      .drop("__z")
      .write.mode("overwrite").parquet(path))
+
+
+def bucketed_write(df: DataFrame, table: str, n_buckets: int, *keys: str,
+                   path: str | None = None, sort: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Save ``df`` as a Hive-bucketed parquet table on ``keys`` so every
+    FUTURE equi-join or aggregation on those keys reads pre-shuffled (and,
+    with ``sort=True``, pre-sorted) data: two tables bucketed the same way
+    sort-merge-join with ZERO Exchange on either side, and a groupBy on
+    the bucket keys skips its exchange too (pinned by
+    tests/test_plans.py::test_bucketed_tables_join_without_shuffle).
+
+    This is the 100 TB lever for RECURRING joins — the nightly
+    fact↔fact join (e.g. the persisted MinHash band index against daily
+    increments, or orders↔lineitem) pays its shuffle ONCE at write time
+    and never again; an ad-hoc join should instead rely on AQE. Spark
+    requires ``saveAsTable`` for bucket metadata (the bucket spec lives in
+    the catalog, not the files); pass ``path`` to make it an external
+    table at a chosen location. ``n_buckets`` should target the usual
+    shuffle-partition sizing (≈ input size / 128 MB) and, for join
+    co-location, MATCH between the two sides — Spark joins tables of
+    equal bucket counts without any exchange and, since 3.1+
+    (spark.sql.bucketing.coalesceBucketsInJoin), tolerates one side being
+    an integer multiple of the other.
+    """
+    if not keys:
+        raise ValueError("bucketed_write requires at least one bucket key")
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

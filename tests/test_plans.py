@@ -114,13 +114,18 @@ def test_bucketed_tables_join_without_shuffle(spark):
     ev = _t(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
     left = ev.select("user_id", "day", "event_id", "value")
     right = ev.select("user_id", "day", F.col("value").alias("v2"))
+    from peskas_malawi_data_pipeline_spark.operators import layout
+
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for name, df in [("b_left", left), ("b_right", right)]:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
-        (df.write.mode("overwrite").format("parquet")
-         .bucketBy(8, "user_id", "day").sortBy("user_id", "day")
-         .saveAsTable(name))
+        # through the operator API (layout.bucketed_write), so the helper
+        # itself is what this plan proof covers
+        layout.bucketed_write(df, name, 8, "user_id", "day")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bucket key"):
+        layout.bucketed_write(left, "b_bad", 8)
     joined = spark.table("b_left").join(spark.table("b_right"),
                                         ["user_id", "day"])
     # disable auto-broadcast so the plan shows the sort-merge path a
@@ -830,3 +835,4 @@ def test_shuffle_shards_more_shards_than_rows(spark):
     assert all(p == 0 for _, p in rows)
     assert len({s for s, _ in rows}) == 3          # three distinct shards
     assert all(0 <= s < 7 for s, _ in rows)
+
