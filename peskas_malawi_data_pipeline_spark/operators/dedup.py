@@ -248,6 +248,57 @@ def lsh_pairs_from_bands(bands: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b").distinct())
 
 
+def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 8,
+                           band_size: int = 2, shingle_n: int = 3,
+                           threshold: float = 0.5,
+                           max_bucket: int | None = 1000) -> DataFrame:
+    """LSH candidate pairs scored by the MinHash ESTIMATE — the fraction
+    of agreeing signature slots, an unbiased estimator of Jaccard
+    similarity (Broder 1997) — instead of an exact shingle re-verify.
+    This is the 100 TB verify when re-reading text is the expensive part:
+    the signature already sitting in the band index IS the verifier, so
+    the corpus is touched exactly once (the signature map). Returns
+    (id_a, id_b, n_agree, est_jaccard) with est_jaccard ≥ ``threshold``;
+    n_agree/num_hashes is exactly representable for power-of-two
+    num_hashes, keeping the estimate cross-engine bit-identical.
+
+    Plan: one signature pass; the banded index CARRIES the signature so
+    candidate scoring needs no second join against the corpus; hot
+    buckets capped + audited like every other candidate generator
+    (:func:`last_cap_drops`)."""
+    assert num_hashes % band_size == 0
+    sigs = minhash_signature(df.select(id_col, text_col), text_col,
+                             num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    banded = sigs.select(
+        id_col, "minhash",
+        F.posexplode(F.array(*[
+            F.concat_ws("_", *[F.col("minhash")[b * band_size + r]
+                               .cast("string") for r in range(band_size)])
+            for b in range(n_bands)
+        ])).alias("band_id", "band_key"))
+    banded = _capped_barrier(banded, ("band_id", "band_key"), max_bucket,
+                             "minhash_estimate_pairs")
+    left = banded.select("band_id", "band_key",
+                         F.col(id_col).alias("id_a"),
+                         F.col("minhash").alias("__sa"))
+    right = banded.select("band_id", "band_key",
+                          F.col(id_col).alias("id_b"),
+                          F.col("minhash").alias("__sb"))
+    cand = (left.join(right, ["band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__sa", "__sb").distinct())
+    n_agree = F.aggregate(
+        F.zip_with(F.col("__sa"), F.col("__sb"),
+                   lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (cand.select("id_a", "id_b", n_agree.alias("n_agree"))
+            .withColumn("est_jaccard",
+                        F.col("n_agree") / F.lit(float(num_hashes)))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Per-doc SimHash sketch over word tokens: each token hashes to ``bits``
     bits (md5-derived); each bit position accumulates +1/−1 across distinct

@@ -3980,6 +3980,30 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), k=5, min_occurrences=2)
 
 
+@register("minhash_estimate_pairs", f"""
+WITH {_DUCK_MINHASH_CTES},
+scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST({' + '.join(f'(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)'
+                          for i in range(8))} AS BIGINT) AS n_agree
+  FROM mh_pairs p
+  JOIN sig a ON a.doc_id = p.id_a
+  JOIN sig b ON b.doc_id = p.id_b)
+SELECT id_a, id_b, n_agree, n_agree / 8.0 AS est_jaccard
+FROM scored WHERE n_agree / 8.0 >= 0.5
+""")
+def minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by the MinHash estimate (fraction of
+    agreeing signature slots — Broder's unbiased Jaccard estimator)
+    instead of an exact shingle re-verify: the one-corpus-pass dedup shape
+    for when re-reading text is the expensive part. n_agree/8 is binary-
+    exact, so the estimate hash-matches across engines. Oracle scores the
+    same banded candidates by joining the signature CTE onto both sides."""
+    return dedup_ops.minhash_estimate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2,
+        shingle_n=3, threshold=0.5)
+
+
 _PII_INJECT_SQL = (
     "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
     "CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || "

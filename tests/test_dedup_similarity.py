@@ -1074,3 +1074,29 @@ def test_duplicated_spans_property_vs_python_reference(spark):
         got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
                for r in D.duplicated_spans(df, k=k).collect()}
         assert got == reference(texts, k, 2), (seed, k)
+
+
+def test_minhash_estimate_pairs_estimator_semantics(spark):
+    """The signature-slot agreement fraction behaves like an estimator:
+    identical/normalized duplicates score 1.0, near-dups score high,
+    unrelated docs never reach the threshold, and the n_agree/num_hashes
+    arithmetic is exact (n_agree a long, estimate a power-of-two ratio)."""
+    out = {(r.id_a, r.id_b): (r.n_agree, r.est_jaccard)
+           for r in D.minhash_estimate_pairs(_docs(spark), num_hashes=8,
+                                             band_size=2,
+                                             threshold=0.5).collect()}
+    assert out[(1, 2)] == (8, 1.0) and out[(1, 5)] == (8, 1.0)
+    assert (1, 3) in out and out[(1, 3)][0] >= 4     # near-dup: most slots
+    assert not any(4 in p for p in out)              # unrelated never passes
+
+    # threshold=1.0 keeps only exact-signature pairs
+    strict = {(r.id_a, r.id_b)
+              for r in D.minhash_estimate_pairs(_docs(spark), num_hashes=8,
+                                                band_size=2,
+                                                threshold=1.0).collect()}
+    assert strict == {(1, 2), (1, 5), (2, 5)}
+
+    # the cap audits through the shared machinery
+    D.minhash_estimate_pairs(_docs(spark), num_hashes=8, band_size=2,
+                             threshold=0.5, max_bucket=1).collect()
+    assert D.last_cap_drops()["minhash_estimate_pairs"]["cap"] == 1
