@@ -568,15 +568,30 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
        window over ``id_col`` (documents are bounded, the window frame is
        per-doc duplicated positions only).
     """
+    _validate_span_args(k, min_occurrences)
+    posts = _span_posts(df, id_col, text_col, k)
+    dup = (posts.groupBy("__sh").agg(F.count(F.lit(1)).alias("__occ"))
+           .filter(F.col("__occ") >= min_occurrences).select("__sh"))
+    marked = posts.join(dup, "__sh", "left_semi")
+    return _spans_from_marked(marked, id_col, k)
+
+
+def _validate_span_args(k: int, min_occurrences: int) -> None:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if min_occurrences < 2:
         raise ValueError(
             f"min_occurrences must be >= 2 (an occ-1 span is not a "
             f"duplicate), got {min_occurrences}")
-    # docs shorter than k tokens (or NULL text) yield NO shingles — the
-    # otherwise-empty branch matters because sequence(1, 0) would generate
-    # a DESCENDING [1, 0], not an empty array
+
+
+def _span_posts(df: DataFrame, id_col: str, text_col: str,
+                k: int) -> DataFrame:
+    """Position-aware k-shingle posting frame: (__id, pos, __sh), 1-based
+    start positions. Docs shorter than k tokens (or NULL text) yield NO
+    shingles — the otherwise-empty branch matters because
+    sequence(1, 0) would generate a DESCENDING [1, 0], not an empty
+    array."""
     shingles_with_pos = T.bound(
         T.tokens(F.col(text_col)),
         lambda t: F.when(
@@ -584,12 +599,15 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
             F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)),
                         lambda i: F.concat_ws(" ", F.slice(t, i, k))))
         .otherwise(F.array().cast("array<string>")))
-    posts = (df.select(F.col(id_col).alias("__id"),
-                       F.posexplode(shingles_with_pos).alias("__p0", "__sh"))
-             .select("__id", (F.col("__p0") + 1).alias("pos"), "__sh"))
-    dup = (posts.groupBy("__sh").agg(F.count(F.lit(1)).alias("__occ"))
-           .filter(F.col("__occ") >= min_occurrences).select("__sh"))
-    marked = posts.join(dup, "__sh", "left_semi")
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.posexplode(shingles_with_pos).alias("__p0", "__sh"))
+            .select("__id", (F.col("__p0") + 1).alias("pos"), "__sh"))
+
+
+def _spans_from_marked(marked: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated start positions into maximal
+    spans: all intervals are length k and sorted, so consecutive starts
+    chain iff their gap is <= k (overlap or adjacency)."""
     w = Window.partitionBy("__id").orderBy("pos")
     prev = F.lag("pos").over(w)
     spans = (marked
@@ -606,6 +624,56 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
         (F.col("__last") + (k - 1)).cast("long").alias("span_end"),
         (F.col("__last") + (k - 1) - F.col("__start") + 1).cast("long")
         .alias("span_tokens"))
+
+
+def substring_posting_counts(df: DataFrame, text_col: str = "text",
+                             k: int = 5) -> DataFrame:
+    """The PERSISTABLE artifact of incremental substring dedup: corpus-wide
+    (shingle, occ) counts — write once per corpus snapshot (bucket by
+    ``shingle`` for shuffle-free daily joins: layout.bucketed_write) and
+    let each increment join against it instead of re-scanning the corpus
+    text (:func:`incremental_duplicated_spans`). Columns (shingle, occ)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # no positions needed for the index — plain shingle explode is cheaper
+    sh = T.bound(
+        T.tokens(F.col(text_col)),
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, k))))
+        .otherwise(F.array().cast("array<string>")))
+    return (df.select(F.explode(sh).alias("shingle"))
+            .groupBy("shingle").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("occ")))
+
+
+def incremental_duplicated_spans(new_df: DataFrame, index_counts: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text", k: int = 5,
+                                 min_occurrences: int = 2) -> DataFrame:
+    """Incremental exact-substring dedup — the daily-batch shape: maximal
+    duplicated spans in the NEW batch, where a shingle counts as
+    duplicated when its occurrences across (persisted corpus index ∪ new
+    batch) reach ``min_occurrences``. Equals the full-corpus
+    :func:`duplicated_spans` restricted to new docs (occurrence counts are
+    global either way), at O(increment) cost: only the new batch is
+    tokenized; the corpus contributes its pre-computed
+    :func:`substring_posting_counts` (columns shingle, occ) through one
+    equi-join — shuffle-free when both sides are bucketed by shingle."""
+    _validate_span_args(k, min_occurrences)
+    posts = _span_posts(new_df, id_col, text_col, k)
+    new_counts = posts.groupBy("__sh").agg(
+        F.count(F.lit(1)).alias("__new_occ"))
+    idx = index_counts.select(F.col("shingle").alias("__sh"),
+                              F.col("occ").alias("__idx_occ"))
+    dup = (new_counts.join(idx, "__sh", "left")
+           .filter(F.col("__new_occ") + F.coalesce(F.col("__idx_occ"),
+                                                   F.lit(0))
+                   >= min_occurrences)
+           .select("__sh"))
+    marked = posts.join(dup, "__sh", "left_semi")
+    return _spans_from_marked(marked, id_col, k)
 
 
 def substring_dedup_stats(df: DataFrame, id_col: str = "doc_id",

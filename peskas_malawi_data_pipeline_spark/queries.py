@@ -3980,6 +3980,27 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), k=5, min_occurrences=2)
 
 
+@register("incremental_substring_spans", f"""
+WITH {_DUCK_SPAN_CTES}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+WHERE doc_id % 7 = 0
+""")
+def incremental_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup: the ``doc_id % 7 == 0`` slice plays
+    the day's new batch, the rest the persisted corpus — only the new
+    docs are tokenized, the corpus contributes its pre-computed shingle
+    counts (dedup.substring_posting_counts) through one equi-join. Oracle:
+    the full-corpus span set restricted to new docs — exactly what the
+    O(increment) path must reproduce (occurrence counts are global either
+    way)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    index = dedup_ops.substring_posting_counts(old, k=5)
+    return dedup_ops.incremental_duplicated_spans(
+        new, index, k=5, min_occurrences=2)
+
+
 @register("minhash_estimate_pairs", f"""
 WITH {_DUCK_MINHASH_CTES},
 scored AS (

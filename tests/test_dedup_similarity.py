@@ -1100,3 +1100,39 @@ def test_minhash_estimate_pairs_estimator_semantics(spark):
     D.minhash_estimate_pairs(_docs(spark), num_hashes=8, band_size=2,
                              threshold=0.5, max_bucket=1).collect()
     assert D.last_cap_drops()["minhash_estimate_pairs"]["cap"] == 1
+
+
+def test_incremental_substring_spans_equal_full_restricted(spark):
+    """O(increment) substring dedup must equal the full-corpus run
+    restricted to new docs — on the hand corpus AND on a random
+    small-vocabulary corpus with several increment splits."""
+    import random
+
+    docs = _span_docs(spark)
+    full = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in D.duplicated_spans(docs, k=5).collect()}
+    for pred in [F.col("doc_id") % 2 == 0, F.col("doc_id") <= 2]:
+        new, old = docs.filter(pred), docs.filter(~pred)
+        idx = D.substring_posting_counts(old, k=5)
+        got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+               for r in D.incremental_duplicated_spans(new, idx,
+                                                       k=5).collect()}
+        new_ids = {r.doc_id for r in new.collect()}
+        want = {t for t in full if t[0] in new_ids}
+        assert got == want, (got, want)
+
+    rng = random.Random(23)
+    vocab = [f"w{j}" for j in range(6)]
+    rows = [Row(doc_id=i, text=" ".join(rng.choice(vocab)
+                                        for _ in range(rng.randint(0, 25))))
+            for i in range(60)]
+    rdf = spark.createDataFrame(rows, "doc_id int, text string")
+    new, old = rdf.filter(F.col("doc_id") % 5 == 0), \
+        rdf.filter(F.col("doc_id") % 5 != 0)
+    idx = D.substring_posting_counts(old, k=3)
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in D.incremental_duplicated_spans(new, idx, k=3).collect()}
+    want = {(r.doc_id, r.span_start, r.span_end)
+            for r in D.duplicated_spans(rdf, k=3).collect()
+            if r.doc_id % 5 == 0}
+    assert got == want
