@@ -291,6 +291,87 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+#: The Gopher rules' stop-word probe list (Rae et al. 2021, appendix A1.1:
+#: "the, be, to, of, and, that, have, with") — a document must contain at
+#: least GOPHER_MIN_STOP_HITS occurrences of these to count as natural
+#: language rather than a token dump.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: Gopher document-filter thresholds in the integer units the struct
+#: emits (ppm ratios, micro mean length) — kept as data so callers can
+#: tighten/loosen per corpus without touching the expression.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_U = 3_000_000
+GOPHER_MAX_MEAN_WORD_LEN_U = 10_000_000
+GOPHER_MAX_SYMBOL_WORD_PPM = 100_000
+GOPHER_MIN_ALPHA_WORD_PPM = 800_000
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_struct(col: Column) -> Column:
+    """The word-level Gopher quality-rule signals (Rae et al. 2021, Table
+    A1) from ONE tokenization pass, integer-exact so cross-engine oracles
+    hash-match: ``struct(n_words bigint, mean_word_len_u bigint /*micro*/,
+    symbol_word_ppm bigint, alpha_word_ppm bigint, n_stop_hits bigint)``.
+
+    Ratios are floor-divided integer ppm (symbol-to-word uses Gopher's
+    '#'-or-'...' symbol count over the RAW text; '...' counts
+    non-overlapping occurrences, the same semantics ``replace`` gives any
+    engine). The line-based rules (bullet starts, ellipsis line ends) are
+    deliberately absent: they need a line structure the corpus schema does
+    not carry — apply them upstream where raw page text still has
+    newlines. Consume through a Generate barrier like
+    :func:`token_feature_struct` (same CollapseProject hazard). Pure map,
+    no shuffle, scan-bound at any scale."""
+    def idiv(a: Column, b: Column) -> Column:
+        # Exact positive integer floor-div usable inside HOF lambdas
+        # (where F.expr("a div b") can't reach lambda variables): strip
+        # the remainder first so the double division is exact — both
+        # operands stay far under 2^53.
+        return ((a - a % b) / b).cast("long")
+
+    n_hash = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    n_dots = F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))
+    symbols = n_hash.cast("long") + idiv(n_dots.cast("long"), F.lit(3))
+
+    def feats(t: Column) -> Column:
+        n_words = F.size(t).cast("long")
+        char_sum = F.aggregate(t, F.lit(0).cast("long"),
+                               lambda acc, w: acc + F.length(w))
+        n_alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("long")
+        n_stop = F.size(F.filter(t, lambda w: w.isin(GOPHER_STOPWORDS))) \
+                  .cast("long")
+        # NULL text propagates NULL signals; only genuinely token-less
+        # (but non-NULL) documents report 0 ratios.
+        guard = lambda num: F.when(n_words > 0, num) \
+            .when(n_words.isNotNull(), F.lit(0).cast("long"))
+        return F.struct(
+            n_words.alias("n_words"),
+            guard(idiv(char_sum * 1_000_000, n_words))
+                .alias("mean_word_len_u"),
+            guard(idiv(symbols * 1_000_000, n_words))
+                .alias("symbol_word_ppm"),
+            guard(idiv(n_alpha * 1_000_000, n_words))
+                .alias("alpha_word_ppm"),
+            n_stop.alias("n_stop_hits"))
+
+    return bound(tokens(col), feats)
+
+
+def gopher_passes(g: Column) -> Column:
+    """The Gopher keep/drop conjunction over a :func:`gopher_struct`
+    value — split out so pipelines can log per-rule failures from the
+    same struct before filtering."""
+    return ((g["n_words"] >= GOPHER_MIN_WORDS)
+            & (g["n_words"] <= GOPHER_MAX_WORDS)
+            & (g["mean_word_len_u"] >= GOPHER_MIN_MEAN_WORD_LEN_U)
+            & (g["mean_word_len_u"] <= GOPHER_MAX_MEAN_WORD_LEN_U)
+            & (g["symbol_word_ppm"] <= GOPHER_MAX_SYMBOL_WORD_PPM)
+            & (g["alpha_word_ppm"] >= GOPHER_MIN_ALPHA_WORD_PPM)
+            & (g["n_stop_hits"] >= GOPHER_MIN_STOP_HITS))
+
+
 def pii_counts(col: Column) -> dict[str, Column]:
     """Per-class PII match counts over the RAW text (each class counted
     independently; the classes cannot overlap — see PII_REPLACEMENTS):

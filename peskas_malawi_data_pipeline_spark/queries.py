@@ -4200,6 +4200,208 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+# Symbol-noise injection so every Gopher rule branch is exercised on the
+# symbol-free harness corpus: every 5th doc gets a run of '#' marks, every
+# 5th+1 a run of '...' — deterministic, same expression in both engines.
+_GOPHER_INJECT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN text || repeat(' #', 1 + doc_id % 19) "
+    "WHEN doc_id % 5 = 1 THEN text || repeat(' ...', 1 + doc_id % 7) "
+    "ELSE text END")
+
+_GOPHER_STOP_LIST = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+
+
+@register("gopher_quality_flags", f"""
+WITH inj AS (SELECT doc_id, {_GOPHER_INJECT_SQL} AS text FROM documents),
+toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM inj),
+feat AS (SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_words,
+  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT)
+    AS char_sum,
+  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+    AS n_alpha,
+  CAST(len(list_filter(t,
+        x -> list_contains([{_GOPHER_STOP_LIST}], x))) AS BIGINT)
+    AS n_stop_hits,
+  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+    AS symbols
+ FROM toks),
+sig AS (SELECT doc_id, n_words,
+  CASE WHEN n_words > 0 THEN char_sum * 1000000 // n_words ELSE 0 END
+    AS mean_word_len_u,
+  CASE WHEN n_words > 0 THEN symbols * 1000000 // n_words ELSE 0 END
+    AS symbol_word_ppm,
+  CASE WHEN n_words > 0 THEN n_alpha * 1000000 // n_words ELSE 0 END
+    AS alpha_word_ppm,
+  n_stop_hits
+ FROM feat)
+SELECT doc_id, n_words, mean_word_len_u, symbol_word_ppm, alpha_word_ppm,
+       n_stop_hits,
+       (n_words BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS}
+        AND mean_word_len_u BETWEEN {T.GOPHER_MIN_MEAN_WORD_LEN_U}
+                                AND {T.GOPHER_MAX_MEAN_WORD_LEN_U}
+        AND symbol_word_ppm <= {T.GOPHER_MAX_SYMBOL_WORD_PPM}
+        AND alpha_word_ppm >= {T.GOPHER_MIN_ALPHA_WORD_PPM}
+        AND n_stop_hits >= {T.GOPHER_MIN_STOP_HITS}) AS passes_gopher
+FROM sig
+""")
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete word-level Gopher document-filter rule set (Rae et al.
+    2021, Table A1) as one scan: per-document integer-exact signals
+    (counts, micro mean word length, ppm ratios — see
+    functions.text.gopher_struct) plus the keep/drop conjunction. The
+    line-based rules are documented out (no line structure in the corpus
+    schema); the repetition rules live in `repetition_ratio` /
+    `dup_ngram_coverage`. Synthetic '#'/'...' runs are injected into 2/5
+    of documents so the symbol and alphabetic-word branches actually
+    fire. ONE tokenization via the struct + Generate barrier; pure map,
+    no shuffle — scan-bound at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"),
+                        F.expr("repeat(' #', CAST(1 + doc_id % 19 AS INT))")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.col("text"),
+                       F.expr("repeat(' ...', CAST(1 + doc_id % 7 AS INT))")))
+        .otherwise(F.col("text")))
+    g = (docs.select("doc_id",
+                     F.explode(F.array(T.gopher_struct(injected)))
+                     .alias("g")))
+    return g.select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        F.col("g.mean_word_len_u").alias("mean_word_len_u"),
+        F.col("g.symbol_word_ppm").alias("symbol_word_ppm"),
+        F.col("g.alpha_word_ppm").alias("alpha_word_ppm"),
+        F.col("g.n_stop_hits").alias("n_stop_hits"),
+        T.gopher_passes(F.col("g")).alias("passes_gopher"))
+
+
+@register("cdc_merge_apply", """
+WITH c AS (SELECT event_id, user_id, ts, event_type, value,
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+           FROM events),
+thr AS (SELECT max(event_id) // 2 AS t FROM events),
+snap AS (SELECT user_id, event_id, event_type, value, ts FROM (
+   SELECT c.*, row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+   FROM c, thr WHERE event_id <= thr.t) WHERE rn = 1 AND op <> 'D'),
+latest AS (SELECT user_id, op, event_id, event_type, value, ts FROM (
+   SELECT c.*, row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+   FROM c, thr WHERE event_id > thr.t) WHERE rn = 1)
+SELECT user_id,
+       CAST(CASE WHEN l.op IS NOT NULL THEN l.event_id
+                 ELSE s.event_id END AS BIGINT) AS event_id,
+       CASE WHEN l.op IS NOT NULL THEN l.event_type
+            ELSE s.event_type END AS event_type,
+       CASE WHEN l.op IS NOT NULL THEN l.value ELSE s.value END AS value,
+       CAST(epoch_us(CASE WHEN l.op IS NOT NULL THEN l.ts ELSE s.ts END)
+            AS BIGINT) AS ts_us
+FROM snap s FULL JOIN latest l USING (user_id)
+WHERE l.op IS NULL OR l.op <> 'D'
+""")
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE (operators.cdc.merge_apply): the events log plays a
+    Debezium-style changelog — op 'D' for error events, upsert otherwise,
+    event_id as the total order. The first half (by event id) compacts
+    into the keyed snapshot (compact_changelog + drop-deletes — a merge
+    onto empty); the second half then MERGEs onto it: latest change per
+    key wins, deletes remove, untouched keys pass through.
+
+    Why it matters at 100 TB: the reference's truncate-and-load (K1)
+    rewrites the world every run; this plan touches the snapshot with ONE
+    outer join on its key (shuffle-free when the snapshot is bucketed —
+    operators.layout.bucketed_write) and windows only the changelog.
+    Timestamps exported as epoch micros (cross-engine exact under the UTC
+    session pin)."""
+    from .operators import cdc as cdc_ops
+
+    ev = _t(spark, sf_dir, "events")
+    chg = ev.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"))
+    thr = ev.agg(F.expr("max(event_id) div 2").alias("__thr"))
+    chg = chg.crossJoin(F.broadcast(thr))
+    first = chg.filter(F.col("event_id") <= F.col("__thr")).drop("__thr")
+    second = chg.filter(F.col("event_id") > F.col("__thr")).drop("__thr")
+    snapshot = (cdc_ops.compact_changelog(first, ["user_id"], "event_id")
+                .filter(F.col("op") != "D")
+                .select("user_id", "event_id", "event_type", "value", "ts"))
+    merged = cdc_ops.merge_apply(snapshot, second, ["user_id"],
+                                 seq_col="event_id", op_col="op")
+    return merged.select(
+        "user_id", F.col("event_id").cast("long").alias("event_id"),
+        "event_type", "value",
+        # batch reads may surface ts as TIMESTAMP_NTZ; the LTZ cast is
+        # wall-clock-preserving under the UTC session pin (see _t).
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"))
+
+
+@register("distribution_drift", """
+WITH wk AS (SELECT date_trunc('week', ts) AS wk, event_type FROM events),
+counts AS (SELECT wk, event_type, count(*) AS cnt FROM wk GROUP BY 1, 2),
+grid AS (SELECT w.wk, t.event_type
+         FROM (SELECT DISTINCT wk FROM counts) w,
+              (SELECT DISTINCT event_type FROM counts) t),
+dense AS (SELECT g.wk, g.event_type, coalesce(c.cnt, 0) AS cnt
+          FROM grid g LEFT JOIN counts c
+          ON g.wk = c.wk AND g.event_type = c.event_type),
+shares AS (SELECT wk, event_type, cnt,
+                  cnt * 1000000 // sum(cnt) OVER (PARTITION BY wk)
+                    AS share_ppm
+           FROM dense),
+lagd AS (SELECT wk, cnt, share_ppm,
+                lag(share_ppm) OVER (PARTITION BY event_type ORDER BY wk)
+                  AS prev_ppm
+         FROM shares)
+SELECT strftime(wk, '%Y-%m-%d') AS week_start,
+       CAST(sum(cnt) AS BIGINT) AS total_events,
+       CAST(sum(abs(share_ppm - prev_ppm)) AS BIGINT) AS l1_drift_ppm
+FROM lagd GROUP BY wk
+""")
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week categorical-distribution drift — the data-quality
+    monitor a continuously-ingesting training pipeline runs on every
+    dimension (here event_type): per week, total volume and the L1
+    distance (integer ppm, order-independent) between that week's type
+    mixture and the previous week's, over a week×type grid so types
+    missing in a week count as 0 share (the first week reports NULL —
+    nothing to drift from).
+
+    Plan: ONE aggregation pass over the fact table shrinks 100 TB to
+    |weeks|·|types| rows; the grid completion, shares, lag, and L1 all run
+    on that tiny frame (broadcast grid join + two windows over
+    answer-sized data — the WindowExec single-partition warning here is
+    bounded by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (ev.select(
+        F.date_trunc("week", F.col("ts").cast("timestamp_ltz")).alias("wk"),
+        "event_type")
+        .groupBy("wk", "event_type").agg(F.count(F.lit(1)).alias("cnt")))
+    counts = materialize(counts)
+    grid = counts.select("wk").distinct().crossJoin(
+        counts.select("event_type").distinct())
+    dense = (grid.join(counts, ["wk", "event_type"], "left")
+             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    shares = dense.withColumn(
+        "share_ppm",
+        F.expr("cnt * 1000000 div sum(cnt) OVER (PARTITION BY wk)"))
+    lagd = shares.withColumn(
+        "prev_ppm",
+        F.lag("share_ppm").over(
+            Window.partitionBy("event_type").orderBy("wk")))
+    return (lagd.groupBy("wk")
+            .agg(F.sum("cnt").cast("long").alias("total_events"),
+                 F.sum(F.abs(F.col("share_ppm") - F.col("prev_ppm")))
+                 .cast("long").alias("l1_drift_ppm"))
+            .select(F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+                    "total_events", "l1_drift_ppm"))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

@@ -339,3 +339,68 @@ def test_token_chunks_hypothesis_fuzz_vs_reference(spark):
             .alias("chunks")).collect()}
         for r in sub.select("cid", "n").collect():
             assert got[r.cid] == ref(r.n, size, overlap), (r.n, size, overlap)
+
+
+def test_gopher_struct_matches_python_reference(spark):
+    """Differential test: the integer-exact Gopher rule signals
+    (functions.text.gopher_struct / gopher_passes) agree with a
+    straightforward Python reference on adversarial inputs — symbol runs,
+    empty/whitespace/NULL text, unicode, long tokens — including the
+    floor-division ppm arithmetic and the non-overlapping '...' count."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    rng = random.Random(11)
+    pieces = ["the", "and", "of", "that", "have", "with", "be", "to",
+              "fish", "x" * 40, "名前", "ü", "#", "##", "...", "....",
+              "a.b", "1", "", " ", "\t"]
+    texts = [" ".join(rng.choices(pieces, k=rng.randint(0, 60)))
+             for _ in range(200)]
+    texts += ["", " ", "# # #", "... ... ...", "......", "#...#", None,
+              " ".join(["the"] * 60), " ".join(["123"] * 60)]
+
+    def py_signals(s):
+        if s is None:
+            return None
+        toks = [t for t in re.split(r"\s+", s.strip().lower()) if t]
+        n = len(toks)
+        char_sum = sum(len(t) for t in toks)
+        n_alpha = sum(1 for t in toks if re.search(r"[a-z]", t))
+        n_stop = sum(1 for t in toks if t in T.GOPHER_STOPWORDS)
+        n_hash = s.count("#")
+        n_dots = (len(s) - len(s.replace("...", ""))) // 3
+        symbols = n_hash + n_dots
+        ppm = lambda a: (a * 1_000_000) // n if n else 0
+        return (n, ppm(char_sum), ppm(symbols), ppm(n_alpha), n_stop)
+
+    def py_passes(sig):
+        n, mwl, sym, alpha, stop = sig
+        return (T.GOPHER_MIN_WORDS <= n <= T.GOPHER_MAX_WORDS
+                and T.GOPHER_MIN_MEAN_WORD_LEN_U <= mwl
+                <= T.GOPHER_MAX_MEAN_WORD_LEN_U
+                and sym <= T.GOPHER_MAX_SYMBOL_WORD_PPM
+                and alpha >= T.GOPHER_MIN_ALPHA_WORD_PPM
+                and stop >= T.GOPHER_MIN_STOP_HITS)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    out = (df.select("i", F.explode(F.array(T.gopher_struct(F.col("text"))))
+                     .alias("g"))
+           .select("i", "g.*", T.gopher_passes(F.col("g")).alias("ok"))
+           .orderBy("i").collect())
+    assert len(out) == len(texts)
+    for row, text in zip(out, texts):
+        want = py_signals(text)
+        got = (row.n_words, row.mean_word_len_u, row.symbol_word_ppm,
+               row.alpha_word_ppm, row.n_stop_hits)
+        if want is None:
+            # NULL text: tokenizer yields NULL, every signal is NULL.
+            assert all(v is None for v in got), (text, got)
+            assert row.ok is None
+        else:
+            assert got == want, (text, got, want)
+            assert row.ok == py_passes(want), (text, want)
