@@ -109,3 +109,48 @@ def bucketed_write(df: DataFrame, table: str, n_buckets: int, *keys: str,
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def zone_map_stats(df: DataFrame, order_by: list, value_col: str,
+                   bucket_rows: int) -> DataFrame:
+    """The zone-map table a clustered layout would persist: lay ``df`` out
+    in ``order_by`` order, cut it into ``bucket_rows``-row buckets (the
+    row-group / file granularity stand-in), and record each bucket's
+    (min, max, count) of ``value_col`` — ``(bucket, mn, mx, cnt)``.
+
+    This is exactly the min/max statistics table Delta/Iceberg keep per
+    file and parquet keeps per row group; computing it as a DataFrame
+    makes layout quality MEASURABLE (see :func:`skip_report`) before
+    committing to a physical rewrite with :func:`zorder_write` /
+    ``repartitionByRange``. Ranking uses the two-pass range-partitioned
+    global row number (no global window); the zone map itself is one
+    aggregation, output rows = |df| / bucket_rows."""
+    from .ranking import global_row_number
+
+    if bucket_rows <= 0:
+        raise ValueError(f"bucket_rows must be positive, got {bucket_rows}")
+    cols = list(dict.fromkeys([*order_by, value_col]))  # ordered, deduped
+    ranked = global_row_number(df.select(*cols), list(order_by),
+                               out_col="__rn")
+    return (ranked
+            .groupBy(F.expr(f"(__rn - 1) div {bucket_rows}").alias("bucket"))
+            .agg(F.min(value_col).alias("mn"), F.max(value_col).alias("mx"),
+                 F.count(F.lit(1)).alias("cnt")))
+
+
+def skip_report(zmap: DataFrame, lo, hi) -> DataFrame:
+    """Skip-rate of a range predicate ``value BETWEEN lo AND hi`` against
+    a :func:`zone_map_stats` table: a bucket whose [mn, mx] is disjoint
+    from [lo, hi] is never read. One row: ``(n_buckets, n_skippable,
+    rows_skipped, skip_ppm)`` — the number that decides whether a layout
+    rewrite pays for itself."""
+    lo = lo if isinstance(lo, Column) else F.lit(lo)
+    hi = hi if isinstance(hi, Column) else F.lit(hi)
+    can_skip = (F.col("mx") < lo) | (F.col("mn") > hi)
+    agg = zmap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(can_skip.cast("long")).cast("long").alias("n_skippable"),
+        F.coalesce(F.sum(F.when(can_skip, F.col("cnt"))), F.lit(0))
+        .cast("long").alias("rows_skipped"))
+    return agg.select(
+        "*", F.expr("n_skippable * 1000000 div n_buckets").alias("skip_ppm"))

@@ -4402,6 +4402,114 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "total_events", "l1_drift_ppm"))
 
 
+@register("incremental_rollup", """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us
+FROM events GROUP BY user_id, event_type
+""")
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (aggregates.incremental_rollup): the
+    per-(user, event_type) rollup — count, exact decimal sum, min/max
+    event time — maintained as persisted partial state plus a day's batch,
+    WITHOUT rescanning history. The first half of the log (by event id)
+    plays the persisted state, the second the new batch; the oracle is the
+    full-history aggregate, so the merge's correctness statement
+    (incremental == recompute) is itself the driver-checked invariant.
+
+    Plan: each half partial-aggregates independently (map-side combine),
+    then ONE merge groupBy over |keys| rows — cost independent of history
+    size; with the state bucketed on the key its shuffle side vanishes.
+    Decimal sums keep the merge order-insensitive and bit-exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        _dec(F.col("value")).alias("__v"),
+        F.col("ts").cast("timestamp_ltz").alias("ts"))
+    thr = ev.agg(F.expr("max(event_id) div 2").alias("__thr"))
+    ev = ev.crossJoin(F.broadcast(thr))
+    partial = lambda df: df.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"))
+    state = partial(ev.filter(F.col("event_id") <= F.col("__thr")))
+    batch = partial(ev.filter(F.col("event_id") > F.col("__thr")))
+    merged = agg_ops.incremental_rollup(
+        state, batch, ["user_id", "event_type"],
+        {"n": "count", "sum_value": "sum", "min_ts": "min", "max_ts": "max"})
+    return merged.select(
+        "user_id", "event_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.unix_micros("min_ts").alias("min_ts_us"),
+        F.unix_micros("max_ts").alias("max_ts_us"))
+
+
+_DUCK_ZMAP_SKIP = """
+ SELECT count(*) AS n_buckets,
+        sum(CASE WHEN mx < TIMESTAMP '1995-01-01'
+                   OR mn > TIMESTAMP '1995-03-31' THEN 1 ELSE 0 END)
+          AS n_skippable,
+        coalesce(sum(CASE WHEN mx < TIMESTAMP '1995-01-01'
+                            OR mn > TIMESTAMP '1995-03-31' THEN cnt END), 0)
+          AS rows_skipped
+"""
+
+
+@register("zone_map_skipping", f"""
+WITH src AS (SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem),
+nat AS (SELECT l_shipdate, row_number() OVER
+          (ORDER BY l_orderkey, l_linenumber) AS rn FROM src),
+natz AS (SELECT (rn - 1) // 4096 AS bucket, min(l_shipdate) AS mn,
+                max(l_shipdate) AS mx, count(*) AS cnt
+         FROM nat GROUP BY 1),
+srt AS (SELECT l_shipdate, row_number() OVER
+          (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn FROM src),
+srtz AS (SELECT (rn - 1) // 4096 AS bucket, min(l_shipdate) AS mn,
+                max(l_shipdate) AS mx, count(*) AS cnt
+         FROM srt GROUP BY 1),
+rep AS (SELECT 'natural' AS layout, * FROM ({_DUCK_ZMAP_SKIP} FROM natz)
+        UNION ALL
+        SELECT 'shipdate_sorted' AS layout, *
+        FROM ({_DUCK_ZMAP_SKIP} FROM srtz))
+SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(n_skippable AS BIGINT) AS n_skippable,
+       CAST(rows_skipped AS BIGINT) AS rows_skipped,
+       CAST(n_skippable * 1000000 // n_buckets AS BIGINT) AS skip_ppm
+FROM rep
+""")
+def zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-quality A/B via zone maps (operators.layout.zone_map_stats /
+    skip_report): the min/max statistics table parquet row groups and
+    Delta/Iceberg files keep, computed for the SAME fact rows under two
+    layouts — insertion order vs sorted by ship date — and scored against
+    a quarter-range predicate. The sorted layout's skip_ppm is the measured
+    argument for repartitionByRange / zorder_write before any physical
+    rewrite happens; zone maps are THE scan lever at 100 TB (a skipped
+    bucket is IO that never happens).
+
+    Plan per layout: two-pass range-partitioned global row number (no
+    global window), one aggregation to |rows|/4096 zone rows, one
+    answer-sized report row."""
+    from .operators import layout as layout_ops
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate")
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("1995-03-31").cast("timestamp")
+    out = []
+    for name, order in (
+            ("natural", ["l_orderkey", "l_linenumber"]),
+            ("shipdate_sorted", ["l_shipdate", "l_orderkey",
+                                 "l_linenumber"])):
+        zmap = layout_ops.zone_map_stats(li, order, "l_shipdate", 4096)
+        out.append(layout_ops.skip_report(zmap, lo, hi)
+                   .select(F.lit(name).alias("layout"), "*"))
+    return out[0].unionByName(out[1])
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

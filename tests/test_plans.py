@@ -602,6 +602,8 @@ def test_registry_wide_plan_hygiene(spark):
         "corpus_shuffle",    # |buckets|-row offset frame (ranking.shuffle_shards)
         "token_rank_fluency",  # |buckets|-row offset frame over the ≤100-row
                                # heavy-hitter vocabulary (global_row_number)
+        "zone_map_skipping",   # |buckets|-row offset frame ×2 layouts
+                               # (layout.zone_map_stats via global_row_number)
     }
     utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
     offenders = {}
@@ -836,3 +838,25 @@ def test_shuffle_shards_more_shards_than_rows(spark):
     assert len({s for s, _ in rows}) == 3          # three distinct shards
     assert all(0 <= s < 7 for s, _ in rows)
 
+
+
+def test_zone_map_stats_and_skip_report(spark):
+    """zone_map_stats buckets in layout order and skip_report counts only
+    fully-disjoint buckets; bad bucket size rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import layout
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(100)],
+                               "id int, v int")
+    zmap = layout.zone_map_stats(df, ["v", "id"], "v", 25)
+    zm = {r.bucket: (r.mn, r.mx, r.cnt) for r in zmap.collect()}
+    assert zm == {0: (0, 240, 25), 1: (250, 490, 25),
+                  2: (500, 740, 25), 3: (750, 990, 25)}
+    rep = layout.skip_report(zmap, 300, 400).collect()[0]
+    # buckets 0 (mx 240 < 300), 2 and 3 (mn > 400) skip; bucket 1 overlaps
+    assert (rep.n_buckets, rep.n_skippable, rep.rows_skipped,
+            rep.skip_ppm) == (4, 3, 75, 750000)
+    with pytest.raises(ValueError, match="bucket_rows"):
+        layout.zone_map_stats(df, ["v"], "v", 0)
