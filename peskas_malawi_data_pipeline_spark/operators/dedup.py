@@ -947,3 +947,81 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     cos = F.when(denom > 0, dot(F.col("v_a"), F.col("v_b")) / denom)
     return (pairs.select("id_a", "id_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", shingle_n: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ ``threshold`` over the whole corpus via
+    prefix filtering (AllPairs/PPJoin, Xiao et al. WWW'08) — no blocking
+    key, no LSH recall loss: the completeness guarantee is algebraic.
+
+    Two shingle sets with J ≥ τ overlap in ≥ ⌈τ·|x|⌉ elements, so under
+    any global total order of shingles, each set's PREFIX — its first
+    ``|x| − ⌈τ·|x|⌉ + 1`` elements — must intersect the other's (skipping
+    a whole prefix leaves too few elements to reach the bound). Ordering
+    shingles rarest-first makes prefixes the LEAST collide-prone elements:
+    the posting index inverts only prefixes, and stop-shingle hot buckets
+    disappear by construction rather than by cap — which is what keeps
+    this path exact while ``jaccard_pairs``'s full inverted index needs
+    ``max_shingle_df``. The size filter (min ≥ τ·max, checked in exact
+    integer ppm) prunes candidates before verification.
+
+    Plan: one document-frequency aggregation over postings, one shuffle
+    join to rank shingles, one prefix-posting self-join (Σ prefix-bucket²,
+    bounded by rare-first ordering), then exact verification ONLY on
+    candidates via set intersection. Output: (id_a, id_b, n_inter,
+    n_union, jac_ppm) — integers, engine-exact.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tau_ppm = int(round(threshold * 1_000_000))
+    sets = materialize(df.select(
+        F.col(id_col).alias("id"),
+        T.word_shingles(F.col(text_col), shingle_n).alias("s"))
+        .withColumn("n", F.size("s"))
+        .filter(F.col("n") > 0))
+    post = sets.select("id", F.explode("s").alias("tok"))
+    dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first rank per doc; (df, tok) is a total order so prefixes
+    # are deterministic in both engines
+    ranked = (post.join(dfreq, "tok")
+              .groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
+                   .alias("ordered")))
+    # ⌈τ·n⌉ in exact integer ppm arithmetic: a double τ·n landing one ulp
+    # ABOVE an integer would over-ceil and shorten the prefix — a silent
+    # completeness hole. (One ulp below only lengthens it: still exact.)
+    ceil_tau_n = F.expr(f"(({tau_ppm} * n) + 999999) div 1000000")
+    pref = (sets.join(ranked, "id")
+            .select("id", "n",
+                    F.slice(F.col("ordered"), 1,
+                            (F.col("n") - ceil_tau_n + 1)
+                            .cast("int")).alias("prefix")))
+    posting = pref.select("id", "n", F.explode("prefix.tok").alias("tok"))
+    cand = (posting.alias("a")
+            .join(posting.alias("b"), "tok")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .filter(F.least(F.col("a.n"), F.col("b.n")) * 1_000_000
+                    >= F.lit(tau_ppm)
+                    * F.greatest(F.col("a.n"), F.col("b.n")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    verify = (cand
+              .join(sets.select(F.col("id").alias("id_a"),
+                                F.col("s").alias("__sa"),
+                                F.col("n").alias("n_a")), "id_a")
+              .join(sets.select(F.col("id").alias("id_b"),
+                                F.col("s").alias("__sb"),
+                                F.col("n").alias("n_b")), "id_b"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("long")
+    scored = verify.select(
+        "id_a", "id_b", inter.alias("n_inter"),
+        (F.col("n_a") + F.col("n_b") - inter).cast("long").alias("n_union"))
+    return (scored
+            .filter(F.col("n_inter") * 1_000_000
+                    >= F.lit(tau_ppm) * F.col("n_union"))
+            .select("id_a", "id_b", "n_inter", "n_union",
+                    F.expr("n_inter * 1000000 div n_union")
+                    .alias("jac_ppm")))

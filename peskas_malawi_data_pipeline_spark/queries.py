@@ -4510,6 +4510,36 @@ def zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1])
 
 
+@register("prefix_jaccard_pairs", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks
+       WHERE len({_DUCK_SHINGLES}) > 0),
+ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id),
+scored AS (SELECT id_a, id_b,
+    CAST(len(list_intersect(ta.s, tb.s)) AS BIGINT) AS n_inter,
+    CAST(len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s)) AS BIGINT)
+      AS n_union
+  FROM cand
+  JOIN sh ta ON ta.doc_id = id_a
+  JOIN sh tb ON tb.doc_id = id_b)
+SELECT id_a, id_b, n_inter, n_union,
+       CAST(n_inter * 1000000 // n_union AS BIGINT) AS jac_ppm
+FROM scored WHERE n_inter * 1000000 >= 500000 * n_union
+""")
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide Jaccard ≥ 0.5 via prefix filtering
+    (dedup.prefix_jaccard_pairs — AllPairs/PPJoin): the no-recall-loss
+    alternative to MinHash-LSH, with hot shingle buckets eliminated by the
+    rarest-first prefix construction instead of a lossy cap. The oracle is
+    deliberately the NAIVE full inverted index + exact verification, so a
+    completeness bug in the prefix/size filters would surface as missing
+    rows, not agree by construction."""
+    return dedup_ops.prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5)
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

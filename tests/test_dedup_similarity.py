@@ -1136,3 +1136,45 @@ def test_incremental_substring_spans_equal_full_restricted(spark):
             for r in D.duplicated_spans(rdf, k=3).collect()
             if r.doc_id % 5 == 0}
     assert got == want
+
+
+def test_prefix_jaccard_pairs_complete_vs_bruteforce(spark):
+    """Completeness property of the AllPairs/PPJoin prefix filter: for
+    random corpora and several thresholds, dedup.prefix_jaccard_pairs
+    returns EXACTLY the brute-force Jaccard->=tau pair set (prefix and
+    size filters must never drop a qualifying pair)."""
+    import random
+
+    from peskas_malawi_data_pipeline_spark.operators import dedup
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 12))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    def shingles(text, n=3):
+        t = [w for w in text.lower().split() if w]
+        if not t:
+            return set()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    sets = {i: shingles(tx) for i, tx in docs}
+    for tau in (0.3, 0.5, 0.8):
+        tau_ppm = int(round(tau * 1_000_000))
+        want = set()
+        for a in range(60):
+            for b in range(a + 1, 60):
+                sa, sb = sets[a], sets[b]
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                if inter * 1_000_000 >= tau_ppm * union:
+                    want.add((a, b, inter, union))
+        got = {(r.id_a, r.id_b, r.n_inter, r.n_union)
+               for r in dedup.prefix_jaccard_pairs(
+                   df, threshold=tau).collect()}
+        assert got == want, (tau, got ^ want)

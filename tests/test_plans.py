@@ -860,3 +860,40 @@ def test_zone_map_stats_and_skip_report(spark):
             rep.skip_ppm) == (4, 3, 75, 750000)
     with pytest.raises(ValueError, match="bucket_rows"):
         layout.zone_map_stats(df, ["v"], "v", 0)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime bloom-filter injection (the row-level data-skipping
+    complement to zone maps): a selective dim-side filter materializes a
+    bloom over the join key and pre-filters the FACT scan before the
+    shuffle — at cluster scale this triggers by default once the
+    application side exceeds ~10 GB; locally we lower that threshold to
+    prove the plan shape and that results are unchanged."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.queries import _t
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    li = _t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = (_t(spark, SF_DIR, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_orderkey"))
+    join = lambda: li.join(o, li.l_orderkey == o.o_orderkey)
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = join()._jdf.queryExecution().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        filtered = join().count()
+    finally:
+        for k, v in saved.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+    plan_off = join()._jdf.queryExecution().toString()
+    assert "might_contain" not in plan_off
+    assert filtered == join().count()
