@@ -249,14 +249,43 @@ class VersionedParquetTable:
             raise FileNotFoundError(f"no committed version under {self.root}")
         return read_table(spark, self.data_dir(version), columns)
 
+    META = "_META.json"
+
     def write(self, df: DataFrame,
-              partition_by: list[str] | None = None) -> int:
-        """Truncate-and-load as a metadata commit; returns the new version."""
+              partition_by: list[str] | None = None,
+              meta: dict | None = None) -> int:
+        """Truncate-and-load as a metadata commit; returns the new version.
+
+        ``meta`` (JSON-serializable) is staged INSIDE the new version
+        directory before the pointer commit, so it is transactional with
+        the data: a reader never sees meta from one version with data from
+        another. This is the slot idempotent writers use to record their
+        progress marker (e.g. the last applied streaming batch id —
+        streaming.ingest_stream.run_available_now_merge)."""
+        import json
+
         os.makedirs(self.root, exist_ok=True)
         version = (self.current_version() or 0) + 1
         write_table(df, self.data_dir(version), partition_by)
+        if meta is not None:
+            with open(os.path.join(self.data_dir(version), self.META),
+                      "w") as fh:
+                json.dump(meta, fh)
         self._commit(version)
         return version
+
+    def read_meta(self) -> dict | None:
+        """The committed version's ``meta`` dict (None if absent)."""
+        import json
+
+        version = self.current_version()
+        if version is None:
+            return None
+        try:
+            with open(os.path.join(self.data_dir(version), self.META)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
 
     def compact(self, spark: SparkSession, target_files: int) -> int:
         """Compaction = rewrite current into a fresh version + pointer

@@ -4540,6 +4540,51 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5)
 
 
+@register("streaming_incremental_rollup", """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM events GROUP BY user_id, event_type
+""")
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view (streaming.run_available_now_merge):
+    the per-(user, event_type) rollup maintained by MERGING each
+    micro-batch's partial aggregates into a versioned snapshot table — the
+    streaming twin of `incremental_rollup`, with NO streaming state store
+    (state IS the table; the checkpoint tracks only source progress, and
+    the applied-batch marker commits transactionally with the data for
+    exactly-once under foreachBatch replay). The events table is staged as
+    THREE landing files and drained one file per trigger, so the oracle
+    equality proves a genuinely multi-batch merge chain, not a single-shot
+    aggregation. Decimal sums keep every merge order bit-exact."""
+    import os
+    import tempfile
+
+    from .core import io as io_ops
+    from .streaming import ingest_stream as st
+
+    work = tempfile.mkdtemp(prefix="peskas_stream_")
+    landing = os.path.join(work, "landing")
+    st.stage_events_landing(
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+        landing, n_files=3)
+
+    stream = st.stream_events_dir(spark, landing, max_files_per_trigger=1)
+    table = io_ops.VersionedParquetTable(os.path.join(work, "rollup"))
+    partial = lambda b: b.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"))).alias("sum_value"))
+    with st.stream_state_partitions(spark, 4):
+        st.run_available_now_merge(
+            stream, table, ["user_id", "event_type"], partial,
+            {"n": "count", "sum_value": "sum"},
+            os.path.join(work, "ckpt"))
+    return table.read(spark).select(
+        "user_id", "event_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

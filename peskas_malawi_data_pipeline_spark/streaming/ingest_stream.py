@@ -57,7 +57,8 @@ _EVENTS_SCHEMA = ("event_id long, ts {}, user_id long, event_type string, "
 
 
 def stream_events_dir(spark: SparkSession, path: str,
-                      ts_unit: str | None = None) -> DataFrame:
+                      ts_unit: str | None = None,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
     """Stream an `events` landing directory with ``ts`` normalized to
     TIMESTAMP whatever the writer's physical unit.
 
@@ -102,12 +103,21 @@ def stream_events_dir(spark: SparkSession, path: str,
     # event-time window/oracle parity assumes a UTC session zone (see
     # queries._t); pin it for streams too
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def reader(schema: str):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            # bounds micro-batch size (file granularity) — also how tests
+            # force a genuinely multi-batch drain from a staged directory
+            r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        return r.parquet(path)
+
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.readStream.schema(_EVENTS_SCHEMA.format("long")).parquet(path)
+        raw = reader(_EVENTS_SCHEMA.format("long"))
         # integer div — a double intermediate loses precision at 1.7e18 ns
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.readStream.schema(_EVENTS_SCHEMA.format("timestamp")).parquet(path)
+    return reader(_EVENTS_SCHEMA.format("timestamp"))
 
 
 def windowed_track_rollup(points: DataFrame, minutes: int = 10,
@@ -167,6 +177,74 @@ def run_available_now_upsert(stream_df: DataFrame, out_path: str,
     q = (stream_df.writeStream
          .outputMode("update")
          .foreachBatch(_write)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def stage_events_landing(df: DataFrame, path: str, n_files: int) -> None:
+    """Write an events frame as ``n_files`` landing files for a file-source
+    stream, with the parquet timestamp physical type PINNED to
+    TIMESTAMP_MICROS: a bare session's default is INT96, which neither
+    branch of :func:`stream_events_dir`'s unit sniff can read (pyarrow
+    reports INT96 as ns, but the file is not int64) — the conf is
+    save/restored around the write so callers' sessions are untouched."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.repartition(n_files).write.parquet(path)
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+
+
+def run_available_now_merge(stream_df: DataFrame, table, keys: list[str],
+                            partial_fn, merges: dict[str, str],
+                            checkpoint: str) -> None:
+    """Streaming MATERIALIZED VIEW maintenance: each micro-batch is
+    partial-aggregated (``partial_fn``) and MERGED into a persisted
+    versioned snapshot via aggregates.incremental_rollup — incremental ETL
+    with NO streaming state store. The aggregate state lives in the table
+    itself (readable by anyone between batches), not in a checkpoint; the
+    streaming checkpoint tracks only source progress.
+
+    Exactly-once: foreachBatch re-delivers a batch after a crash, and a
+    sum-merge is not idempotent — so the applied batch id commits WITH the
+    data (VersionedParquetTable.write's transactional ``meta``), and a
+    replayed batch id ≤ the committed marker is skipped. This is the same
+    progress-marker recipe the Structured Streaming guide prescribes for
+    non-idempotent foreachBatch sinks, with the pointer commit supplying
+    the atomicity.
+
+    Scale: per batch, ONE partial agg of the increment + ONE merge groupBy
+    over |keys| rows — cost independent of accumulated history. The full
+    snapshot is rewritten per batch (fine for rollups orders of magnitude
+    smaller than the fact stream); a key-partitioned table + partition-
+    selective rewrite is the next lever if the rollup itself is huge.
+    """
+    from ..operators.aggregates import incremental_rollup
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        meta = table.read_meta() or {}
+        last = meta.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return                      # crash-replayed batch: already merged
+        partials = partial_fn(batch_df)
+        if table.current_version() is None:
+            merged = partials
+        else:
+            spark = batch_df.sparkSession
+            merged = incremental_rollup(table.read(spark), partials,
+                                        keys, merges)
+        # the merge plan lazily reads the OLD version's files while the
+        # new version stages in its own directory — no self-overwrite
+        table.write(merged, meta={"last_batch_id": batch_id})
+
+    q = (stream_df.writeStream
+         .outputMode("append")
+         .foreachBatch(_merge)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())

@@ -435,3 +435,58 @@ def test_segment_stats_total_on_empty_batch():
     empty = np.empty(0, dtype="int64")
     starts, sizes, maxs = stateful._segment_stats(empty, empty)
     assert len(starts) == len(sizes) == len(maxs) == 0
+
+
+def test_merge_sink_exactly_once_and_incremental(spark, tmp_path):
+    """run_available_now_merge: a multi-batch drain lands on the batch
+    aggregate; a crash-replayed batch id is skipped (the applied-batch
+    marker commits transactionally with the data), so sums never double-
+    count; and a second drain with no new files is a no-op."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.core.io import VersionedParquetTable
+    from peskas_malawi_data_pipeline_spark.streaming import ingest_stream as st
+
+    landing = str(tmp_path / "landing")
+    rows = [(i, f"2024-01-01 00:{i % 60:02d}:00", i % 3, "click", 1.5, "{}")
+            for i in range(30)]
+    st.stage_events_landing(
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, "
+                  "event_type string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp")), landing, 3)
+
+    table = VersionedParquetTable(str(tmp_path / "rollup"))
+    partial = lambda b: b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    drain = lambda ck: st.run_available_now_merge(
+        st.stream_events_dir(spark, landing, max_files_per_trigger=1),
+        table, ["user_id"], partial, {"n": "count", "s": "sum"},
+        str(tmp_path / ck))
+
+    with st.stream_state_partitions(spark, 2):
+        drain("ckpt")
+    got = {r.user_id: (r.n, r.s) for r in table.read(spark).collect()}
+    assert got == {0: (10, 15.0), 1: (10, 15.0), 2: (10, 15.0)}
+    v1 = table.current_version()
+    assert table.read_meta()["last_batch_id"] >= 1  # multi-batch drain
+
+    # crash replay: re-deliver an already-applied batch id directly
+    batch = spark.read.parquet(landing)
+    from peskas_malawi_data_pipeline_spark.operators.aggregates import (
+        incremental_rollup)  # noqa: F401  (import check only)
+    meta_before = table.read_meta()
+    # simulate foreachBatch redelivery by calling the drain again on the
+    # SAME checkpoint: no new files -> no merge, version unchanged
+    with st.stream_state_partitions(spark, 2):
+        drain("ckpt")
+    assert table.current_version() == v1
+    assert {r.user_id: (r.n, r.s) for r in table.read(spark).collect()} == got
+    assert table.read_meta() == meta_before
+
+    # fresh checkpoint replays ALL files with batch ids starting at 0:
+    # every id <= the committed marker must be skipped, so still no
+    # double-count
+    with st.stream_state_partitions(spark, 2):
+        drain("ckpt2")
+    assert {r.user_id: (r.n, r.s) for r in table.read(spark).collect()} == got
