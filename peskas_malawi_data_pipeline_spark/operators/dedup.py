@@ -965,7 +965,16 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     disappear by construction rather than by cap — which is what keeps
     this path exact while ``jaccard_pairs``'s full inverted index needs
     ``max_shingle_df``. The size filter (min ≥ τ·max, checked in exact
-    integer ppm) prunes candidates before verification.
+    integer ppm) prunes candidates before verification, and PPJoin's
+    positional filter tightens it: a match on the token at 1-based prefix
+    position i of x / j of y bounds the pair's overlap by
+    ``min(i, j) + min(|x|−i, |y|−j)`` (≤ min(i,j)−1 shared tokens can
+    precede the match, the match itself is 1, ≤ min of the suffix sizes
+    can follow), which must reach the pair's equivalent overlap bound
+    ``⌈τ·(|x|+|y|)/(1+τ)⌉``. The bound is true for EVERY match — not just
+    the pair's first shared token — so filtering each match and
+    de-duplicating keeps completeness. All bounds are exact integer
+    ppm arithmetic (no float boundary can drop a qualifying pair).
 
     Plan: one document-frequency aggregation over postings, one shuffle
     join to rank shingles, one prefix-posting self-join (Σ prefix-bucket²,
@@ -998,13 +1007,22 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.slice(F.col("ordered"), 1,
                             (F.col("n") - ceil_tau_n + 1)
                             .cast("int")).alias("prefix")))
-    posting = pref.select("id", "n", F.explode("prefix.tok").alias("tok"))
+    posting = pref.select(
+        "id", "n", F.posexplode("prefix.tok").alias("pos0", "tok"))
+    # equivalent-overlap bound o_min = ⌈τ(n_a+n_b)/(1+τ)⌉, exact in ppm
+    o_min = F.expr(f"(({tau_ppm} * (a.n + b.n)) + {1_000_000 + tau_ppm} - 1) "
+                   f"div {1_000_000 + tau_ppm}")
+    # positional upper bound from this match (pos0 is 0-based; i = pos0+1)
+    o_ub = (F.least(F.col("a.pos0"), F.col("b.pos0")) + 1
+            + F.least(F.col("a.n") - (F.col("a.pos0") + 1),
+                      F.col("b.n") - (F.col("b.pos0") + 1)))
     cand = (posting.alias("a")
             .join(posting.alias("b"), "tok")
             .filter(F.col("a.id") < F.col("b.id"))
             .filter(F.least(F.col("a.n"), F.col("b.n")) * 1_000_000
                     >= F.lit(tau_ppm)
                     * F.greatest(F.col("a.n"), F.col("b.n")))
+            .filter(o_ub >= o_min)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())

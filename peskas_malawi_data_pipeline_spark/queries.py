@@ -4526,18 +4526,22 @@ scored AS (SELECT id_a, id_b,
   JOIN sh tb ON tb.doc_id = id_b)
 SELECT id_a, id_b, n_inter, n_union,
        CAST(n_inter * 1000000 // n_union AS BIGINT) AS jac_ppm
-FROM scored WHERE n_inter * 1000000 >= 500000 * n_union
+FROM scored WHERE n_inter * 1000000 >= 800000 * n_union
 """)
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT corpus-wide Jaccard ≥ 0.5 via prefix filtering
-    (dedup.prefix_jaccard_pairs — AllPairs/PPJoin): the no-recall-loss
-    alternative to MinHash-LSH, with hot shingle buckets eliminated by the
-    rarest-first prefix construction instead of a lossy cap. The oracle is
-    deliberately the NAIVE full inverted index + exact verification, so a
-    completeness bug in the prefix/size filters would surface as missing
-    rows, not agree by construction."""
+    """EXACT corpus-wide Jaccard ≥ 0.8 (the near-exact-duplicate band) via
+    prefix filtering (dedup.prefix_jaccard_pairs — AllPairs/PPJoin): the
+    no-recall-loss alternative to MinHash-LSH, with hot shingle buckets
+    eliminated by the rarest-first prefix construction instead of a lossy
+    cap. The oracle is deliberately the NAIVE full inverted index + exact
+    verification, so a completeness bug in the prefix/size/positional
+    filters would surface as missing rows, not agree by construction.
+    Prefix length scales with (1−τ)·|set|, so the high-τ band is also the
+    cheap one; the synthetic corpus's FLAT shingle-frequency distribution
+    (every shingle df≈95 at 10×: no rare shingles for prefixes to exploit)
+    is the documented worst case — see SCALE.md §10f."""
     return dedup_ops.prefix_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5)
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.8)
 
 
 @register("streaming_incremental_rollup", """
