@@ -381,3 +381,26 @@ def pii_counts(col: Column) -> dict[str, Column]:
         "n_ips": F.size(F.regexp_extract_all(col, F.lit(PII_IP), 0)),
         "n_phones": F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), 0)),
     }
+
+
+#: Tag-strip pattern and entity map for markup removal. Portable regex
+#: subset (no lookaround/backrefs — Java and RE2 agree); the entity chain
+#: is ORDERED: '&amp;' decodes LAST so '&amp;lt;' correctly yields '&lt;'
+#: (double-encoded input stays encoded once, never over-decodes to '<').
+MARKUP_TAG_RE = r"<[^>]*>"
+MARKUP_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                   ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def strip_markup(col: Column) -> Column:
+    """Markup-to-text extraction: drop HTML/XML tags, decode the common
+    entities, collapse the whitespace runs the removals leave behind — the
+    boilerplate-free-text step a web-corpus pipeline runs before any
+    token-level analysis. Heuristic by design (a regex is not an HTML
+    parser: CDATA/script bodies and malformed nesting pass through as
+    text), which is the standard trade at corpus scale; pure per-row
+    regexp chain, JVM-evaluated, no shuffle, NULL passes through."""
+    out = F.regexp_replace(col, MARKUP_TAG_RE, " ")
+    for ent, ch in MARKUP_ENTITIES:
+        out = F.regexp_replace(out, ent, ch)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

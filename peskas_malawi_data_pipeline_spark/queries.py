@@ -4589,6 +4589,55 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"))
 
 
+_MARKUP_INJECT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN '<div class=\"post\"><p>' || text || "
+    "' &amp; more &lt;tail&gt;</p><br/></div>' ELSE text END")
+
+
+@register("strip_markup", f"""
+WITH inj AS (SELECT doc_id, {_MARKUP_INJECT_SQL} AS t FROM documents),
+cleaned AS (SELECT doc_id, t,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(t, '{T.MARKUP_TAG_RE}', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' '), '&amp;', '&'),
+    '[\\s\\v]+', ' ', 'g')) AS clean
+ FROM inj)
+SELECT doc_id, clean,
+       CAST(len(regexp_extract_all(t, '{T.MARKUP_TAG_RE}')) AS BIGINT)
+         AS n_tags,
+       CAST(len(regexp_extract_all(t, '&[a-z]+;|&#[0-9]+;')) AS BIGINT)
+         AS n_entities
+FROM cleaned
+""")
+def strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-to-text extraction (functions.text.strip_markup): tag
+    removal, ordered entity decode ('&amp;' last — double-encoded input
+    never over-decodes), whitespace re-collapse, plus per-document tag and
+    entity counts. The harness corpus is markup-free, so every 3rd
+    document is wrapped in a deterministic HTML shell (same expression in
+    both engines) to exercise each branch; regex parity holds on the
+    portable subset (literal entity patterns, '<[^>]*>', character-class
+    whitespace). Pure per-row map — scan-bound at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<div class="post"><p>'), F.col("text"),
+                 F.lit(" &amp; more &lt;tail&gt;</p><br/></div>"))
+    ).otherwise(F.col("text"))
+    return (docs.select("doc_id", injected.alias("__t"))
+            .select(
+                "doc_id",
+                T.strip_markup(F.col("__t")).alias("clean"),
+                F.size(F.regexp_extract_all(
+                    F.col("__t"), F.lit(T.MARKUP_TAG_RE), 0))
+                .cast("long").alias("n_tags"),
+                F.size(F.regexp_extract_all(
+                    F.col("__t"), F.lit("&[a-z]+;|&#[0-9]+;"), 0))
+                .cast("long").alias("n_entities")))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

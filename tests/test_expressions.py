@@ -404,3 +404,31 @@ def test_gopher_struct_matches_python_reference(spark):
         else:
             assert got == want, (text, got, want)
             assert row.ok == py_passes(want), (text, want)
+
+
+def test_strip_markup_reference_cases(spark):
+    """strip_markup: tag removal, ordered entity decode (amp LAST so
+    double-encoded text decodes exactly one level), whitespace collapse,
+    NULL passthrough."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    cases = [
+        ("<p>a <b>b</b></p>", "a b"),
+        ("x &amp; y", "x & y"),
+        ("&amp;lt;", "&lt;"),                       # double-encoded: one level
+        ("a&lt;b&gt;c", "a<b>c"),
+        ("<img src='t.png'>  spaced\t\nout ", "spaced out"),
+        ("&quot;q&quot; &#39;s&#39; &nbsp;", '"q" \'s\''),
+        ("no markup", "no markup"),
+        ("", ""),
+        (None, None),
+        ("<<a>>", ">"),                             # greedy-free scan: '<<a>' is one tag
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i int, t string")
+    got = {r.i: r.c for r in df.select(
+        "i", T.strip_markup(F.col("t")).alias("c")).collect()}
+    for i, (src, want) in enumerate(cases):
+        assert got[i] == want, (src, got[i], want)
