@@ -96,7 +96,11 @@ def main() -> None:
             f"— until round 6's `max_bucket` hot-bucket cap bounded it; "
             f"its capped output is a documented LOWER bound on this "
             f"saturated probe corpus, with drops observed in "
-            f"`dedup.last_cap_drops()` — see SCALE.md §10e.) The "
+            f"`dedup.last_cap_drops()` — see SCALE.md §10e. "
+            f"`prefix_jaccard_pairs` is superlinear for the same "
+            f"flat-distribution reason — no rare shingles for prefixes "
+            f"to exploit — with the MinHash path as the saturated-corpus "
+            f"fallback; see SCALE.md §10f.) The "
             f"raw JSONs are committed as `.baseline_r{args.round}_bench"
             f".json` / `.baseline_r{args.round}_bench_sf1.json`.",
             "",
