@@ -4638,6 +4638,42 @@ def strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("n_entities")))
 
 
+@register("moving_sum_range_7d", """
+WITH d AS (
+  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS epoch_day,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2, 3)
+SELECT prio, strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(rev) OVER (PARTITION BY prio ORDER BY epoch_day
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rev_7d,
+       CAST(count(*) OVER (PARTITION BY prio ORDER BY epoch_day
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_days_7d
+FROM d
+""")
+def moving_sum_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window — the VALUE-based sibling of `moving_sum_7d`'s
+    ROWS frame, and semantically different wherever the daily rollup has
+    gaps: RANGE BETWEEN 6 PRECEDING looks back 6 calendar days (missing
+    days contribute nothing), while ROWS BETWEEN 6 PRECEDING grabs the
+    last 7 PRESENT rows however old. Expressed over an integer epoch-day
+    key (`rangeBetween` on a long — the portable form; interval frames
+    vary by engine). Same partition-local sort, no global window."""
+    o = _t(spark, sf_dir, "orders")
+    d = (o.groupBy(F.col("o_orderpriority").alias("prio"),
+                   F.to_date("o_orderdate").alias("day"))
+         .agg(F.sum(_dec(F.col("o_totalprice"))).alias("rev"))
+         .withColumn("epoch_day", F.unix_date(F.col("day")).cast("long")))
+    w = (Window.partitionBy("prio").orderBy("epoch_day").rangeBetween(-6, 0))
+    return d.select(
+        "prio", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_7d"))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).
