@@ -223,6 +223,9 @@ def incremental_rollup(state: DataFrame, batch_partials: DataFrame,
                or c not in batch_partials.columns]
     if missing:
         raise ValueError(f"measure columns absent from an input: {missing}")
+    overlap = [c for c in merges if c in keys]
+    if overlap:
+        raise ValueError(f"measure columns cannot also be keys: {overlap}")
     merged = state.select(*keys, *merges).unionByName(
         batch_partials.select(*keys, *merges))
     return merged.groupBy(*keys).agg(

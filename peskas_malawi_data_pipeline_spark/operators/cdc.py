@@ -53,6 +53,14 @@ def merge_apply(snapshot: DataFrame, changes: DataFrame,
     once and shuffled at most once — zero times when bucketed on the key.
     """
     keys = list(keys)
+    if op_col in snapshot.columns:
+        # op_col is claimed by the changelog side; a snapshot value column
+        # with the same name would duplicate in the compacted-changelog
+        # projection below. (seq_col MAY double as a snapshot value column
+        # — it is selected once, as a value.)
+        raise ValueError(
+            f"snapshot must not carry the changelog's op column "
+            f"({op_col!r}); rename the snapshot column")
     value_cols = [c for c in snapshot.columns if c not in keys]
     latest = compact_changelog(changes, keys, seq_col) \
         .select(*keys, op_col, *value_cols)

@@ -59,3 +59,13 @@ def test_compact_changelog_latest_per_key(spark):
         "seq int, k int, op string")
     out = cdc.compact_changelog(changes, ["k"], "seq").collect()
     assert {(r.k, r.seq, r.op) for r in out} == {(7, 3, "D"), (8, 1, "U")}
+
+
+def test_merge_apply_rejects_op_column_collision(spark):
+    import pytest
+
+    snapshot = spark.createDataFrame([(1, "U")], "k int, op string")
+    changes = spark.createDataFrame([(1, 1, "U", "x")],
+                                    "seq int, k int, op string, v string")
+    with pytest.raises(ValueError, match="op column"):
+        cdc.merge_apply(snapshot, changes, ["k"])

@@ -300,3 +300,15 @@ def test_incremental_rollup_equals_full_aggregate(spark):
     with pytest.raises(ValueError, match="absent"):
         A.incremental_rollup(partial(df), partial(df), ["k"],
                              {"nope": "sum"})
+
+
+def test_incremental_rollup_rejects_key_as_measure(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import aggregates as A
+
+    d = spark.createDataFrame([(1, 2)], "k int, v int") \
+        .groupBy("k").agg(F.sum("v").alias("v"))
+    with pytest.raises(ValueError, match="keys"):
+        A.incremental_rollup(d, d, ["k"], {"k": "sum"})
