@@ -4674,6 +4674,76 @@ def moving_sum_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_days_7d"))
 
 
+@register("dedup_savings_report", f"""
+WITH RECURSIVE {_DUCK_MINHASH_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+          UNION SELECT id_b, id_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+drops AS (SELECT id FROM comp WHERE id <> component),
+tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok FROM toks),
+m AS (SELECT
+  (SELECT count(*) FROM documents) AS n_docs,
+  (SELECT count(DISTINCT component) FROM comp) AS n_dup_groups,
+  (SELECT count(*) FROM drops) AS n_droppable,
+  (SELECT sum(ntok) FROM tok) AS tokens_total,
+  (SELECT coalesce(sum(ntok), 0) FROM tok JOIN drops ON tok.doc_id = drops.id)
+    AS tokens_droppable)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_dup_groups AS BIGINT) AS n_dup_groups,
+       CAST(n_droppable AS BIGINT) AS n_droppable,
+       CAST(n_droppable * 1000000 // n_docs AS BIGINT) AS droppable_ppm,
+       CAST(tokens_total AS BIGINT) AS tokens_total,
+       CAST(tokens_droppable AS BIGINT) AS tokens_droppable,
+       CAST(tokens_droppable * 1000000 // tokens_total AS BIGINT)
+         AS token_savings_ppm
+FROM m
+""")
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ROI report — the one-row number a near-dedup pass ships
+    to justify itself: duplicate groups found, documents droppable (every
+    component keeps its minimum id), and the corpus/token mass saved, in
+    integer ppm. Composes minhash_lsh_pairs → connected_components_star →
+    a broadcast drop-list join onto the token counts; every aggregate is
+    answer-sized after the one corpus scan.
+
+    (Every component in the candidate graph has ≥2 members — nodes enter
+    via pairs — so n_dup_groups is a plain distinct count.)"""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, shingle_n=3)
+    comp = materialize(dedup_ops.connected_components_star(pairs))
+    drops = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias("doc_id"), F.lit(1).alias("__d"))
+    groups = comp.agg(
+        F.countDistinct("component").alias("n_dup_groups"),
+        F.sum((F.col("id") != F.col("component")).cast("long"))
+        .alias("n_droppable"))
+    tok = docs.select("doc_id",
+                      T.token_count(F.col("text")).cast("long").alias("ntok"))
+    tot = (tok.join(F.broadcast(drops), "doc_id", "left")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("ntok").alias("tokens_total"),
+                F.coalesce(F.sum(F.when(F.col("__d") == 1, F.col("ntok"))),
+                           F.lit(0)).alias("tokens_droppable")))
+    return (tot.crossJoin(F.broadcast(groups))
+            .select(
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_dup_groups").cast("long").alias("n_dup_groups"),
+                F.col("n_droppable").cast("long").alias("n_droppable"),
+                F.expr("n_droppable * 1000000 div n_docs")
+                .alias("droppable_ppm"),
+                F.col("tokens_total").cast("long").alias("tokens_total"),
+                F.col("tokens_droppable").cast("long")
+                .alias("tokens_droppable"),
+                F.expr("tokens_droppable * 1000000 div tokens_total")
+                .alias("token_savings_ppm")))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).
