@@ -4744,6 +4744,63 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("token_savings_ppm")))
 
 
+def _duck_bpe_sql(k: int) -> str:
+    """Unrolled k-round BPE oracle (same technique as the pagerank
+    unrolled-CTE oracle): each round counts marker-encoded adjacent
+    symbol pairs weighted by word frequency, takes the deterministic
+    argmax, and rewrites the vocabulary by plain string replace."""
+    m = "chr(31)"
+    parts = [
+        f"WITH toks AS (SELECT {_DUCK_TOKS} AS t FROM documents),",
+        "wc AS (SELECT w, count(*) AS cnt FROM "
+        "(SELECT unnest(t) AS w FROM toks) GROUP BY w),",
+        f"v0 AS (SELECT list_aggregate(list_transform("
+        f"string_split(replace(w, {m}, ''), ''), c -> {m}||c), "
+        f"'string_agg', ' ') AS syms, cnt "
+        f"FROM wc WHERE length(replace(w, {m}, '')) > 0),",
+    ]
+    for r in range(1, k + 1):
+        prev = f"v{r - 1}"
+        parts.append(
+            f"pc{r} AS (SELECT pair, sum(cnt) AS n FROM ("
+            f"SELECT unnest(list_transform(range(1, len(t)), "
+            f"i -> t[i] || ' ' || t[i+1])) AS pair, cnt "
+            f"FROM (SELECT string_split(syms, ' ') AS t, cnt FROM {prev})) "
+            f"GROUP BY pair),")
+        parts.append(
+            f"top{r} AS (SELECT pair, n FROM pc{r} "
+            f"ORDER BY n DESC, pair LIMIT 1),")
+        parts.append(
+            f"v{r} AS (SELECT replace(syms, (SELECT pair FROM top{r}), "
+            f"(SELECT replace(pair, ' '||{m}, '') FROM top{r})) AS syms, "
+            f"cnt FROM {prev}),")
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT {r} AS merge_rank, replace(pair, {m}, '') AS pair, "
+        f"replace(replace(pair, ' '||{m}, ''), {m}, '') AS new_symbol, "
+        f"CAST(n AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, k + 1)]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("bpe_fit_merges", _duck_bpe_sql(5))
+def bpe_fit_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (operators.bpe.bpe_fit, Sennrich et al.
+    2016): the first 5 merges learned from the corpus — the on-cluster
+    tokenizer-training stage of a training-data pipeline. One corpus pass
+    builds the weighted vocabulary; every merge round then aggregates the
+    vocabulary only (orders of magnitude smaller, shrinking each round),
+    so cost is independent of corpus size after the first scan. Marker
+    encoding makes the merge a plain left-to-right string replace —
+    textbook greedy semantics with no lookaround regex, identical in any
+    engine. The oracle unrolls the 5 rounds as chained CTEs with
+    scalar-subquery argmaxes; ties are pair-string-ordered, so the merge
+    sequence is fully deterministic."""
+    from .operators import bpe as bpe_ops
+
+    return bpe_ops.bpe_fit(_t(spark, sf_dir, "documents"), k=5)
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).

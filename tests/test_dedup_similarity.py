@@ -1178,3 +1178,56 @@ def test_prefix_jaccard_pairs_complete_vs_bruteforce(spark):
                for r in dedup.prefix_jaccard_pairs(
                    df, threshold=tau).collect()}
         assert got == want, (tau, got ^ want)
+
+
+def test_bpe_fit_matches_textbook_reference(spark):
+    """operators.bpe.bpe_fit equals the textbook Sennrich reference
+    (adjacent-pair stats over the weighted vocab, greedy left-to-right
+    merge) on corpora with repeats ('aaa'), unicode, marker-char
+    injection, and single-char words — including the deterministic
+    (count desc, pair asc) tie-break."""
+    import collections
+
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    texts = ["low low low lower lowest",
+             "aaa aa a aaa \x1faaa",
+             "名前 名 前 the the the",
+             "x " * 5]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+
+    def reference(k):
+        words = collections.Counter(
+            w.replace("\x1f", "")
+            for t in texts for w in t.lower().split() if w.replace("\x1f", ""))
+        vocab = {tuple(w): c for w, c in words.items()}
+        merges = []
+        for rank in range(1, k + 1):
+            stats = collections.Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += c
+            if not stats:
+                break
+            # count desc, pair asc — compare as the space-joined strings
+            # the engine orders by
+            pair = min(stats, key=lambda p: (-stats[p], p[0] + " " + p[1]))
+            merges.append((rank, pair[0] + " " + pair[1],
+                           pair[0] + pair[1], stats[pair]))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == pair[0]
+                            and syms[i + 1] == pair[1]):
+                        out.append(pair[0] + pair[1]); i += 2
+                    else:
+                        out.append(syms[i]); i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+            vocab = new_vocab
+        return merges
+
+    got = [(r.merge_rank, r.pair, r.new_symbol, r.pair_count)
+           for r in bpe.bpe_fit(df, k=6).orderBy("merge_rank").collect()]
+    assert got == reference(6)
