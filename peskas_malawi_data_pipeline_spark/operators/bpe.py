@@ -80,3 +80,40 @@ def bpe_fit(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     return spark.createDataFrame(
         merges,
         "merge_rank long, pair string, new_symbol string, pair_count long")
+
+
+def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Apply learned merges to the corpus and count subwords per document
+    — the ENCODE side of BPE, and the real token-budget number a packing/
+    mixing stage needs (whitespace counts over-estimate once a subword
+    vocab exists). ``merges`` is the (pair, new_symbol) sequence from
+    :func:`bpe_fit` (display form, no markers).
+
+    Plan: the merge chain runs over the DISTINCT-WORD table, not the
+    corpus — k chained literal replaces on a vocabulary-sized frame —
+    and the corpus is touched by one explode + one join against that
+    (word → subword-count) map (broadcast when the vocabulary is small,
+    plain shuffle join otherwise) + one per-doc aggregation. Words
+    emptied by marker sanitization drop out of both sides identically."""
+    words = (df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+             .distinct())
+    clean = F.regexp_replace(F.col("w"), MARKER, "")
+    chars = F.filter(F.split(clean, "(?!^)"), lambda c: c != "")
+    syms = F.concat_ws(" ", F.transform(
+        chars, lambda c: F.concat(F.lit(MARKER), c)))
+    enc = words.select("w", syms.alias("syms")) \
+        .filter(F.length("syms") > 0)
+    col = F.col("syms")
+    for pair, new_symbol in merges:
+        a, b = pair.split(" ", 1)
+        col = F.replace(col, F.lit(f"{MARKER}{a} {MARKER}{b}"),
+                        F.lit(f"{MARKER}{new_symbol}"))
+    wl = enc.select("w", F.size(F.split(col, " ")).cast("long")
+                    .alias("n_sub"))
+    tok = df.select(F.col(id_col), F.explode(T.tokens(F.col(text_col)))
+                    .alias("w"))
+    return (tok.join(wl, "w")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_sub").cast("long").alias("n_subwords")))

@@ -4744,17 +4744,19 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("token_savings_ppm")))
 
 
-def _duck_bpe_sql(k: int) -> str:
+def _duck_bpe_sql(k: int, apply: bool = False) -> str:
     """Unrolled k-round BPE oracle (same technique as the pagerank
     unrolled-CTE oracle): each round counts marker-encoded adjacent
     symbol pairs weighted by word frequency, takes the deterministic
-    argmax, and rewrites the vocabulary by plain string replace."""
+    argmax, and rewrites the vocabulary by plain string replace. With
+    ``apply`` the final select instead joins documents' words to the
+    merged vocabulary and sums per-document subword counts."""
     m = "chr(31)"
     parts = [
-        f"WITH toks AS (SELECT {_DUCK_TOKS} AS t FROM documents),",
+        f"WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),",
         "wc AS (SELECT w, count(*) AS cnt FROM "
         "(SELECT unnest(t) AS w FROM toks) GROUP BY w),",
-        f"v0 AS (SELECT list_aggregate(list_transform("
+        f"v0 AS (SELECT w, list_aggregate(list_transform("
         f"string_split(replace(w, {m}, ''), ''), c -> {m}||c), "
         f"'string_agg', ' ') AS syms, cnt "
         f"FROM wc WHERE length(replace(w, {m}, '')) > 0),",
@@ -4771,10 +4773,18 @@ def _duck_bpe_sql(k: int) -> str:
             f"top{r} AS (SELECT pair, n FROM pc{r} "
             f"ORDER BY n DESC, pair LIMIT 1),")
         parts.append(
-            f"v{r} AS (SELECT replace(syms, (SELECT pair FROM top{r}), "
+            f"v{r} AS (SELECT w, replace(syms, (SELECT pair FROM top{r}), "
             f"(SELECT replace(pair, ' '||{m}, '') FROM top{r})) AS syms, "
             f"cnt FROM {prev}),")
     parts[-1] = parts[-1].rstrip(",")
+    if apply:
+        tail = (
+            f"\nSELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+            f"CAST(sum(len(string_split(syms, ' '))) AS BIGINT) "
+            f"AS n_subwords "
+            f"FROM (SELECT doc_id, unnest(t) AS w FROM toks) "
+            f"JOIN v{k} USING (w) GROUP BY doc_id")
+        return "\n".join(parts) + tail
     selects = [
         f"SELECT {r} AS merge_rank, replace(pair, {m}, '') AS pair, "
         f"replace(replace(pair, ' '||{m}, ''), {m}, '') AS new_symbol, "
@@ -4799,6 +4809,24 @@ def bpe_fit_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import bpe as bpe_ops
 
     return bpe_ops.bpe_fit(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register("bpe_encode_lengths", _duck_bpe_sql(5, apply=True))
+def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of BPE (operators.bpe.bpe_apply_counts): per-doc
+    whitespace-word and subword counts under the 5 merges learned by
+    `bpe_fit_merges` — the real token-budget number packing/mixing stages
+    need once a subword vocab exists. The merge chain rewrites only the
+    distinct-word table; the corpus pays one explode + one word→length
+    join + one per-doc agg. Oracle: the same unrolled 5-round CTE chain,
+    ending in the document join instead of the merge list."""
+    from .operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    return bpe_ops.bpe_apply_counts(docs, merges)
 
 
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;

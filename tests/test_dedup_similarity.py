@@ -1231,3 +1231,35 @@ def test_bpe_fit_matches_textbook_reference(spark):
     got = [(r.merge_rank, r.pair, r.new_symbol, r.pair_count)
            for r in bpe.bpe_fit(df, k=6).orderBy("merge_rank").collect()]
     assert got == reference(6)
+
+
+def test_bpe_apply_counts_matches_manual_encode(spark):
+    """bpe_apply_counts: subword counts equal a manual greedy re-encode
+    of each word under the given merges (merged symbols shrink counts;
+    unmerged words keep their char counts)."""
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(0, "low lower low"), (1, "abc a"), (2, "lowlow")],
+        "doc_id int, text string")
+    merges = [("l o", "lo"), ("lo w", "low")]
+
+    def encode_len(word):
+        syms = list(word)
+        for pair, new in merges:
+            a, b = pair.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(new); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.doc_id: (r.n_words, r.n_subwords)
+           for r in bpe.bpe_apply_counts(df, merges).collect()}
+    want = {0: (3, encode_len("low") * 2 + encode_len("lower")),
+            1: (2, encode_len("abc") + encode_len("a")),
+            2: (1, encode_len("lowlow"))}
+    assert got == want
