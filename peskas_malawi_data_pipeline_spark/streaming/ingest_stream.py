@@ -218,6 +218,11 @@ def run_available_now_merge(stream_df: DataFrame, table, keys: list[str],
     non-idempotent foreachBatch sinks, with the pointer commit supplying
     the atomicity.
 
+    The marker is per-TABLE, so one snapshot table belongs to one logical
+    stream: pointing a second stream (or a rebuilt checkpoint whose batch
+    ids restart at 0 over DIFFERENT data) at the same table would be
+    silently skipped as replay. Give each stream its own table root.
+
     Scale: per batch, ONE partial agg of the increment + ONE merge groupBy
     over |keys| rows — cost independent of accumulated history. The full
     snapshot is rewritten per batch (fine for rollups orders of magnitude
