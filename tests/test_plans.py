@@ -897,3 +897,38 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     plan_off = join()._jdf.queryExecution().toString()
     assert "might_contain" not in plan_off
     assert filtered == join().count()
+
+
+def test_versioned_table_audit_detects_corruption(spark, tmp_path):
+    """write_audited commits an order-insensitive content fingerprint
+    with the data; verify_audit passes on the intact table, fails after a
+    data file disappears, and refuses tables written without an audit."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.core.io import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("s"))
+    v = t.write_audited(df.repartition(4), meta={"job": "unit"})
+    audit = t.verify_audit(spark)
+    assert audit["rows"] == 100 and t.read_meta()["job"] == "unit"
+
+    # column order must not matter to the fingerprint
+    assert t._fingerprint(df.select("s", "id")) == audit
+
+    # drop one data file -> mismatch
+    part = sorted(glob.glob(os.path.join(t.data_dir(v), "part-*")))[0]
+    os.remove(part)
+    with pytest.raises(ValueError, match="audit mismatch"):
+        t.verify_audit(spark)
+
+    # plain write has no audit to verify
+    t2 = VersionedParquetTable(str(tmp_path / "t2"))
+    t2.write(df)
+    with pytest.raises(ValueError, match="no recorded audit"):
+        t2.verify_audit(spark)
