@@ -263,15 +263,29 @@ class VersionedParquetTable:
         another. This is the slot idempotent writers use to record their
         progress marker (e.g. the last applied streaming batch id —
         streaming.ingest_stream.run_available_now_merge)."""
+        return self._stage_and_commit(df, partition_by, meta, audit=False)
+
+    def _stage_and_commit(self, df: DataFrame,
+                          partition_by: list[str] | None,
+                          meta: dict | None, audit: bool) -> int:
+        """The ONE transactional staging sequence (write → optional
+        read-back fingerprint → meta → pointer commit) behind both
+        :meth:`write` and :meth:`write_audited` — the commit protocol
+        lives here exactly once."""
         import json
 
         os.makedirs(self.root, exist_ok=True)
         version = (self.current_version() or 0) + 1
         write_table(df, self.data_dir(version), partition_by)
-        if meta is not None:
+        payload = dict(meta) if meta is not None else None
+        if audit:
+            payload = payload or {}
+            payload["audit"] = self._fingerprint(
+                read_table(df.sparkSession, self.data_dir(version)))
+        if payload is not None:
             with open(os.path.join(self.data_dir(version), self.META),
                       "w") as fh:
-                json.dump(meta, fh)
+                json.dump(payload, fh)
         self._commit(version)
         return version
 
@@ -305,20 +319,7 @@ class VersionedParquetTable:
         the version's meta. :meth:`verify_audit` later re-reads and
         compares — the cheap integrity check a 100 TB table wants after
         storage migrations, manual surgery, or suspected corruption."""
-        import json
-
-        os.makedirs(self.root, exist_ok=True)
-        version = (self.current_version() or 0) + 1
-        write_table(df, self.data_dir(version), partition_by)
-        spark = df.sparkSession
-        audit = self._fingerprint(read_table(spark, self.data_dir(version)))
-        payload = dict(meta or {})
-        payload["audit"] = audit
-        with open(os.path.join(self.data_dir(version), self.META),
-                  "w") as fh:
-            json.dump(payload, fh)
-        self._commit(version)
-        return version
+        return self._stage_and_commit(df, partition_by, meta, audit=True)
 
     def verify_audit(self, spark: SparkSession) -> dict:
         """Recompute the committed version's fingerprint and compare with

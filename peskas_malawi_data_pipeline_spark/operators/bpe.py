@@ -28,16 +28,23 @@ from ..functions import text as T
 MARKER = "\x1f"
 
 
+def _sym_expr(word_col):
+    """Marker-encoded symbolization of a word column — THE shared
+    encoding: fit and encode must agree byte-for-byte or learned merges
+    silently stop matching (n_subwords would degrade to char counts with
+    no error), so both build it here."""
+    clean = F.regexp_replace(word_col, MARKER, "")
+    chars = F.filter(F.split(clean, "(?!^)"), lambda c: c != "")
+    return F.concat_ws(" ", F.transform(
+        chars, lambda c: F.concat(F.lit(MARKER), c)))
+
+
 def _symbolized_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """Weighted vocabulary with each word as a marker-encoded symbol
     string: ``(syms, cnt)``. The ONLY corpus-scale step."""
     words = (df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
-    clean = F.regexp_replace(F.col("w"), MARKER, "")
-    chars = F.filter(F.split(clean, "(?!^)"), lambda c: c != "")
-    syms = F.concat_ws(" ", F.transform(
-        chars, lambda c: F.concat(F.lit(MARKER), c)))
-    return (words.select(syms.alias("syms"), "cnt")
+    return (words.select(_sym_expr(F.col("w")).alias("syms"), "cnt")
             .filter(F.length("syms") > 0))
 
 
@@ -98,11 +105,7 @@ def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
     emptied by marker sanitization drop out of both sides identically."""
     words = (df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
              .distinct())
-    clean = F.regexp_replace(F.col("w"), MARKER, "")
-    chars = F.filter(F.split(clean, "(?!^)"), lambda c: c != "")
-    syms = F.concat_ws(" ", F.transform(
-        chars, lambda c: F.concat(F.lit(MARKER), c)))
-    enc = words.select("w", syms.alias("syms")) \
+    enc = words.select("w", _sym_expr(F.col("w")).alias("syms")) \
         .filter(F.length("syms") > 0)
     col = F.col("syms")
     for pair, new_symbol in merges:

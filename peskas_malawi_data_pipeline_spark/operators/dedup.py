@@ -988,7 +988,10 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sets = materialize(df.select(
         F.col(id_col).alias("id"),
         T.word_shingles(F.col(text_col), shingle_n).alias("s"))
-        .withColumn("n", F.size("s"))
+        # long from the start: every ppm bound below multiplies n by up to
+        # 1e6, which overflows int32 at ~2148 shingles — ANSI job crash,
+        # or silent filter falsehood (dropped qualifying pairs) without
+        .withColumn("n", F.size("s").cast("long"))
         .filter(F.col("n") > 0))
     post = sets.select("id", F.explode("s").alias("tok"))
     dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

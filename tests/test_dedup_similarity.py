@@ -1263,3 +1263,19 @@ def test_bpe_apply_counts_matches_manual_encode(spark):
             1: (2, encode_len("abc") + encode_len("a")),
             2: (1, encode_len("lowlow"))}
     assert got == want
+
+
+def test_prefix_jaccard_pairs_survives_int32_ppm_overflow(spark):
+    """Regression: documents with >2148 shingles push n*1e6 past int32;
+    the ppm size/prefix bounds must run in long arithmetic or qualifying
+    pairs crash (ANSI) / silently vanish (non-ANSI)."""
+    from peskas_malawi_data_pipeline_spark.operators import dedup
+
+    words = [f"w{i}" for i in range(2600)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["zz"])          # near-identical twin
+    df = spark.createDataFrame([(0, a), (1, b), (2, "tiny doc here")],
+                               "doc_id int, text string")
+    out = dedup.prefix_jaccard_pairs(df, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].n_union > 2148               # the overflow regime
