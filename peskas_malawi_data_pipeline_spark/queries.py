@@ -4829,6 +4829,87 @@ def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ops.bpe_apply_counts(docs, merges)
 
 
+@register("grouping_sets_mixed", """
+SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderstatus), ())
+""")
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third grouping-multiset form next to
+    `cube_totals` and `rollup_totals`, pinning the case neither covers: an
+    arbitrary, non-lattice selection of granularities ((prio,status),
+    (status), ()) with the grouping-bit layout. PySpark's DataFrame API
+    exposes cube/rollup but not arbitrary sets, so this goes through
+    `spark.sql` over a temp view — the same Catalyst logical plan either
+    way: one Expand + partial agg + ONE shuffle (the plan property the
+    rollup test asserts); decimal sums keep totals bit-exact."""
+    o = _t(spark, sf_dir, "orders")
+    view = "__orders_gsets"
+    o.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())""")
+
+
+@register("drift_alert", """
+WITH wk AS (SELECT date_trunc('week', ts) AS wk, event_type FROM events),
+counts AS (SELECT wk, event_type, count(*) AS cnt FROM wk GROUP BY 1, 2),
+grid AS (SELECT w.wk, t.event_type
+         FROM (SELECT DISTINCT wk FROM counts) w,
+              (SELECT DISTINCT event_type FROM counts) t),
+dense AS (SELECT g.wk, g.event_type, coalesce(c.cnt, 0) AS cnt
+          FROM grid g LEFT JOIN counts c
+          ON g.wk = c.wk AND g.event_type = c.event_type),
+shares AS (SELECT wk, event_type, cnt,
+                  cnt * 1000000 // sum(cnt) OVER (PARTITION BY wk)
+                    AS share_ppm
+           FROM dense),
+lagd AS (SELECT wk, cnt, share_ppm,
+                lag(share_ppm) OVER (PARTITION BY event_type ORDER BY wk)
+                  AS prev_ppm
+         FROM shares),
+drift AS (SELECT wk, sum(abs(share_ppm - prev_ppm)) AS l1
+          FROM lagd GROUP BY wk),
+med AS (SELECT median(l1) AS m FROM drift WHERE l1 IS NOT NULL)
+SELECT strftime(wk, '%Y-%m-%d') AS week_start,
+       CAST(l1 AS BIGINT) AS l1_drift_ppm,
+       coalesce(l1 > 2 * m, false) AS drift_alert
+FROM drift, med
+""")
+def drift_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting on the drift monitor — the composition a pipeline actually
+    deploys: `distribution_drift`'s weekly L1 series, flagged where a week
+    exceeds 2× the median drift (the scale-free threshold that needs no
+    per-corpus tuning; the first week has nothing to drift
+    from: its l1 stays NULL and its alert is defined FALSE — no evidence,
+    no alert, and no NULL boolean for engines to render differently).
+    Reuses the drift query wholesale; the alert adds one
+    answer-sized median + a broadcast scalar join."""
+    drift = distribution_drift(spark, sf_dir) \
+        .select("week_start", "l1_drift_ppm")
+    med = drift.filter(F.col("l1_drift_ppm").isNotNull()) \
+        .agg(F.median("l1_drift_ppm").alias("__m"))
+    return (drift.crossJoin(F.broadcast(med))
+            .select("week_start", "l1_drift_ppm",
+                    F.coalesce(F.col("l1_drift_ppm") > 2 * F.col("__m"),
+                               F.lit(False)).alias("drift_alert")))
+
+
 # Completes the TPC-H shape coverage (Q6-Q21) + profiling/audit utilities;
 # imported for its registration side effects (must stay the last statement:
 # it imports back from this module).
