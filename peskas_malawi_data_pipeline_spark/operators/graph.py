@@ -77,6 +77,16 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
         raise ValueError(
             f"broadcast_scores must be True, False, or 'auto' "
             f"(got {broadcast_scores!r})")
+    if checkpoint_interval < 1:
+        # same pre-materialization rule: 0 would only surface as a
+        # ZeroDivisionError AFTER the edge checkpoint was paid for
+        raise ValueError(
+            f"checkpoint_interval must be >= 1 (got {checkpoint_interval})")
+    if not 0 <= damping_pct <= 100:
+        # outside [0,100] the teleport base goes negative and 'scores'
+        # silently turn to garbage instead of erroring
+        raise ValueError(f"damping_pct must be in [0, 100] "
+                         f"(got {damping_pct})")
     nodes = materialize(edges.select(F.col(src).alias("id"))
                         .union(edges.select(F.col(dst).alias("id")))
                         .distinct())
@@ -94,7 +104,9 @@ def pagerank_integer(edges: DataFrame, iterations: int = 5,
     for i in range(iterations):
         s = F.broadcast(scores) if broadcast_scores else scores
         contrib = (e.join(s, e[src] == s.id)
-                   .select(F.col(dst).alias("id"),
+                   # e-qualified: a dst column itself named 'id' would
+                   # otherwise be ambiguous against the score frame's id
+                   .select(e[dst].alias("id"),
                            F.expr("score_micro div __deg").alias("__c")))
         gathered = contrib.groupBy("id").agg(F.sum("__c").alias("__sum"))
         # under broadcast_scores, gathered is node-sized too — broadcasting

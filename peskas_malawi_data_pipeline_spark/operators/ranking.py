@@ -25,13 +25,12 @@ from pyspark.sql import functions as F
 from ..core.barrier import materialize
 
 
-def global_row_number(df: DataFrame, order_by: list[str | Column],
-                      out_col: str = "rn",
-                      buckets: int | None = None) -> DataFrame:
-    """Global 1-based ``row_number`` by ``order_by`` without a global
-    window. ``order_by`` must be a total order (add a unique tie-break) —
-    with ties the assignment within a tie-group would be partitioner-
-    dependent, same as plain ``row_number``."""
+def _ranked_with_counts(df: DataFrame, order_by: list[str | Column],
+                        out_col: str, buckets: int | None):
+    """Shared two-pass rank core: returns ``(ranked, counts)`` where
+    ``counts`` is the materialized |buckets|-row per-bucket count frame —
+    consumers needing the grand total (global_ntile) sum THAT instead of
+    re-scanning the ranked table."""
     buckets = buckets or df.sparkSession.sparkContext.defaultParallelism
     # materialized barrier: `part` feeds TWO plan branches (the per-bucket
     # counts and the ranked join). Without it the range exchange can run
@@ -42,7 +41,10 @@ def global_row_number(df: DataFrame, order_by: list[str | Column],
     # hinge on an optimizer rule that AQE or a conf flag can disable.
     part = materialize(df.repartitionByRange(buckets, *order_by)
                        .withColumn("__pid", F.spark_partition_id()))
-    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # |buckets| rows, materialized: offsets AND any total derived from it
+    # read the tiny cached frame, never the table again
+    counts = materialize(part.groupBy("__pid")
+                         .agg(F.count(F.lit(1)).alias("__c")))
     # |buckets| rows: the only globally-ordered window in the plan. Spark
     # logs "WindowExec: No Partition Defined ... moving all data to a
     # single partition" here — EXPECTED and harmless: the frame is the
@@ -54,10 +56,21 @@ def global_row_number(df: DataFrame, order_by: list[str | Column],
         "__pid",
         F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"))
     w_loc = Window.partitionBy("__pid").orderBy(*order_by)
-    return (part.withColumn("__lr", F.row_number().over(w_loc))
-            .join(F.broadcast(offsets), "__pid")
-            .withColumn(out_col, F.col("__off") + F.col("__lr"))
-            .drop("__pid", "__c", "__off", "__lr"))
+    ranked = (part.withColumn("__lr", F.row_number().over(w_loc))
+              .join(F.broadcast(offsets), "__pid")
+              .withColumn(out_col, F.col("__off") + F.col("__lr"))
+              .drop("__pid", "__c", "__off", "__lr"))
+    return ranked, counts
+
+
+def global_row_number(df: DataFrame, order_by: list[str | Column],
+                      out_col: str = "rn",
+                      buckets: int | None = None) -> DataFrame:
+    """Global 1-based ``row_number`` by ``order_by`` without a global
+    window. ``order_by`` must be a total order (add a unique tie-break) —
+    with ties the assignment within a tie-group would be partitioner-
+    dependent, same as plain ``row_number``."""
+    return _ranked_with_counts(df, order_by, out_col, buckets)[0]
 
 
 def global_ntile(df: DataFrame, order_by: list[str | Column], n_tiles: int,
@@ -69,9 +82,15 @@ def global_ntile(df: DataFrame, order_by: list[str | Column], n_tiles: int,
     n_tiles`` tiles hold ``n div n_tiles + 1`` rows, the rest ``n div
     n_tiles`` — computed arithmetically from the two-pass global rank, so
     the result is bit-identical to ``F.ntile`` over a total order."""
-    ranked = global_row_number(df, order_by, out_col="__grank",
-                               buckets=buckets)
-    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    if n_tiles < 1:
+        # `% 0` / `div 0` are NULL without ANSI: every tile would silently
+        # come out NULL instead of erroring (shuffle_shards has the same
+        # guard on its analogous parameter)
+        raise ValueError(f"n_tiles must be >= 1 (got {n_tiles})")
+    ranked, counts = _ranked_with_counts(df, order_by, "__grank", buckets)
+    # grand total from the |buckets|-row count frame — never a second pass
+    # over the ranked table
+    total = counts.agg(F.sum("__c").cast("long").alias("__n"))
     # all-integer arithmetic (`div`/`%`); when n < n_tiles every rank lands
     # in the first branch (rem = n, size 1), so the ELSE's div-by-q is
     # unreachable there

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.barrier import materialize
 from ..functions import text as TX
 
 
@@ -30,6 +31,16 @@ def weighted_systematic_sample(df: DataFrame, weight_col: str, n: int,
     ``weight_col`` (systematic/low-variance; rows heavier than the stride
     are always selected). Returns the input columns plus ``sample_key``.
     """
+    if n < 1:
+        # n=0 would make `__total div 0` NULL, greatest(1, NULL) skip the
+        # NULL, and the stride collapse to 1 — silently returning ~the
+        # whole table when the caller asked for nothing
+        raise ValueError(f"n must be >= 1 (got {n})")
+    if n_shards < 1:
+        # `% 0` is NULL: every row would land in one NULL shard and the
+        # per-shard window would funnel the whole table — the exact cliff
+        # this module exists to avoid (shuffle_shards has the same guard)
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
     key = TX.md5_prefix_hash(F.col(id_col).cast("string"), seed="samp:")
     base = (df.withColumn("__key", key)
             .withColumn("__shard", (F.col("__key") % n_shards).cast("int")))
@@ -38,7 +49,12 @@ def weighted_systematic_sample(df: DataFrame, weight_col: str, n: int,
                .rowsBetween(Window.unboundedPreceding, 0))
     base = base.withColumn("__local_cum", F.sum(weight_col).over(w_local))
 
-    totals = base.groupBy("__shard").agg(F.sum(weight_col).alias("__shard_w"))
+    # materialized: the n_shards-row totals feed TWO branches (offsets and
+    # the grand total) and sit on top of the full hash+shard pipeline —
+    # without the barrier each branch re-scans the table (the same
+    # multi-consumer hazard ranking.py documents against exchange reuse)
+    totals = materialize(base.groupBy("__shard")
+                         .agg(F.sum(weight_col).alias("__shard_w")))
     w_off = (Window.orderBy("__shard")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(

@@ -1819,7 +1819,9 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files dominate again at 16.
     with st.stream_state_partitions(spark, 8):
         st.run_available_now_upsert(sessions, out, ckpt)
-    return st.read_upsert_result(spark, out, ["user_id", "session_start_s"])
+    return (st.read_upsert_result(spark, out,
+                                  ["user_id", "session_start_s"])
+            .filter(F.col("n_events") >= 0))   # drop tombstoned keys
 
 
 def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1851,7 +1853,9 @@ def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same Python-worker scaling argument as streaming_sessionize: 8 > 4
     with st.stream_state_partitions(spark, 8):
         st.run_available_now_upsert(sessions, out, ckpt)
-    return st.read_upsert_result(spark, out, ["user_id", "session_start_s"])
+    return (st.read_upsert_result(spark, out,
+                                  ["user_id", "session_start_s"])
+            .filter(F.col("n_events") >= 0))   # drop tombstoned keys
 
 
 # ---------------------------------------------------------------------------

@@ -340,7 +340,7 @@ def test_tws_timer_protocol_no_stale_eviction():
     list(proc.handleInputRows((1,), batch(2000), TV(0)))
     t2 = (2000 + gap + 1) * 1000
     assert handle.timers == {t2}
-    assert handle.state.get() == (1000, 2000, 3, t2)
+    assert handle.state.get() == ([1000], [2000], [3], t2)
 
     # a stale timer firing anyway must not evict the open session
     list(proc.handleExpiredTimer((1,), TV(t1), Expired(t1)))
@@ -490,3 +490,58 @@ def test_merge_sink_exactly_once_and_incremental(spark, tmp_path):
     with st.stream_state_partitions(spark, 2):
         drain("ckpt2")
     assert {r.user_id: (r.n, r.s) for r in table.read(spark).collect()} == got
+
+
+def test_sessionize_pre_start_arrivals_exact(spark, tmp_path):
+    """Events OLDER than every open session's start (but above the
+    watermark) must resolve exactly like the batch recompute: backward
+    extension retires the old sink key via a tombstone; an earlier
+    separate session stands alone; and a later bridge event merges two
+    carried summaries into one. This is the case the single-summary
+    clamp formulation silently got wrong."""
+    import time
+
+    from peskas_malawi_data_pipeline_spark.streaming import (
+        ingest_stream, stateful)
+
+    t0 = dt.datetime(2024, 3, 5, 8, 0, 0)
+    e = int(t0.timestamp())
+    mk = lambda eid, m: Row(event_id=eid, user_id=1,
+                            ts=t0 + dt.timedelta(minutes=m))
+
+    src = tmp_path / "landing"; src.mkdir()
+    batches = [
+        # b1: session opens at +100 min
+        [mk(1, 100), mk(2, 110)],
+        # b2: +80 min is OLDER than the open start but within the gap ->
+        # backward extension (key moves 100 -> 80; old key tombstoned);
+        # +5 min is an EARLIER separate session (gap to 80 min is 75 min)
+        [mk(3, 80), mk(4, 5)],
+        # b3: +40 min bridges [5,5] and [80,110] into ONE session at +5
+        # (gap 35 min on one side, 40 min on the other... both > 30?)
+        [mk(5, 50)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows).toPandas().to_parquet(
+            str(src / f"f{i}.parquet"), coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        time.sleep(1.1)
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src))
+              .withWatermark("ts", "4 hours"))
+    sessions = stateful.stateful_sessionize(stream, gap_s=1800)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ingest_stream.run_available_now_upsert(sessions, out, ckpt)
+    resolved = (ingest_stream.read_upsert_result(
+        spark, out, ["user_id", "session_start_s"])
+        .filter("n_events >= 0"))
+    got = {(r.user_id, r.session_start_s): (r.n_events, r.duration_s)
+           for r in resolved.collect()}
+
+    # batch truth: minutes 5, 50, 80, 100, 110 -> gaps 45,30,20,10 min;
+    # 45 > 30 splits; 30 == gap does NOT split (strict >)
+    want = {(1, e + 5 * 60): (1, 0),
+            (1, e + 50 * 60): (4, 60 * 60)}
+    assert got == want
