@@ -106,3 +106,96 @@ def test_word_shingles_match_duckdb_on_whitespace_fuzz(spark, seed):
         assert len(got[i]) == len(set(got[i])), (i, got[i])
         assert sorted(got[i]) == sorted(want[i]), \
             (i, repr(strs[i]), got[i], want[i])
+
+
+@pytest.mark.parametrize("seed", [23])
+def test_strip_markup_matches_duckdb_on_fuzz(spark, seed):
+    """Cross-engine totality of the markup stripper: tag patterns,
+    entities (incl. double-encoded), angle-bracket junk, and whitespace
+    runs produce the SAME cleaned string from the Spark regexp chain and
+    the oracle's regexp_replace+replace chain."""
+    rng = random.Random(seed)
+    pieces = ["<b>", "</b>", "<img src='x'>", "<", ">", "<<", ">>",
+              "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+              "&amp;lt;", "&bogus;", "word", "a.b", "1", ""] + _WS
+    strs: list[str | None] = [None, "", "<>", "<a", "a>"]
+    for _ in range(200):
+        strs.append("".join(rng.choice(pieces)
+                            for _ in range(rng.randint(0, 15))))
+
+    df = spark.createDataFrame([Row(i=i, text=s) for i, s in enumerate(strs)],
+                               "i int, text string")
+    got = {r.i: r.c for r in
+           df.select("i", T.strip_markup(F.col("text")).alias("c")).collect()}
+
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        {"i": range(len(strs)), "text": strs}))
+    sql = f"""
+      SELECT i, trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(text, '{T.MARKUP_TAG_RE}', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        '[\\s\\v]+', ' ', 'g')) AS c FROM docs"""
+    want = {i: c for i, c in con.sql(sql).fetchall()}
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == want[i], (i, repr(strs[i]), got[i], want[i])
+
+
+@pytest.mark.parametrize("seed", [31])
+def test_gopher_struct_matches_duckdb_on_fuzz(spark, seed):
+    """Cross-engine totality of the Gopher signals: the integer ppm/micro
+    arithmetic, '#'/'...' symbol counting, alphabetic-word and stop-hit
+    counts agree with the oracle's DuckDB formulation on whitespace/symbol
+    fuzz (incl. NULL/empty/whitespace-only documents)."""
+    rng = random.Random(seed)
+    pieces = (["the", "of", "with", "#", "##", "...", "....", "x" * 30,
+               "名", "a1"] + list(_WS))
+    strs: list[str | None] = [None, "", " ", "# # #", "... ..."]
+    for _ in range(200):
+        strs.append(" ".join(rng.choice(pieces)
+                             for _ in range(rng.randint(0, 25))))
+
+    df = spark.createDataFrame([Row(i=i, text=s) for i, s in enumerate(strs)],
+                               "i int, text string")
+    got = {r.i: (r.g["n_words"], r.g["mean_word_len_u"],
+                 r.g["symbol_word_ppm"], r.g["alpha_word_ppm"],
+                 r.g["n_stop_hits"])
+           for r in df.select(
+               "i", F.explode(F.array(T.gopher_struct(F.col("text"))))
+               .alias("g")).collect()}
+
+    stop_list = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        {"i": range(len(strs)), "text": strs}))
+    sql = f"""
+      WITH toks AS (SELECT i, text, {_DUCK_TOKS} AS t FROM docs),
+      feat AS (SELECT i,
+        CAST(len(t) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+             AS BIGINT) AS char_sum,
+        CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+             AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(t, x -> list_contains([{stop_list}], x)))
+             AS BIGINT) AS n_stop,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+          + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                 AS BIGINT) AS symbols
+       FROM toks)
+      SELECT i, n_words,
+        CASE WHEN n_words > 0 THEN char_sum * 1000000 // n_words
+             WHEN n_words = 0 THEN 0 END AS mwl,
+        CASE WHEN n_words > 0 THEN symbols * 1000000 // n_words
+             WHEN n_words = 0 THEN 0 END AS sym,
+        CASE WHEN n_words > 0 THEN n_alpha * 1000000 // n_words
+             WHEN n_words = 0 THEN 0 END AS alpha,
+        n_stop
+      FROM feat"""
+    want = {i: (n, m, s, a, h)
+            for i, n, m, s, a, h in con.sql(sql).fetchall()}
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == want[i], (i, repr(strs[i]), got[i], want[i])
