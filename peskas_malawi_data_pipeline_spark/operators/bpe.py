@@ -4,20 +4,51 @@ The reference pipeline has no tokenizer-training stage; a training-data
 engine needs one. The structure that makes BPE tractable at 100 TB is that
 after ONE distributed pass (word counts), every merge round operates on
 the weighted VOCABULARY — orders of magnitude smaller than the corpus —
-so the iterative part is k cheap aggregations over a frame that keeps
-shrinking in symbol count, never a corpus rescan.
+so the iterative part never rescans the corpus. Three fit strategies,
+all producing BIT-IDENTICAL merge sequences (differentially tested):
+
+- ``local``: collect the weighted vocabulary to the driver and run the
+  textbook sequential algorithm with a lazy max-heap and incremental
+  pair-count maintenance — the shape of Sennrich's reference trainer.
+  O(1) Spark jobs regardless of ``k``; the right path whenever the
+  vocabulary fits driver memory (a 100 TB web corpus has ~10⁸ distinct
+  words — a few GB — while the corpus itself never moves).
+- ``batched``: distributed rounds that learn SEVERAL merges per round —
+  the top pairs that share no symbol, guarded so no pair created by an
+  earlier merge in the batch could out-rank (or tie by count with) a
+  later one (see :func:`_safe_merge_batch` for the exactness argument).
+  Spark jobs ≈ 2·k/avg_batch instead of 2·k.
+- ``rounds``: one merge per distributed round — the k=5 oracle shape and
+  the differential anchor for the other two.
+- ``auto`` (default): ``local`` when a cheap count shows the vocabulary
+  is within ``local_vocab_limit`` rows, else ``batched``.
 
 Symbols are encoded as a marker-prefixed space-joined string
 (``\\x1f`` + symbol, joined by single spaces): the marker makes the merge
 a plain non-overlapping left-to-right string ``replace`` — exactly the
 textbook greedy merge — with no lookaround regex (which RE2-based oracle
 engines lack) and no false suffix matches (``xa b`` can never match the
-pattern for ``a b`` because markers only occur at symbol starts). Marker
+pattern for ``a b`` because markers only occur at symbol starts). The
+RIGHT boundary needs the same care: the rewrite runs over the
+trailing-space-sentinel form ``syms || ' '`` replacing
+``\\x1fa \\x1fb `` with ``\\x1fab `` so the second symbol must END at a
+space — a bare ``\\x1fa \\x1fb`` pattern would also match where the
+second symbol merely STARTS with ``b`` (e.g. symbols ``a``,``bc`` after
+an earlier ``(b,c)`` merge), corrupting later-round vocabularies. Marker
 characters are stripped from input words first, so adversarial input
-cannot forge symbol boundaries.
+cannot forge symbol boundaries; symbols never contain ASCII spaces
+(tokenization splits on whitespace), so ``rtrim`` removes exactly the
+sentinel.
+
+Tie-breaks are identical everywhere: (count DESC, marker-encoded pair
+string ASC). Spark compares strings by UTF-8 bytes and Python by code
+points — UTF-8 is code-point-order-preserving, so the two orders agree.
 """
 
 from __future__ import annotations
+
+import heapq
+from collections import defaultdict
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,6 +57,17 @@ from ..core.barrier import materialize
 from ..functions import text as T
 
 MARKER = "\x1f"
+
+# auto-strategy cutover: vocabularies at or under this many distinct words
+# are collected and fitted on the driver (rows are (word-sized string,
+# int64) — 2M rows is low hundreds of MB, well inside any driver heap).
+DEFAULT_LOCAL_VOCAB_LIMIT = 2_000_000
+
+# batched strategy: how many top pairs to collect per round as batch
+# candidates. The batch is usually much smaller (the guard truncates at
+# the first symbol collision); collecting more than we can ever select
+# just wastes a slightly wider limit-N on a vocabulary-sized aggregate.
+_BATCH_CANDIDATES = 64
 
 
 def _sym_expr(word_col):
@@ -48,45 +90,242 @@ def _symbolized_vocab(df: DataFrame, text_col: str) -> DataFrame:
             .filter(F.length("syms") > 0))
 
 
-def bpe_fit(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    """Learn the first ``k`` BPE merges from the corpus: per round, count
-    adjacent symbol pairs weighted by word frequency, take the most
-    frequent (ties broken by pair string — fully deterministic), rewrite
-    the vocabulary with the merged symbol, repeat. Returns
-    ``(merge_rank, pair, new_symbol, pair_count)`` — markers stripped.
+def _display(pair: str, new_sym: str) -> tuple[str, str]:
+    """Marker-encoded (pair, new_symbol) → display form (markers
+    stripped), shared by every strategy so output rows are identical."""
+    return pair.replace(MARKER, ""), new_sym.replace(MARKER, "")
 
-    Plan: one corpus shuffle (word counts), then per round one
-    vocabulary-sized pair aggregation + a 1-row argmax collected to the
-    driver (the collected row IS the result being learned) + one pure-map
-    rewrite. Each round's vocabulary is re-materialized so the k-deep
-    rewrite chain never re-executes upstream rounds."""
+
+def _merged_symbol(pair: str) -> str:
+    """``\\x1fa \\x1fb`` → ``\\x1fab`` (still marker-encoded)."""
+    return pair.replace(" " + MARKER, "")
+
+
+def bpe_fit(df: DataFrame, text_col: str = "text", k: int = 5,
+            strategy: str = "auto",
+            local_vocab_limit: int = DEFAULT_LOCAL_VOCAB_LIMIT) -> DataFrame:
+    """Learn the first ``k`` BPE merges from the corpus: per merge, count
+    adjacent symbol pairs weighted by word frequency, take the most
+    frequent (ties broken by the marker-encoded pair string — fully
+    deterministic), rewrite the vocabulary with the merged symbol,
+    repeat. Returns ``(merge_rank, pair, new_symbol, pair_count)`` —
+    markers stripped. All strategies return identical rows; they differ
+    only in job structure (module docstring).
+
+    Plan: one corpus shuffle (word counts) in every strategy. ``local``
+    adds one count + one vocabulary collect and zero per-merge jobs;
+    ``batched``/``rounds`` add per ROUND one vocabulary-sized pair
+    aggregation + an answer-sized argmax collect (the collected rows ARE
+    the merges being learned) + one pure-map rewrite, with each round's
+    vocabulary re-materialized so the rewrite chain never re-executes
+    upstream rounds.
+    """
+    if strategy not in {"auto", "local", "batched", "rounds"}:
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = df.sparkSession
     vocab = materialize(_symbolized_vocab(df, text_col))
+    if strategy == "auto":
+        strategy = ("local" if vocab.count() <= local_vocab_limit
+                    else "batched")
+    if strategy == "local":
+        merges = _fit_local(
+            [(r["syms"], int(r["cnt"])) for r in vocab.collect()], k)
+    else:
+        merges = _fit_distributed(vocab, k,
+                                  batched=(strategy == "batched"))
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, pair string, new_symbol string, pair_count long")
+
+
+def _pair_rows(vocab: DataFrame):
+    """Adjacent-pair list per vocabulary row (marker-encoded
+    ``"\\x1fa \\x1fb"`` strings), weighted by word count."""
     t = F.split(F.col("syms"), " ")
     # sequence(1, 0) counts DOWN in Spark, so single-symbol words need an
     # explicit empty-pairs branch, not a clamped upper bound
-    pair_list = T.bound(t, lambda s: F.when(
+    return T.bound(t, lambda s: F.when(
         F.size(s) > 1,
         F.transform(
             F.sequence(F.lit(1), F.size(s) - 1),
             lambda i: F.concat(F.get(s, i - 1), F.lit(" "), F.get(s, i))))
         .otherwise(F.array().cast("array<string>")))
-    merges = []
-    for rank in range(1, k + 1):
+
+
+def _fit_distributed(vocab: DataFrame, k: int, batched: bool) -> list:
+    """Distributed merge rounds; one merge per round when ``batched`` is
+    False, a :func:`_safe_merge_batch` per round when True. Exactly the
+    sequential merge sequence either way."""
+    pair_list = _pair_rows(vocab)
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < k:
+        want = k - len(merges)
+        n_cand = min(_BATCH_CANDIDATES, want * 4) if batched else 1
         top = (vocab.select(F.explode(pair_list).alias("pair"), "cnt")
                .groupBy("pair").agg(F.sum("cnt").alias("n"))
-               .orderBy(F.desc("n"), "pair").limit(1).collect())
+               .orderBy(F.desc("n"), "pair").limit(n_cand).collect())
         if not top:
             break
-        pair, n = top[0].pair, top[0].n
-        new_sym = pair.replace(" " + MARKER, "")
-        merges.append((rank, pair.replace(MARKER, ""),
-                       new_sym.replace(MARKER, ""), int(n)))
-        vocab = materialize(vocab.withColumn(
-            "syms", F.replace(F.col("syms"), F.lit(pair), F.lit(new_sym))))
-    return spark.createDataFrame(
-        merges,
-        "merge_rank long, pair string, new_symbol string, pair_count long")
+        rows = [(r["pair"], int(r["n"])) for r in top]
+        batch = (_safe_merge_batch(rows, want,
+                                   truncated=len(rows) == n_cand)
+                 if batched else rows[:1])
+        # trailing-space sentinel: both symbols must END at a space, so a
+        # pair (a, b) never matches a longer second symbol starting with
+        # b. Batch pairs are symbol-disjoint, so the chained replaces
+        # neither feed nor mask each other — one rewrite, one barrier.
+        col = F.concat(F.col("syms"), F.lit(" "))
+        for pair, n in batch:
+            new_sym = _merged_symbol(pair)
+            dp, dn = _display(pair, new_sym)
+            merges.append((len(merges) + 1, dp, dn, n))
+            col = F.replace(col, F.lit(pair + " "), F.lit(new_sym + " "))
+        vocab = materialize(vocab.withColumn("syms", F.rtrim(col)))
+    return merges
+
+
+def _safe_merge_batch(rows: list[tuple[str, int]], want: int,
+                      truncated: bool) -> list[tuple[str, int]]:
+    """Select a prefix of the count-ordered pair list that is PROVABLY the
+    next merges sequential BPE would learn, so a whole batch can be
+    applied in one vocabulary rewrite.
+
+    ``rows`` is the global pair ranking ``[(marker-encoded pair, count)]``
+    sorted by (count DESC, pair ASC) — the exact sequential pick order.
+    Applying merge ``(a, b) → ab`` changes pair counts in only three
+    ways: pairs touching ``a`` or ``b`` DECREASE, brand-new pairs touching
+    ``ab`` appear, and every symbol-disjoint pair is untouched. A created
+    pair ``(x, ab)`` occurs only where ``(x, a)`` occurred, so its count
+    is bounded by the OLD count of some pair sharing a symbol with the
+    applied merge. Therefore the i-th tentative pick equals sequential's
+    i-th merge provided (1) it shares no symbol with earlier picks (its
+    count is then still its old count) and (2) its count STRICTLY exceeds
+    the count of every non-picked pair sharing a symbol with any earlier
+    pick — strict, because at equal counts a created pair could win the
+    string tie-break and we cannot rank a string we haven't built.
+
+    Selection: greedy symbol-disjoint prefix (stop at the first
+    collision — later disjoint pairs rank below the colliding pair and
+    created pairs may reach its count), then truncate to picks whose
+    count strictly exceeds every overlapping non-picked candidate,
+    re-checking until stable (truncation only shrinks the overlap set, so
+    this converges and errs conservative). When ``rows`` was truncated by
+    the collect limit, unseen pairs can count at most ``rows[-1]``'s
+    count — fold that into the guard. The first pick is always the true
+    argmax, so the worst case degrades to one merge per round, never to a
+    wrong merge.
+    """
+    picked: list[tuple[str, int]] = []
+    used: set[str] = set()
+    for pair, n in rows:
+        if len(picked) >= want:
+            break
+        a, b = pair.split(" ")
+        if a in used or b in used:
+            break
+        picked.append((pair, n))
+        # also reserve the merged symbol: no candidate in `rows` can
+        # contain it (merges only ever concatenate, so symbol `ab` existing
+        # would mean (a, b) was already merged) — defensive, costs nothing
+        used.update((a, b, _merged_symbol(pair)))
+    while len(picked) > 1:
+        symbols = set()
+        for pair, _ in picked:
+            symbols.update(pair.split(" "))
+        floor = rows[-1][1] if truncated else -1
+        guard = floor
+        picked_set = {p for p, _ in picked}
+        for pair, n in rows:
+            if pair in picked_set:
+                continue
+            a, b = pair.split(" ")
+            if a in symbols or b in symbols:
+                guard = max(guard, n)
+        keep = [picked[0]]
+        for pair, n in picked[1:]:
+            if n > guard:
+                keep.append((pair, n))
+            else:
+                break
+        if len(keep) == len(picked):
+            break
+        picked = keep
+    return picked
+
+
+def _fit_local(rows: list[tuple[str, int]], k: int) -> list:
+    """Sequential BPE over a driver-resident weighted vocabulary: lazy
+    max-heap of pair counts + incremental per-merge maintenance (only
+    words CONTAINING the merged pair are rewritten, found through an
+    occurrence index) — the classic trainer structure, O(affected words)
+    per merge instead of a vocabulary scan.
+
+    The heap is lazy: counts change without removing stale entries; a
+    popped entry is trusted only if it matches the live count, else it is
+    refreshed. The occurrence index may hold stale word ids (words
+    rewritten since insertion) — the rewrite re-checks containment.
+    Ordering key ``(-count, pair string)`` reproduces the distributed
+    ``ORDER BY n DESC, pair`` exactly (module docstring: UTF-8 vs
+    code-point order agree)."""
+    words: list[tuple[list[str], int]] = [
+        (syms.split(" "), cnt) for syms, cnt in rows]
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wid, (s, c) in enumerate(words):
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] += c
+            where[p].add(wid)
+    heap = [(-n, a + " " + b, (a, b)) for (a, b), n in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        while heap:
+            negn, pstr, p = heap[0]
+            live = counts.get(p, 0)
+            if live == -negn and live > 0:
+                break
+            heapq.heappop(heap)
+            if live > 0:
+                heapq.heappush(heap, (-live, pstr, p))
+        if not heap:
+            break
+        negn, pstr, (a, b) = heapq.heappop(heap)
+        n = -negn
+        merged = a + b[len(MARKER):]
+        dp, dn = _display(pstr, merged)
+        merges.append((rank, dp, dn, n))
+        for wid in where.pop((a, b), ()):
+            s, c = words[wid]
+            out: list[str] = []
+            i, L = 0, len(s)
+            changed = False
+            while i < L:
+                if i < L - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(s[i])
+                    i += 1
+            if not changed:          # stale index entry
+                continue
+            for i in range(len(s) - 1):
+                q = (s[i], s[i + 1])
+                left = counts[q] - c
+                if left > 0:
+                    counts[q] = left
+                else:
+                    counts.pop(q, None)
+            for i in range(len(out) - 1):
+                q = (out[i], out[i + 1])
+                nv = counts[q] + c
+                counts[q] = nv
+                where[q].add(wid)
+                heapq.heappush(heap, (-nv, q[0] + " " + q[1], q))
+            words[wid] = (out, c)
+        counts.pop((a, b), None)
+    return merges
 
 
 def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
@@ -107,12 +346,15 @@ def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
              .distinct())
     enc = words.select("w", _sym_expr(F.col("w")).alias("syms")) \
         .filter(F.length("syms") > 0)
-    col = F.col("syms")
+    # same trailing-space sentinel as bpe_fit: the pattern ends in
+    # " ", so a merge never matches a longer second symbol that merely
+    # starts with b (chain runs on syms || ' ', sentinel rtrimmed once)
+    col = F.concat(F.col("syms"), F.lit(" "))
     for pair, new_symbol in merges:
         a, b = pair.split(" ", 1)
-        col = F.replace(col, F.lit(f"{MARKER}{a} {MARKER}{b}"),
-                        F.lit(f"{MARKER}{new_symbol}"))
-    wl = enc.select("w", F.size(F.split(col, " ")).cast("long")
+        col = F.replace(col, F.lit(f"{MARKER}{a} {MARKER}{b} "),
+                        F.lit(f"{MARKER}{new_symbol} "))
+    wl = enc.select("w", F.size(F.split(F.rtrim(col), " ")).cast("long")
                     .alias("n_sub"))
     tok = df.select(F.col(id_col), F.explode(T.tokens(F.col(text_col)))
                     .alias("w"))

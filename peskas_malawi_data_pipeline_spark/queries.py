@@ -4776,10 +4776,13 @@ def _duck_bpe_sql(k: int, apply: bool = False) -> str:
         parts.append(
             f"top{r} AS (SELECT pair, n FROM pc{r} "
             f"ORDER BY n DESC, pair LIMIT 1),")
+        # trailing-space sentinel mirrors bpe.py: the pattern ends in ' '
+        # so a pair never matches a longer second symbol starting with b
         parts.append(
-            f"v{r} AS (SELECT w, replace(syms, (SELECT pair FROM top{r}), "
-            f"(SELECT replace(pair, ' '||{m}, '') FROM top{r})) AS syms, "
-            f"cnt FROM {prev}),")
+            f"v{r} AS (SELECT w, rtrim(replace(syms || ' ', "
+            f"(SELECT pair || ' ' FROM top{r}), "
+            f"(SELECT replace(pair, ' '||{m}, '') || ' ' FROM top{r}))) "
+            f"AS syms, cnt FROM {prev}),")
     parts[-1] = parts[-1].rstrip(",")
     if apply:
         tail = (

@@ -1233,6 +1233,123 @@ def test_bpe_fit_matches_textbook_reference(spark):
     assert got == reference(6)
 
 
+def test_bpe_merge_is_right_boundary_safe(spark):
+    """Regression: a learned pair (a, x) must NOT merge where the second
+    symbol merely STARTS with x. Corpus ['xy'*5, 'ax'*4, 'axy'] learns
+    merges [(x y), (a x)]; in 'axy' round 1 yields symbols (a, xy), and
+    round 2's (a, x) must not match (a, xy) — textbook encodes 'axy' as
+    2 subwords ('a', 'xy'), a substring replace without the trailing
+    sentinel collapses it to 1."""
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    texts = ["xy " * 5, "ax " * 4, "axy"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    fitted = [(r.merge_rank, r.pair, r.new_symbol, r.pair_count)
+              for r in bpe.bpe_fit(df, k=2).orderBy("merge_rank").collect()]
+    assert fitted == [(1, "x y", "xy", 6), (2, "a x", "ax", 4)]
+    merges = [(p, s) for _, p, s, _ in fitted]
+    got = {r.doc_id: r.n_subwords
+           for r in bpe.bpe_apply_counts(df, merges).collect()}
+    assert got == {0: 5, 1: 4, 2: 2}
+
+
+def _bpe_fit_rows(bpe, df, k, strategy):
+    return [(r.merge_rank, r.pair, r.new_symbol, r.pair_count)
+            for r in bpe.bpe_fit(df, k=k, strategy=strategy)
+            .orderBy("merge_rank").collect()]
+
+
+def test_bpe_fit_strategies_identical(spark):
+    """The three fit strategies (sequential rounds / driver-local heap /
+    safe-batched rounds) and `auto` learn BIT-IDENTICAL merge sequences —
+    on the textbook corpus, the right-boundary corpus, and seeded random
+    corpora (short alphabet → dense symbol collisions, the worst case for
+    batching safety). The differential anchor is `rounds`, the k=5
+    oracle shape."""
+    import random
+
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    corpora = [
+        ["low low low lower lower newest newest newest widest widest"],
+        ["xy " * 5, "ax " * 4, "axy"],
+    ]
+    rng = random.Random(17)
+    for _ in range(3):
+        corpora.append(
+            [" ".join("".join(rng.choice("abcd")
+                              for _ in range(rng.randint(1, 6)))
+                      for _ in range(rng.randint(1, 12)))
+             for _ in range(25)])
+    for texts in corpora:
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "doc_id int, text string")
+        ref = _bpe_fit_rows(bpe, df, 10, "rounds")
+        for strategy in ("local", "batched", "auto"):
+            assert _bpe_fit_rows(bpe, df, 10, strategy) == ref, strategy
+
+
+def test_bpe_fit_auto_local_is_bounded_jobs(spark):
+    """The auto→local path runs a CONSTANT number of Spark jobs however
+    large k is (vocab collect + fit on the driver) — the property that
+    makes k=32,000 tokenizer training feasible (the `rounds` path is
+    2 jobs PER merge)."""
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(i, "ab abc abcd abcde " * (i + 1)) for i in range(6)],
+        "doc_id int, text string")
+    tracker = spark.sparkContext.statusTracker()
+    before = max(tracker.getJobIdsForGroup() or [0])
+    got = _bpe_fit_rows(bpe, df, 64, "auto")
+    after = max(tracker.getJobIdsForGroup() or [0])
+    assert got == _bpe_fit_rows(bpe, df, 64, "rounds")
+    # vocab materialize + count + collect + createDataFrame collect ≈ 4;
+    # allow slack but pin "constant, not O(k)=128"
+    assert after - before <= 10
+
+
+def test_safe_merge_batch_selection():
+    """_safe_merge_batch unit behavior: (1) symbol-disjoint prefix is
+    taken; (2) selection stops at the first symbol collision; (3) a
+    non-picked pair overlapping a pick and TYING a later pick's count
+    evicts that later pick (created-pair tie-break is unknowable without
+    the rewrite); (4) a truncated candidate list bounds unseen counts by
+    the last row."""
+    from peskas_malawi_data_pipeline_spark.operators.bpe import (
+        MARKER, _safe_merge_batch)
+
+    def p(a, b):
+        return f"{MARKER}{a} {MARKER}{b}"
+
+    # disjoint descending counts: all picked
+    rows = [(p("a", "b"), 10), (p("c", "d"), 8), (p("e", "f"), 6)]
+    assert _safe_merge_batch(rows, 10, truncated=False) == rows
+
+    # collision stops the prefix: (a,c) shares a with pick 1
+    rows = [(p("a", "b"), 10), (p("a", "c"), 8), (p("e", "f"), 6)]
+    assert _safe_merge_batch(rows, 10, truncated=False) == rows[:1]
+
+    # overlap-tie eviction: (b,x) overlaps pick 1 and ties pick 2's
+    # count → pick 2 unsafe (a created pair could reach 8 and win the
+    # string tie-break), pick 1 always safe
+    rows = [(p("a", "b"), 10), (p("c", "d"), 8), (p("b", "x"), 8)]
+    assert _safe_merge_batch(rows, 10, truncated=False) == rows[:1]
+
+    # same shape but overlap count strictly below pick 2: both survive
+    rows = [(p("a", "b"), 10), (p("c", "d"), 8), (p("b", "x"), 7)]
+    assert _safe_merge_batch(rows, 10, truncated=False) == rows[:2]
+
+    # truncated list: unseen pairs may count rows[-1][1]=8 → pick 2 at 8
+    # is unsafe, but untruncated the same rows keep both picks
+    rows = [(p("a", "b"), 10), (p("c", "d"), 8)]
+    assert _safe_merge_batch(rows, 10, truncated=True) == rows[:1]
+    assert _safe_merge_batch(rows, 10, truncated=False) == rows
+    # `want` caps the batch
+    assert _safe_merge_batch(rows, 1, truncated=False) == rows[:1]
+
+
 def test_bpe_apply_counts_matches_manual_encode(spark):
     """bpe_apply_counts: subword counts equal a manual greedy re-encode
     of each word under the given merges (merged symbols shrink counts;
