@@ -37,6 +37,21 @@ _CAP_SEQ = itertools.count()
 _LAST_CAP_DROPS: dict[str, dict] = {}
 
 
+# site -> most recent pre-shuffle cost forecast (see last_cost_reports).
+_LAST_COST_REPORTS: dict[str, dict] = {}
+
+
+def last_cost_reports() -> dict[str, dict]:
+    """Pre-shuffle cost-forecast audit — the sibling channel to
+    :func:`last_cap_drops` for operators that stay EXACT rather than
+    capping: for each forecasting operator that has run in this process,
+    the most recent estimate (e.g. ``prefix_jaccard_pairs`` records
+    ``{"est_candidate_pairs", "max_bucket", "budget"}``). An estimate
+    over budget also logs a warning at forecast time naming the scale
+    alternative; this accessor is for tests and monitoring glue."""
+    return {k: dict(v) for k, v in _LAST_COST_REPORTS.items()}
+
+
 def last_cap_drops() -> dict[str, dict]:
     """Cap-drop audit: for each capped candidate generator that has run in
     this process, the most recent ``{"dropped_rows": n, "total_rows": n,
@@ -949,9 +964,92 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
             .filter(F.col("cosine") >= threshold))
 
 
+def _prefix_posting_frames(df: DataFrame, id_col: str, text_col: str,
+                           shingle_n: int,
+                           tau_ppm: int) -> tuple[DataFrame, DataFrame]:
+    """Shared construction for the AllPairs/PPJoin family: the
+    materialized shingle-set frame ``(id, s, n)`` and the LAZY
+    prefix-posting frame ``(id, n, pos0, tok)`` under the rarest-first
+    (df, tok) total order with exact integer-ppm prefix lengths. Both
+    :func:`prefix_jaccard_pairs` and :func:`prefix_join_cost_report`
+    build from here, so the cost estimate prices exactly the posting
+    frame the join would shuffle."""
+    sets = materialize(df.select(
+        F.col(id_col).alias("id"),
+        T.word_shingles(F.col(text_col), shingle_n).alias("s"))
+        # long from the start: every ppm bound below multiplies n by up to
+        # 1e6, which overflows int32 at ~2148 shingles — ANSI job crash,
+        # or silent filter falsehood (dropped qualifying pairs) without
+        .withColumn("n", F.size("s").cast("long"))
+        .filter(F.col("n") > 0))
+    post = sets.select("id", F.explode("s").alias("tok"))
+    dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first rank per doc; (df, tok) is a total order so prefixes
+    # are deterministic in both engines
+    ranked = (post.join(dfreq, "tok")
+              .groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
+                   .alias("ordered")))
+    # ⌈τ·n⌉ in exact integer ppm arithmetic: a double τ·n landing one ulp
+    # ABOVE an integer would over-ceil and shorten the prefix — a silent
+    # completeness hole. (One ulp below only lengthens it: still exact.)
+    ceil_tau_n = F.expr(f"(({tau_ppm} * n) + 999999) div 1000000")
+    pref = (sets.join(ranked, "id")
+            .select("id", "n",
+                    F.slice(F.col("ordered"), 1,
+                            (F.col("n") - ceil_tau_n + 1)
+                            .cast("int")).alias("prefix")))
+    posting = pref.select(
+        "id", "n", F.posexplode("prefix.tok").alias("pos0", "tok"))
+    return sets, posting
+
+
+def prefix_join_cost_report(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", shingle_n: int = 3,
+                            threshold: float = 0.5) -> DataFrame:
+    """Answer-sized (1-row) cost estimate for the prefix-filtered join
+    BEFORE its candidate shuffle runs: how many candidate matches the
+    prefix-posting self-join would generate on THIS corpus at THIS
+    threshold. :func:`prefix_jaccard_pairs` is deliberately uncapped (its
+    algebraic completeness is the point), so its safety valve is this
+    forecast, not a lossy drop: on a saturated corpus — flat shingle-df
+    distribution, where rarest-first prefixes have nothing rare to pick
+    (SCALE.md §10f measured 5.9× at 10×) — the estimate goes superlinear
+    and the engine says so up front, naming the banded MinHash path
+    (:func:`minhash_lsh_pairs`) as the scale alternative.
+
+    Columns: ``n_docs`` (docs with ≥1 shingle — every one contributes ≥1
+    prefix posting), ``n_prefix_postings``, ``n_prefix_tokens`` (distinct
+    bucket keys), ``max_bucket`` (hottest prefix bucket), and
+    ``est_candidate_pairs`` = Σ c·(c−1)/2 over prefix buckets — the EXACT
+    row count the candidate join produces before its size/positional
+    filters (same-id and duplicate-token collisions included, which is
+    what the shuffle pays for). One posting-frame aggregation; everything
+    after is answer-sized.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tau_ppm = int(round(threshold * 1_000_000))
+    sets, posting = _prefix_posting_frames(
+        df, id_col, text_col, shingle_n, tau_ppm)
+    buckets = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = buckets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_prefix_tokens"),
+        F.sum("c").cast("long").alias("n_prefix_postings"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+        .alias("est_candidate_pairs"))
+    docs = sets.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return docs.crossJoin(stats).select(
+        "n_docs", "n_prefix_postings", "n_prefix_tokens", "max_bucket",
+        "est_candidate_pairs")
+
+
 def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", shingle_n: int = 3,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         candidate_budget: int | None = 100_000_000
+                         ) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ ``threshold`` over the whole corpus via
     prefix filtering (AllPairs/PPJoin, Xiao et al. WWW'08) — no blocking
     key, no LSH recall loss: the completeness guarantee is algebraic.
@@ -981,37 +1079,45 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     bounded by rare-first ordering), then exact verification ONLY on
     candidates via set intersection. Output: (id_a, id_b, n_inter,
     n_union, jac_ppm) — integers, engine-exact.
+
+    ``candidate_budget``: before the candidate shuffle runs, the posting
+    frame is materialized and priced (:func:`prefix_join_cost_report`'s
+    aggregate — exact Σ c·(c−1)/2 over prefix buckets); the figure is
+    recorded in :func:`last_cost_reports` and a warning naming the banded
+    MinHash alternative is logged when it exceeds the budget. The
+    operator still runs — completeness is its contract; the forecast
+    exists so a saturated corpus is flagged BEFORE the shuffle, not
+    after. ``None`` disables the check (and the posting materialization).
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     tau_ppm = int(round(threshold * 1_000_000))
-    sets = materialize(df.select(
-        F.col(id_col).alias("id"),
-        T.word_shingles(F.col(text_col), shingle_n).alias("s"))
-        # long from the start: every ppm bound below multiplies n by up to
-        # 1e6, which overflows int32 at ~2148 shingles — ANSI job crash,
-        # or silent filter falsehood (dropped qualifying pairs) without
-        .withColumn("n", F.size("s").cast("long"))
-        .filter(F.col("n") > 0))
-    post = sets.select("id", F.explode("s").alias("tok"))
-    dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # rarest-first rank per doc; (df, tok) is a total order so prefixes
-    # are deterministic in both engines
-    ranked = (post.join(dfreq, "tok")
-              .groupBy("id")
-              .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
-                   .alias("ordered")))
-    # ⌈τ·n⌉ in exact integer ppm arithmetic: a double τ·n landing one ulp
-    # ABOVE an integer would over-ceil and shorten the prefix — a silent
-    # completeness hole. (One ulp below only lengthens it: still exact.)
-    ceil_tau_n = F.expr(f"(({tau_ppm} * n) + 999999) div 1000000")
-    pref = (sets.join(ranked, "id")
-            .select("id", "n",
-                    F.slice(F.col("ordered"), 1,
-                            (F.col("n") - ceil_tau_n + 1)
-                            .cast("int")).alias("prefix")))
-    posting = pref.select(
-        "id", "n", F.posexplode("prefix.tok").alias("pos0", "tok"))
+    sets, posting = _prefix_posting_frames(
+        df, id_col, text_col, shingle_n, tau_ppm)
+    if candidate_budget is not None:
+        # materialize once: the forecast aggregate and both self-join
+        # sides then read the same blocks instead of re-deriving the
+        # dfreq/rank/slice lineage
+        posting = materialize(posting)
+        est = (posting.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+                    .alias("p"),
+                    F.max("c").cast("long").alias("m")).collect()[0])
+        report = {"est_candidate_pairs": int(est["p"] or 0),
+                  "max_bucket": int(est["m"] or 0),
+                  "budget": candidate_budget}
+        _LAST_COST_REPORTS["prefix_jaccard_pairs"] = report
+        if report["est_candidate_pairs"] > candidate_budget:
+            _CAP_LOG.warning(
+                "prefix_jaccard_pairs: forecast %d candidate matches "
+                "exceeds budget %d — the corpus's shingle-frequency "
+                "distribution is too flat for prefix filtering (hottest "
+                "prefix bucket: %d postings); use the banded MinHash "
+                "path (minhash_lsh_pairs) as the candidate generator and "
+                "keep this operator as the exact verify inside blocks "
+                "(SCALE.md §10f)",
+                report["est_candidate_pairs"], candidate_budget,
+                report["max_bucket"])
     # equivalent-overlap bound o_min = ⌈τ(n_a+n_b)/(1+τ)⌉, exact in ppm
     o_min = F.expr(f"(({tau_ppm} * (a.n + b.n)) + {1_000_000 + tau_ppm} - 1) "
                    f"div {1_000_000 + tau_ppm}")

@@ -4548,6 +4548,47 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.8)
 
 
+@register("prefix_join_cost_report", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks
+       WHERE len({_DUCK_SHINGLES}) > 0),
+szs AS (SELECT doc_id, s, CAST(len(s) AS BIGINT) AS n FROM sh),
+ex AS (SELECT doc_id, n, unnest(s) AS tok FROM szs),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM ex GROUP BY tok),
+rk AS (SELECT doc_id, n, tok,
+       row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS rn
+       FROM ex JOIN dfreq USING (tok)),
+pref AS (SELECT doc_id, tok FROM rk
+         WHERE rn <= n - ((500000 * n + 999999) // 1000000) + 1),
+buckets AS (SELECT tok, COUNT(*) AS c FROM pref GROUP BY tok),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_prefix_tokens,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_prefix_postings,
+                 CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_bucket,
+                 CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+                   AS est_candidate_pairs
+          FROM buckets),
+docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh)
+SELECT n_docs, n_prefix_postings, n_prefix_tokens, max_bucket,
+       est_candidate_pairs
+FROM docs, stats
+""")
+def prefix_join_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle cost forecast for the exact prefix-filtered join
+    (dedup.prefix_join_cost_report): the EXACT candidate-match volume
+    Σ c·(c−1)/2 over rarest-first prefix buckets at τ=0.5, priced from
+    one posting aggregation BEFORE any pair is generated. This is the
+    mechanical form of SCALE.md §10f's "flat-df corpus is the worst
+    case" knowledge: prefix_jaccard_pairs consults the same figure
+    against its candidate_budget and warns toward minhash_lsh_pairs when
+    the corpus is too saturated for prefix filtering. τ=0.5 (vs the
+    pairs query's 0.8) exercises the long-prefix regime where the
+    forecast matters most. The oracle replays the identical rarest-first
+    (df, tok) ranking and exact integer-ppm prefix lengths via a window
+    rank instead of Spark's array_sort+slice."""
+    return dedup_ops.prefix_join_cost_report(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5)
+
+
 @register("streaming_incremental_rollup", """
 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -1180,6 +1180,107 @@ def test_prefix_jaccard_pairs_complete_vs_bruteforce(spark):
         assert got == want, (tau, got ^ want)
 
 
+def _brute_prefix_report(sets, tau_ppm):
+    """Python replay of the rarest-first prefix construction: per doc,
+    rank distinct shingles by (df, tok), keep the first
+    n − ⌈τ·n⌉ + 1, and price the bucket self-join."""
+    import collections
+
+    sets = {i: s for i, s in sets.items() if s}
+    df = collections.Counter(tok for s in sets.values() for tok in s)
+    buckets = collections.Counter()
+    for s in sets.values():
+        n = len(s)
+        plen = n - ((tau_ppm * n + 999_999) // 1_000_000) + 1
+        for tok in sorted(s, key=lambda t: (df[t], t))[:plen]:
+            buckets[tok] += 1
+    return {
+        "n_docs": len(sets),
+        "n_prefix_postings": sum(buckets.values()),
+        "n_prefix_tokens": len(buckets),
+        "max_bucket": max(buckets.values()) if buckets else 0,
+        "est_candidate_pairs": sum(c * (c - 1) // 2
+                                   for c in buckets.values()),
+    }
+
+
+def test_prefix_join_cost_report_matches_bruteforce(spark):
+    """prefix_join_cost_report prices EXACTLY the posting frame the join
+    would shuffle: every column equals a Python replay of the rarest-
+    first prefix construction, on both a random and a saturated corpus."""
+    import random
+
+    from peskas_malawi_data_pipeline_spark.operators import dedup
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    corpora = {
+        "random": [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 10))))
+                   for i in range(40)],
+        # the SCALE.md §10f worst case in miniature: every doc is the
+        # same text, so every shingle has flat df and prefixes buy nothing
+        "flat": [(i, "a b c d e f") for i in range(15)],
+    }
+    for tau in (0.5, 0.8):
+        tau_ppm = int(round(tau * 1_000_000))
+        for name, docs in corpora.items():
+            df = spark.createDataFrame(docs, "doc_id int, text string")
+
+            def shingles(text, n=3):
+                t = [w for w in text.lower().split() if w]
+                if not t:
+                    return set()
+                if len(t) < n:
+                    return {" ".join(t)}
+                return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+            want = _brute_prefix_report(
+                {i: shingles(tx) for i, tx in docs}, tau_ppm)
+            got = dedup.prefix_join_cost_report(
+                df, threshold=tau).collect()[0].asDict()
+            assert got == want, (name, tau, got, want)
+
+
+def test_prefix_join_budget_warns_toward_minhash(spark, caplog):
+    """The saturated-corpus fallback is mechanical, not tribal knowledge
+    (VERDICT r6 #2): when the forecast exceeds candidate_budget the
+    operator records it in last_cost_reports() and logs a warning naming
+    the banded MinHash path — BUT still returns the complete exact pair
+    set (completeness is the operator's contract; the budget is a
+    forecast, never a cap)."""
+    import logging
+
+    from peskas_malawi_data_pipeline_spark.operators import dedup
+
+    # 15 identical docs: est pairs = C(15,2) per prefix bucket — way past
+    # a budget of 10, and the true answer is all 105 pairs
+    df = spark.createDataFrame([(i, "a b c d e f") for i in range(15)],
+                               "doc_id int, text string")
+    with caplog.at_level(
+            logging.WARNING,
+            logger="peskas_malawi_data_pipeline_spark.operators.dedup"):
+        got = dedup.prefix_jaccard_pairs(df, threshold=0.5,
+                                         candidate_budget=10).collect()
+    assert len(got) == 15 * 14 // 2          # still complete
+    rep = dedup.last_cost_reports()["prefix_jaccard_pairs"]
+    assert rep["budget"] == 10 and rep["est_candidate_pairs"] > 10
+    assert rep["max_bucket"] == 15
+    assert any("minhash_lsh_pairs" in r.message for r in caplog.records)
+
+    # within budget: audit updated, no warning
+    caplog.clear()
+    small = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "q r s t u v")], "doc_id int, text string")
+    with caplog.at_level(
+            logging.WARNING,
+            logger="peskas_malawi_data_pipeline_spark.operators.dedup"):
+        dedup.prefix_jaccard_pairs(small, threshold=0.5,
+                                   candidate_budget=10).collect()
+    rep = dedup.last_cost_reports()["prefix_jaccard_pairs"]
+    assert rep["est_candidate_pairs"] <= 10
+    assert not any("minhash_lsh_pairs" in r.message for r in caplog.records)
+
+
 def test_bpe_fit_matches_textbook_reference(spark):
     """operators.bpe.bpe_fit equals the textbook Sennrich reference
     (adjacent-pair stats over the weighted vocab, greedy left-to-right
