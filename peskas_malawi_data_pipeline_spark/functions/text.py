@@ -13,6 +13,8 @@ operators oracle-checkable.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -381,6 +383,63 @@ def pii_counts(col: Column) -> dict[str, Column]:
         "n_ips": F.size(F.regexp_extract_all(col, F.lit(PII_IP), 0)),
         "n_phones": F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), 0)),
     }
+
+
+#: Unicode cleanup tables (normalize_unicode). DELETE: code points removed
+#: outright — NUL first of all (DuckDB's nfc_normalize TRUNCATES the string
+#: at a NUL, so every engine must drop it BEFORE normalizing), then soft
+#: hyphen, the zero-width trio, word joiner, and the BOM/ZWNBSP — the
+#: invisible characters that silently fragment shingles and dedup groups.
+#: SPACE: code points mapped to ASCII space — C0/C1 controls and every
+#: Unicode Zs/Zl/Zp separator (mapped, not deleted: "a\\x00b" losing its
+#: boundary would invent a token). The oracle side is generated from
+#: these same tables (queries._duck_normalize_sql), so the two engines
+#: cannot drift apart by edit.
+UNICODE_DELETE_CPS = (0x0000, 0x00AD, 0x200B, 0x200C, 0x200D, 0x2060,
+                      0xFEFF)
+UNICODE_SPACE_RANGES = ((0x0001, 0x001F), (0x007F, 0x007F),
+                        (0x0080, 0x009F), (0x00A0, 0x00A0),
+                        (0x1680, 0x1680), (0x2000, 0x200A),
+                        (0x2028, 0x2029), (0x202F, 0x202F),
+                        (0x205F, 0x205F), (0x3000, 0x3000))
+
+UNICODE_DELETE_RE = "[" + "".join(chr(c) for c in UNICODE_DELETE_CPS) + "]"
+UNICODE_SPACE_RE = "[" + "".join(
+    chr(a) + ("-" + chr(b) if b > a else "")
+    for a, b in UNICODE_SPACE_RANGES) + "]"
+
+
+def normalize_unicode(col: Column) -> Column:
+    """Unicode canonicalization for web text, BEFORE any shingling or
+    fingerprinting: delete the invisible code points (zero-widths, soft
+    hyphen, BOM, NUL), NFC-normalize (so ``e`` + combining acute and the
+    precomposed ``é`` stop being distinct shingles), map controls and all
+    Unicode space separators to ASCII space, collapse space runs, trim.
+    Un-normalized text silently fragments dedup groups — two visually
+    identical documents hash apart; this is the cleaning-stack stage that
+    prevents it (strip_markup → normalize_unicode → redact_pii).
+
+    Deletion runs BEFORE NFC in every engine: a zero-width joiner between
+    a base and its combining mark blocks composition, and the point of
+    this op is that the visible text wins; NUL must also go first because
+    DuckDB's ``nfc_normalize`` truncates at it. The NFC step is the one
+    Python stage in the chain (Spark has no normalizer expression):
+    an Arrow-batched ``pandas_udf`` — the regex stages stay JVM-side.
+    NULL passes through. Output is pinned cross-engine against DuckDB's
+    utf8proc ``nfc_normalize`` and fuzzed against Python ``unicodedata``
+    (both implement UAX #15; normalization of assigned code points is
+    stability-guaranteed across Unicode versions)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize("NFC", t))
+
+    pre = F.regexp_replace(col, UNICODE_DELETE_RE, "")
+    spaced = F.regexp_replace(_nfc(pre), UNICODE_SPACE_RE, " ")
+    return F.trim(F.regexp_replace(spaced, " +", " "))
 
 
 #: Tag-strip pattern and entity map for markup removal. Portable regex

@@ -4683,6 +4683,61 @@ def strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("n_entities")))
 
 
+def _duck_normalize_sql(inner: str) -> str:
+    """DuckDB twin of functions.text.normalize_unicode, generated from
+    the SAME code-point tables (T.UNICODE_DELETE_CPS /
+    T.UNICODE_SPACE_RANGES) so the engines cannot drift apart by edit:
+    delete invisibles (NUL first — nfc_normalize truncates at it), NFC,
+    controls/Zs/Zl/Zp → space, collapse, trim."""
+    ddel = "[" + "".join(f"\\x{{{c:04X}}}" for c in T.UNICODE_DELETE_CPS) \
+        + "]"
+    dsp = "[" + "".join(
+        f"\\x{{{a:04X}}}" + (f"-\\x{{{b:04X}}}" if b > a else "")
+        for a, b in T.UNICODE_SPACE_RANGES) + "]"
+    return (f"trim(regexp_replace(regexp_replace(nfc_normalize("
+            f"regexp_replace({inner}, '{ddel}', '', 'g')), "
+            f"'{dsp}', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+#: deterministic unicode mess for the normalize oracle pair: zero-widths
+#: inside words, NBSP/ideographic-space seasoning, and a DECOMPOSED
+#: accent tail (e + U+0301) that NFC must compose — same construction in
+#: both engines (chr() on the DuckDB side, explicit escapes
+#: here — the characters are invisible, a literal is unreviewable).
+_UNICODE_INJECT_TAIL = "\u00a0cafe\u0301\u3000end"
+
+
+@register("unicode_normalize", f"""
+WITH inj AS (SELECT doc_id,
+  replace(text, 'e', 'e' || chr(8203)) || chr(160) || 'cafe' || chr(769)
+    || chr(12288) || 'end' AS t
+ FROM documents)
+SELECT doc_id, {_duck_normalize_sql("t")} AS norm_text,
+       CAST(length({_duck_normalize_sql("t")}) AS BIGINT) AS n_chars
+FROM inj
+""")
+def unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (functions.text.normalize_unicode): NFC
+    composition, zero-width/soft-hyphen/BOM deletion, control and
+    Unicode-space mapping, space-run collapse — the cleaning-stack stage
+    between strip_markup and the shingle operators (un-normalized text
+    fragments dedup groups silently). The harness corpus is ASCII, so
+    every document gets deterministic unicode mess injected identically
+    in both engines: a zero-width space after every 'e' and an
+    NBSP + decomposed-accent + ideographic-space tail; NFC must compose
+    ``e``+U+0301 to ``é`` (length shrinks by one — pinned by n_chars).
+    The regex stages are JVM-side; only the NFC step is Python
+    (Arrow-batched pandas_udf vs DuckDB's utf8proc — both UAX #15).
+    Pure per-row map, scan-bound at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(F.replace(F.col("text"), F.lit("e"),
+                               F.lit("e\u200b")),
+                     F.lit(_UNICODE_INJECT_TAIL))
+    norm = T.normalize_unicode(messy)
+    return docs.select("doc_id", norm.alias("norm_text"),
+                       F.length(norm).cast("long").alias("n_chars"))
+
+
 @register("moving_sum_range_7d", """
 WITH d AS (
   SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,

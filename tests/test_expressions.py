@@ -432,3 +432,95 @@ def test_strip_markup_reference_cases(spark):
         "i", T.strip_markup(F.col("t")).alias("c")).collect()}
     for i, (src, want) in enumerate(cases):
         assert got[i] == want, (src, got[i], want)
+
+
+def _normalize_unicode_ref(t):
+    """Plain-Python reference of functions.text.normalize_unicode,
+    built from the SAME code-point tables."""
+    import re
+    import unicodedata
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    if t is None:
+        return None
+    t = re.sub(T.UNICODE_DELETE_RE, "", t)
+    t = unicodedata.normalize("NFC", t)
+    t = re.sub(T.UNICODE_SPACE_RE, " ", t)
+    return re.sub(" +", " ", t).strip()
+
+
+def test_normalize_unicode_reference_cases(spark):
+    """normalize_unicode: NFC composition, zero-width/soft-hyphen/BOM/NUL
+    deletion (deletion BEFORE NFC, so a ZWJ blocking composition loses),
+    control & unicode-space mapping, collapse, trim, NULL passthrough."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    cases = [
+        ("café", "café"),                     # NFC composes
+        ("e​́", "é"),                     # ZWSP deleted first
+        ("a­b﻿c⁠d", "abcd"),         # invisibles deleted
+        ("a\x00b", "ab"),                           # NUL deleted, not split
+        ("a b　c d", "a b c d"),      # Zs/Zl mapped
+        ("x\x01\x02\x1f\x7f\x9fy", "x y"),          # controls → one space
+        ("  tab\there\nnl  ", "tab here nl"),
+        ("ÅÅ", "ÅÅ"),                          # ANGSTROM singleton
+        ("plain ascii", "plain ascii"),
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i int, t string")
+    got = {r.i: r.c for r in df.select(
+        "i", T.normalize_unicode(F.col("t")).alias("c")).collect()}
+    for i, (src, want) in enumerate(cases):
+        assert got[i] == want, (ascii(src), ascii(got[i]), ascii(want))
+        assert _normalize_unicode_ref(src) == want, ascii(src)
+
+
+def test_normalize_unicode_fuzz_vs_reference_and_duckdb(spark):
+    """Differential fuzz (hypothesis drives the case list; ONE Spark job
+    checks all): normalize_unicode == the plain-Python unicodedata
+    reference == the generated DuckDB oracle form, over an adversarial
+    alphabet of combining marks, zero-widths, unicode spaces, controls,
+    precomposed/decomposed accents, Hangul jamo, and CJK — the alphabet
+    is curated to ASSIGNED code points (normalization of assigned points
+    is stability-guaranteed; unassigned ones may differ between the two
+    engines' Unicode table versions, which is out of contract)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+    from peskas_malawi_data_pipeline_spark.queries import _duck_normalize_sql
+
+    alphabet = ("ae o" + "̧̣́̀"      # combining marks
+                "​‌‍⁠﻿­"   # deletions
+                "    　\t\n"     # spaces/controls
+                "\x00\x01\x7f"
+                "éÅÅÅ"         # é, A+ring, Å, Å
+                "가가"                     # jamo, 각
+                "名fi")
+    cases = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=24))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    assert cases
+
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, t string")
+    got = {r.i: r.c for r in df.select(
+        "i", T.normalize_unicode(F.col("t")).alias("c")).collect()}
+    con = duckdb.connect()
+    duck_expr = _duck_normalize_sql("?")
+    for i, s in enumerate(cases):
+        want = _normalize_unicode_ref(s)
+        assert got[i] == want, (ascii(s), ascii(got[i]), ascii(want))
+        duck = con.sql(f"SELECT {duck_expr}", params=[s]).fetchone()[0]
+        assert duck == want, (ascii(s), ascii(duck), ascii(want))
