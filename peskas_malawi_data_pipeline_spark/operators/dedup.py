@@ -758,6 +758,113 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
         F.size("__s.kept").cast("long").alias("kept_tokens"))
 
 
+def decontaminate_spans(df: DataFrame, eval_df: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        eval_text_col: str = "text", k: int = 5,
+                        broadcast_eval: bool = True) -> DataFrame:
+    """Span-level decontamination against an evaluation set — the
+    RefinedWeb form that :func:`duplicated_spans`'s machinery was built
+    to host: every maximal token span of a CORPUS document whose k-token
+    shingles each occur anywhere in ``eval_df`` (the benchmark/eval
+    suite). Doc-level overlap COUNTING is `decontaminate_ngram_overlap`;
+    this marks the actual spans so they can be REMOVED
+    (:func:`decontaminate_segments`) instead of dropping whole documents.
+    Returns (``id_col``, span_start, span_end, span_tokens), 1-based
+    inclusive token indices.
+
+    Plan: the corpus pays the same position-aware shingle explode as
+    :func:`duplicated_spans`; the eval side contributes its DISTINCT
+    shingles (an eval suite is benchmark-sized — MBs against a 100 TB
+    corpus — so the marking semi-join broadcasts by default; pass
+    ``broadcast_eval=False`` for a pathologically large eval set), then
+    the per-doc gaps-and-islands merge. No corpus-side pair join exists
+    anywhere — cost is one tokenization pass + one broadcast semi-join.
+    """
+    _validate_span_args(k, 2)
+    posts = _span_posts(df, id_col, text_col, k)
+    ev = (substring_posting_counts(eval_df, eval_text_col, k)
+          .select(F.col("shingle").alias("__sh")))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    marked = posts.join(ev, "__sh", "left_semi")
+    return _spans_from_marked(marked, id_col, k)
+
+
+def decontaminate_segments(df: DataFrame, eval_df: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           eval_text_col: str = "text", k: int = 5,
+                           broadcast_eval: bool = True) -> DataFrame:
+    """APPLY span-level decontamination: SPLIT each corpus document at
+    its contaminated spans (:func:`decontaminate_spans`) and return the
+    kept segments, one row per segment — (``id_col``, seg_index,
+    seg_start, seg_end, seg_tokens, seg_text), indices 1-based inclusive
+    over the normalized token stream, ``seg_index`` ordered by position.
+
+    Splitting (not re-joining, unlike :func:`remove_duplicated_spans`'s
+    clean_text) is what makes the guarantee BY CONSTRUCTION: a segment is
+    a contiguous run of original tokens none of whose k-shingle start
+    positions was marked, so no k-shingle of any segment can appear in
+    the eval set — re-joined text could mint NEW shingles across a cut.
+    Documents with no tokens (or NULL text) yield no segments; fully
+    contaminated documents disappear — both are "nothing to train on".
+
+    Plan: the span frame is answer-sized — collected per doc as a sorted
+    interval array and hash-joined back (broadcast at any realistic
+    contamination rate); ONE higher-order ``aggregate`` folds the
+    intervals into their complement, and the per-doc explode emits
+    segment rows (answer-sized: segments per doc ≤ spans + 1). The
+    corpus token stream is never exploded or shuffled.
+    """
+    spans = decontaminate_spans(df, eval_df, id_col, text_col,
+                                eval_text_col, k, broadcast_eval)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e")))).alias("__spans"))
+    joined = df.join(per_doc, id_col, "left")
+    spans_arr = F.coalesce(F.col("__spans"),
+                           F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    # Generate barrier (same rationale as remove_duplicated_spans): one
+    # tokenization per row even though tokens/size feed several columns
+    packed = T.bound(T.tokens(F.col(text_col)), lambda t: F.struct(
+        F.size(t).cast("long").alias("n"), t.alias("toks")))
+    staged = joined.select(F.col(id_col), spans_arr.alias("__sp"),
+                           F.explode(F.array(packed)).alias("__s"))
+    n = F.col("__s.n")
+    # fold the sorted disjoint spans into their complement within [1, n]:
+    # spans are maximal (gaps > k between them), so every emitted segment
+    # is non-empty by construction
+    init = F.struct(F.lit(1).cast("long").alias("cur"),
+                    F.array().cast("array<struct<s:bigint,e:bigint>>")
+                    .alias("segs"))
+    segs = F.aggregate(
+        F.col("__sp"), init,
+        lambda acc, sp: F.struct(
+            (sp["e"] + 1).alias("cur"),
+            F.when(acc["cur"] < sp["s"],
+                   F.concat(acc["segs"], F.array(F.struct(
+                       acc["cur"].alias("s"),
+                       (sp["s"] - 1).alias("e")))))
+            .otherwise(acc["segs"]).alias("segs")),
+        lambda acc: F.when(acc["cur"] <= n,
+                           F.concat(acc["segs"], F.array(F.struct(
+                               acc["cur"].alias("s"), n.alias("e")))))
+        .otherwise(acc["segs"]))
+    out = staged.select(
+        F.col(id_col), F.col("__s.toks").alias("__toks"),
+        F.posexplode(segs).alias("__i", "__seg"))
+    length = (F.col("__seg.e") - F.col("__seg.s") + 1)
+    return out.select(
+        F.col(id_col),
+        (F.col("__i") + 1).cast("long").alias("seg_index"),
+        F.col("__seg.s").cast("long").alias("seg_start"),
+        F.col("__seg.e").cast("long").alias("seg_end"),
+        length.cast("long").alias("seg_tokens"),
+        F.concat_ws(" ", F.slice(F.col("__toks"),
+                                 F.col("__seg.s").cast("int"),
+                                 length.cast("int"))).alias("seg_text"))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25,
                          check_interval: int = 2) -> DataFrame:

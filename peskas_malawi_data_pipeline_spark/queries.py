@@ -4005,6 +4005,89 @@ def incremental_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, index, k=5, min_occurrences=2)
 
 
+# Span-level DECONTAMINATION twins: the doc_id % 17 == 0 slice plays the
+# eval/benchmark suite, the rest the training corpus. Same k=5 islands
+# machinery as _DUCK_SPAN_CTES, but a shingle is marked when it appears
+# ANYWHERE in the eval slice (occ >= 1 there), not when it repeats.
+_DUCK_DECON_CTES = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+corp AS (SELECT doc_id, t FROM toks WHERE doc_id % 17 <> 0),
+ev AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS s
+       FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+       WHERE doc_id % 17 = 0),
+spos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                array_to_string(t[i:i+4], ' ') AS s
+         FROM corp, UNNEST(range(1, len(t) - 3)) AS u(i)),
+smark AS (SELECT doc_id, pos FROM spos WHERE s IN (SELECT s FROM ev)),
+sisl AS (SELECT doc_id, pos,
+                sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM (SELECT doc_id, pos,
+                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM smark)),
+spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                 CAST(max(pos) + 4 AS BIGINT) AS span_end,
+                 CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
+          FROM sisl GROUP BY doc_id, island)"""
+
+
+@register("decontaminate_spans", f"""
+WITH {_DUCK_DECON_CTES}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+""")
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval-set decontamination (dedup.decontaminate_spans,
+    RefinedWeb-style): every maximal >= 5-token corpus span whose
+    5-shingles each appear anywhere in the eval slice.
+    decontaminate_ngram_overlap COUNTS doc-level overlap; this marks the
+    spans so removal can be surgical instead of whole-document. The eval
+    side is benchmark-sized, so the marking semi-join broadcasts; the
+    corpus pays one position-aware shingle pass — no pair join exists."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return dedup_ops.decontaminate_spans(corpus, ev, k=5)
+
+
+@register("decontaminate_segments", f"""
+WITH {_DUCK_DECON_CTES},
+toksp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+          FROM corp, UNNEST(range(1, len(t) + 1)) AS u(i)),
+keptp AS (SELECT tp.doc_id, tp.pos, tp.tok FROM toksp tp
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = tp.doc_id
+                              AND tp.pos BETWEEN s.span_start AND s.span_end)),
+grp AS (SELECT doc_id, pos, tok,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS g
+        FROM keptp),
+segs AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS seg_start,
+                CAST(max(pos) AS BIGINT) AS seg_end,
+                CAST(count(*) AS BIGINT) AS seg_tokens,
+                string_agg(tok, ' ' ORDER BY pos) AS seg_text
+         FROM grp GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY seg_start)
+            AS BIGINT) AS seg_index,
+       seg_start, seg_end, seg_tokens, seg_text
+FROM segs
+""")
+def decontaminate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED decontamination (dedup.decontaminate_segments): each
+    corpus document SPLIT at its contaminated spans, one row per kept
+    segment. Splitting — not re-joining — is the guarantee: no k-shingle
+    of any emitted segment can appear in the eval slice, by construction
+    (re-joined text could mint new shingles across a cut; a property
+    test pins zero eval-shingle hits). The span frame is answer-sized
+    and folds into complement intervals with one higher-order aggregate;
+    the corpus token stream is never exploded or shuffled on the Spark
+    side — the oracle replays it relationally (NOT EXISTS + islands over
+    kept positions)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return dedup_ops.decontaminate_segments(corpus, ev, k=5)
+
+
 @register("minhash_estimate_pairs", f"""
 WITH {_DUCK_MINHASH_CTES},
 scored AS (

@@ -1076,6 +1076,109 @@ def test_duplicated_spans_property_vs_python_reference(spark):
         assert got == reference(texts, k, 2), (seed, k)
 
 
+def _decon_reference(corpus, eval_texts, k):
+    """Brute-force span-level decontamination: eval k-shingle set →
+    marked corpus starts → gap<=k island merge → complement segments."""
+    ev = set()
+    for t in eval_texts:
+        toks = t.lower().split()
+        for i in range(len(toks) - k + 1):
+            ev.add(" ".join(toks[i:i + k]))
+    spans, segs = set(), set()
+    for doc, t in corpus.items():
+        toks = t.lower().split() if t is not None else []
+        starts = [i + 1 for i in range(len(toks) - k + 1)
+                  if " ".join(toks[i:i + k]) in ev]
+        covered = set()
+        pending = list(starts)
+        while pending:
+            s0 = prev = pending.pop(0)
+            while pending and pending[0] - prev <= k:
+                prev = pending.pop(0)
+            spans.add((doc, s0, prev + k - 1, prev + k - s0))
+            covered.update(range(s0, prev + k))
+        kept = [p for p in range(1, len(toks) + 1) if p not in covered]
+        idx = 0
+        while kept:
+            s0 = prev = kept.pop(0)
+            while kept and kept[0] == prev + 1:
+                prev = kept.pop(0)
+            idx += 1
+            segs.add((doc, idx, s0, prev, prev - s0 + 1,
+                      " ".join(toks[s0 - 1:prev])))
+        # note: the seg tuple text slice above is [s0-1:prev] == tokens
+        # s0..prev inclusive in 1-based terms
+    return spans, segs
+
+
+def test_decontaminate_spans_and_segments_vs_bruteforce(spark):
+    """Span-level decontamination equals the brute-force reference on
+    random small-vocabulary corpora with PLANTED eval phrases (so
+    contamination is guaranteed, plus incidental hits from the shared
+    tiny vocabulary). Covers spans AND the split segments."""
+    import random
+
+    for seed, k in [(5, 5), (29, 3)]:
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(10)]
+        phrase = " ".join(rng.choice(vocab) for _ in range(k + 2))
+        eval_texts = [phrase + " tailmark", "benchmark " + phrase]
+        corpus = {}
+        for i in range(40):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+            if i % 4 == 0:          # plant the eval phrase mid-document
+                at = rng.randint(0, len(words))
+                words[at:at] = phrase.split()
+            corpus[i] = " ".join(words)
+        corpus[98] = None
+        corpus[99] = ""
+        df = spark.createDataFrame(list(corpus.items()),
+                                   "doc_id int, text string")
+        evdf = spark.createDataFrame(
+            [(100 + j, t) for j, t in enumerate(eval_texts)],
+            "doc_id int, text string")
+        want_spans, want_segs = _decon_reference(corpus, eval_texts, k)
+        got_spans = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+                     for r in D.decontaminate_spans(df, evdf, k=k).collect()}
+        assert got_spans == want_spans, (seed, k)
+        got_segs = {(r.doc_id, r.seg_index, r.seg_start, r.seg_end,
+                     r.seg_tokens, r.seg_text)
+                    for r in D.decontaminate_segments(df, evdf,
+                                                      k=k).collect()}
+        assert got_segs == want_segs, (seed, k)
+
+        # THE decontamination property, by construction: no k-shingle of
+        # any emitted segment appears in the eval set
+        ev = set()
+        for t in eval_texts:
+            toks = t.lower().split()
+            ev.update(" ".join(toks[i:i + k])
+                      for i in range(len(toks) - k + 1))
+        for (_, _, _, _, _, text) in got_segs:
+            toks = text.split()
+            for i in range(len(toks) - k + 1):
+                assert " ".join(toks[i:i + k]) not in ev
+
+
+def test_decontaminate_segments_edge_docs(spark):
+    """Edge semantics: fully-contaminated and token-less documents yield
+    no segments; a clean document survives as ONE whole segment; the
+    marking is eval-vs-corpus only (corpus-internal repetition alone
+    never marks)."""
+    corpus = [(1, "c d e f g"),              # fully contaminated
+              (2, None), (3, "  "),          # nothing to train on
+              (4, "p q r s t u"),            # clean -> one segment
+              (5, "m m m m m m m m m m")]    # self-repeats, not in eval
+    evdf = spark.createDataFrame([(0, "c d e f g")],
+                                 "doc_id int, text string")
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    got = {r.doc_id: (r.seg_index, r.seg_start, r.seg_end, r.seg_text)
+           for r in D.decontaminate_segments(df, evdf, k=5).collect()}
+    assert set(got) == {4, 5}
+    assert got[4] == (1, 1, 6, "p q r s t u")
+    assert got[5] == (1, 1, 10, "m m m m m m m m m m")
+
+
 def test_minhash_estimate_pairs_estimator_semantics(spark):
     """The signature-slot agreement fraction behaves like an estimator:
     identical/normalized duplicates score 1.0, near-dups score high,
