@@ -375,9 +375,14 @@ def gopher_passes(g: Column) -> Column:
 
 
 def pii_counts(col: Column) -> dict[str, Column]:
-    """Per-class PII match counts over the RAW text (each class counted
-    independently; the classes cannot overlap — see PII_REPLACEMENTS):
-    {'n_emails', 'n_ips', 'n_phones'}, 0 for clean rows, NULL for NULL."""
+    """Per-class PII match counts over the RAW text, each class counted
+    independently and PRE-redaction — so counts may overlap across
+    classes (a digit run inside an email's local part can also match
+    PII_PHONE) and a class count can exceed what redact_pii actually
+    replaces for that class (redaction is sequential, emails first; see
+    PII_REPLACEMENTS). Use these as detection telemetry, not as an exact
+    replacement ledger. {'n_emails', 'n_ips', 'n_phones'}, 0 for clean
+    rows, NULL for NULL."""
     return {
         "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), 0)),
         "n_ips": F.size(F.regexp_extract_all(col, F.lit(PII_IP), 0)),

@@ -384,6 +384,31 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     verify still gates every emitted pair); drops are observed into
     :func:`last_cap_drops` and logged. ``max_bucket=None`` opts out.
     """
+    sigs = simhash(df.select(id_col, text_col), text_col, bits)
+    return sketch_hamming_pairs(sigs, "simhash", id_col, bits, bands,
+                                max_hamming, max_bucket, "simhash_pairs")
+
+
+def sketch_hamming_pairs(sigs: DataFrame, sketch_col: str,
+                         id_col: str, bits: int, bands: int,
+                         max_hamming: int, max_bucket: int | None,
+                         site: str) -> DataFrame:
+    """Banded Hamming near-dup join over ANY integer-sketch frame — the
+    band/cap/verify machinery shared by text SimHash
+    (:func:`simhash_pairs`) and perceptual image hashes
+    (multimodal.perceptual_hash → queries ``image_near_dup``): band the
+    ``bits``-bit sketch into ``bands`` contiguous bit-slices, self-join
+    on (band index, band value) — any pair within ``max_hamming``
+    collides on ≥1 band when ``max_hamming < bands`` (pigeonhole) — then
+    verify with exact Hamming distance (bit_count of xor, JVM-side).
+    Returns (id_a, id_b, hamming).
+
+    The (id, sketch, band) index is materialized ONCE with hot band
+    buckets capped and drops observed into :func:`last_cap_drops` under
+    ``site`` (lower-bound recall only for capped buckets — the verify
+    still gates every emitted pair; ``max_bucket=None`` opts out); the
+    only shuffle is the band equi-join on small uniform integer keys.
+    """
     assert bits % bands == 0
     if max_hamming >= bands:
         raise ValueError(
@@ -392,18 +417,20 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             f"when fewer differing bits than bands exist")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sigs = simhash(df.select(id_col, text_col), text_col, bits)
     banded = _capped_barrier(sigs.select(
-        F.col(id_col), F.col("simhash"),
+        F.col(id_col), F.col(sketch_col).alias("__sk"),
         F.posexplode(F.array(*[
-            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+            F.shiftright(F.col(sketch_col), b * band_bits)
+            .bitwiseAND(F.lit(mask))
             for b in range(bands)
         ])).alias("band_id", "band_val")),
-        ("band_id", "band_val"), max_bucket, "simhash_pairs")
+        ("band_id", "band_val"), max_bucket, site)
     left = banded.select(F.col("band_id"), F.col("band_val"),
-                         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+                         F.col(id_col).alias("id_a"),
+                         F.col("__sk").alias("sh_a"))
     right = banded.select(F.col("band_id"), F.col("band_val"),
-                          F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+                          F.col(id_col).alias("id_b"),
+                          F.col("__sk").alias("sh_b"))
     cand = (left.join(right, ["band_id", "band_val"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sh_a", "sh_b").distinct())
@@ -438,6 +465,11 @@ def jaccard_pairs(df: DataFrame, block_col: str, id_col: str = "doc_id",
 
     The default ``threshold=0.2`` keeps the all-default call on the safe
     capped inverted-index path (matching the registry query).
+    BREAKING CHANGE (round 6, recorded in CHANGES_r6/r7): the default was
+    0.0 through round 5 — an all-default call now returns a SMALLER pair
+    set (zero/low-overlap pairs dropped) on a different execution path;
+    callers wanting the old behavior must pass ``threshold=0.0,
+    allow_all_pairs=True`` explicitly.
     ``threshold <= 0`` must also emit zero-overlap pairs, so it falls back to
     the all-pairs block join with array_intersect/array_union — a path where
     ``max_shingle_df`` CANNOT apply (there is no posting index to cap), so

@@ -101,6 +101,64 @@ def extract_features(df: DataFrame, decode: str = "fake",
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+PHASH_BITS = 60
+
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("modality", StringType(), False),
+    StructField("phash", LongType(), True),
+])
+
+
+def _fake_phash(payload: bytes | None) -> int | None:
+    """Deterministic stand-in for the perceptual-hash kernel: the first
+    15 hex chars (60 bits — kept under 2^63 so the value is SQL-exact in
+    any BIGINT engine, same width lever as the wide SimHash) of
+    sha256(payload). Stable across runs/engines; NULL payload → NULL."""
+    if payload is None:
+        return None
+    return int(hashlib.sha256(bytes(payload)).hexdigest()[:15], 16)
+
+
+def perceptual_hash(df: DataFrame, decode: str = "fake",
+                    hasher=None) -> DataFrame:
+    """Per-image 60-bit perceptual hash over a MEDIA_SCHEMA frame via
+    ``mapInPandas`` — the sketch that ties multimodal columns into the
+    dedup stack: feed the output to ``dedup.sketch_hamming_pairs`` for
+    banded Hamming near-dup pairs (queries ``image_near_dup``).
+
+    The pixel kernel is the usual pluggable seam: ``hasher`` is a
+    picklable callable ``(payload: bytes|None) -> int|None`` — where PIL
+    exists, pass a real dHash (decode → grayscale → 9×8 downsample →
+    adjacent-pixel gradient bits; near-identical images then land within
+    a few bits and the banded join finds them). Without one,
+    ``decode='fake'`` uses the deterministic sha256 stand-in (exact
+    duplicates still collide at Hamming 0, so the pipeline is
+    oracle-checkable end-to-end) and ``decode='real'`` raises where the
+    codec would run. Returns (media_id, modality, phash).
+    """
+    if decode not in {"fake", "real"}:
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if hasher is not None:
+                ph = [hasher(p) for p in pdf["payload"]]
+            elif decode == "real":
+                raise NotImplementedError(
+                    "image codecs (PIL) unavailable in this environment; "
+                    "inject hasher= or use decode='fake'")
+            else:
+                ph = pdf["payload"].map(_fake_phash)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "phash": ph,
+            })
+
+    return df.mapInPandas(run, PHASH_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Frame-sampling *plan* for video rows: expands each video into the
     timestamps that would be decoded (one row per sampled frame) using only

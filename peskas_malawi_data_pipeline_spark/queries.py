@@ -2174,6 +2174,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fsum, 6).alias("feature_sum"))
 
 
+@register("image_near_dup", """
+WITH ph AS (
+  SELECT doc_id AS media_id,
+         CAST('0x' || substr(sha256(
+           CASE WHEN doc_id % 5 = 0
+                THEN 'img-payload-' || CAST(doc_id // 10 AS VARCHAR)
+                ELSE text END), 1, 15) AS BIGINT) AS phash
+  FROM documents WHERE text IS NOT NULL),
+banded AS (
+  SELECT media_id, phash, CAST(b.i AS INT) AS band_id,
+         (phash >> (CAST(b.i AS INT) * 15)) & 32767 AS band_val
+  FROM ph, UNNEST(range(0, 4)) AS b(i)),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.phash AS pa, b.phash AS pb
+  FROM banded a JOIN banded b USING (band_id, band_val)
+  WHERE a.media_id < b.media_id)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+""")
+def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: images join the dedup stack. Payloads ride
+    the binary media schema; operators.multimodal.perceptual_hash sketches
+    each image to a 60-bit perceptual hash (pixel kernel behind the codec
+    seam — the deterministic sha256 stub here, a real dHash where PIL
+    exists), then dedup.sketch_hamming_pairs — the same banded machinery
+    as simhash_pairs — emits pairs within Hamming ≤ 3 (4×15-bit bands,
+    pigeonhole-complete, hot buckets capped + audited). With the stub
+    kernel only exact payload duplicates collide (Hamming 0), which is
+    what makes the full path oracle-checkable; injected-kernel tests
+    cover the near-miss banding. The harness corpus has NO duplicate
+    texts, so every 5th document's payload is replaced by a shared
+    class blob (class = doc_id div 10 → duplicate PAIRS, answer linear
+    in corpus size) identically in both engines."""
+    from .operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    payload_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("img-payload-"),
+                 F.expr("doc_id div 10").cast("string"))
+    ).otherwise(F.col("text"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.encode(payload_text, "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("uri"),
+        F.struct(
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+            F.lit(None).cast("long").alias("sample_rate")).alias("meta"))
+    ph = mm.perceptual_hash(media, decode="fake")
+    return dedup_ops.sketch_hamming_pairs(
+        ph, "phash", "media_id", bits=60, bands=4, max_hamming=3,
+        max_bucket=1000, site="image_near_dup")
+
+
 @register("frame_sample_plan", """
 WITH v AS (
   SELECT vec_id AS media_id,
@@ -4315,11 +4374,17 @@ feat AS (SELECT doc_id,
     AS symbols
  FROM toks),
 sig AS (SELECT doc_id, n_words,
-  CASE WHEN n_words > 0 THEN char_sum * 1000000 // n_words ELSE 0 END
+  -- the NULL arm mirrors gopher_struct: NULL text propagates NULL
+  -- signals (a bare ELSE 0 would turn NULL docs into 0-signal docs,
+  -- because NULL > 0 falls through to ELSE)
+  CASE WHEN n_words > 0 THEN char_sum * 1000000 // n_words
+       WHEN n_words IS NOT NULL THEN 0 END
     AS mean_word_len_u,
-  CASE WHEN n_words > 0 THEN symbols * 1000000 // n_words ELSE 0 END
+  CASE WHEN n_words > 0 THEN symbols * 1000000 // n_words
+       WHEN n_words IS NOT NULL THEN 0 END
     AS symbol_word_ppm,
-  CASE WHEN n_words > 0 THEN n_alpha * 1000000 // n_words ELSE 0 END
+  CASE WHEN n_words > 0 THEN n_alpha * 1000000 // n_words
+       WHEN n_words IS NOT NULL THEN 0 END
     AS alpha_word_ppm,
   n_stop_hits
  FROM feat)
@@ -5085,7 +5150,15 @@ def drift_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from: its l1 stays NULL and its alert is defined FALSE — no evidence,
     no alert, and no NULL boolean for engines to render differently).
     Reuses the drift query wholesale; the alert adds one
-    answer-sized median + a broadcast scalar join."""
+    answer-sized median + a broadcast scalar join.
+
+    Composition note: the drift subplan appears TWICE below (the series
+    and its median), so the corpus-side aggregate inside
+    `distribution_drift` is in the plan twice. That is deliberate here —
+    the drift frame is answer-sized (|weeks|·|types| after ONE corpus
+    agg) and a barrier would cost more than the re-agg — but anyone
+    composing further layers on top should `materialize(drift)` first so
+    the corpus aggregate runs once."""
     drift = distribution_drift(spark, sf_dir) \
         .select("week_start", "l1_drift_ppm")
     med = drift.filter(F.col("l1_drift_ppm").isNotNull()) \

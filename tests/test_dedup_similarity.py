@@ -132,6 +132,73 @@ def test_multimodal_feature_extraction_fake_decode(spark):
     assert again[1].feature == out[1].feature
 
 
+def _media_rows(spark, payloads):
+    rows = [Row(media_id=i, modality="image", mime_type="image/png",
+                payload=None if p is None else bytearray(p), uri=None,
+                meta=Row(width=None, height=None, duration_s=None,
+                         sample_rate=None))
+            for i, p in payloads.items()]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_perceptual_hash_fake_kernel_and_refusal(spark):
+    """perceptual_hash: deterministic 60-bit stub (sha256-derived, <2^63),
+    NULL payload → NULL hash, decode='real' is the recorded refusal for
+    the prohibited PIL dependency."""
+    import hashlib
+
+    df = _media_rows(spark, {1: b"imgA", 2: b"imgA", 3: b"imgB", 4: None})
+    out = {r.media_id: r.phash
+           for r in M.perceptual_hash(df, decode="fake").collect()}
+    want = int(hashlib.sha256(b"imgA").hexdigest()[:15], 16)
+    assert out[1] == want and out[2] == want
+    assert out[3] != want and out[3] is not None
+    assert out[4] is None
+    with pytest.raises(Exception, match="PIL"):
+        M.perceptual_hash(df, decode="real").collect()
+
+
+def test_image_near_dup_banded_hamming_with_injected_kernel(spark):
+    """The banding/verify logic against a CONTROLLED kernel (the seam a
+    real dHash plugs into): pairs within Hamming <= max_hamming are all
+    found (pigeonhole across the 4x15-bit bands), pairs beyond it never
+    emitted, NULL hashes never pair, and the hot-bucket cap audits
+    through the shared last_cap_drops channel under its own site."""
+    base = (0b1010 << 45) | (7 << 30) | (99 << 15) | 0x1234
+    kernel = {
+        b"p0": base,
+        b"p1": base ^ 0b1,                 # hamming 1 (band 0)
+        b"p2": base ^ (1 << 50) ^ (1 << 20) ^ 1,   # hamming 3, 3 bands hit
+        b"p3": base ^ 0b1111,              # hamming 4 from p0 -> excluded
+        b"p4": (1 << 59) | 1,              # far away
+    }
+
+    def hasher(p):
+        return None if p is None else kernel[bytes(p)]
+
+    df = _media_rows(spark, {i: f"p{i}".encode() for i in range(5)} | {9: None})
+    ph = M.perceptual_hash(df, hasher=hasher)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in D.sketch_hamming_pairs(
+               ph, "phash", "media_id", bits=60, bands=4, max_hamming=3,
+               max_bucket=1000, site="image_near_dup").collect()}
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 3
+    assert got[(1, 2)] == 2        # differs in bits 50,20 only... xor of their diffs
+    assert (0, 3) not in got       # hamming 4 > max
+    assert not any(9 in p or 4 in p for p in got)
+    m = D.last_cap_drops()["image_near_dup"]
+    assert m["cap"] == 1000 and m["dropped_rows"] == 0
+
+    # identical payloads through the FAKE kernel collide at hamming 0
+    dup = _media_rows(spark, {1: b"same", 2: b"same", 3: b"other"})
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in D.sketch_hamming_pairs(
+                 M.perceptual_hash(dup), "phash", "media_id", bits=60,
+                 bands=4, max_hamming=3, max_bucket=1000,
+                 site="image_near_dup").collect()}
+    assert pairs == {(1, 2): 0}
+
+
 def test_multimodal_real_decode_raises(spark):
     rows = [Row(media_id=1, modality="image", mime_type=None,
                 payload=bytearray(b"x"), uri=None, meta=None)]

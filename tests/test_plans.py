@@ -435,6 +435,47 @@ def test_runtime_bloom_filter_prunes_fact_rows(spark):
             spark.conf.set(k, v)
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's OptimizeSkewedJoin actually FIRES on a constructed hot key
+    (the last scale mechanism that was asserted but not plan-pinned):
+    with a non-broadcast SMJ and one key holding a quarter of the rows,
+    the final adaptive plan shows SortMergeJoin(skew=true) over skewed
+    AQEShuffleReads — the hot partition is split across tasks instead of
+    serializing one reducer — and the answer is unchanged. Thresholds
+    are relaxed like the bloom test (local shuffle partitions are
+    hundreds of bytes; on a cluster the 256MB/5.0 defaults govern —
+    SCALE.md §11 sets skewJoin.enabled on the submit line)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.shuffle.partitions": "100",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100b",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") < 250, 249).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"))
+        right = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") % 2 == 0, 2).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad2"))
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 625   # split must not change rows
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert any("AQEShuffleRead" in ln and "skewed" in ln
+                   for ln in plan.splitlines())
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_compact_table_reduces_files_keeps_rows(spark, tmp_path):
     """core.io.compact_table: a many-small-files table rewrites to the
     target file count with identical contents (row count + value sum)."""
