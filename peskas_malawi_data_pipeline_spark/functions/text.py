@@ -447,6 +447,63 @@ def normalize_unicode(col: Column) -> Column:
     return F.trim(F.regexp_replace(spaced, " +", " "))
 
 
+#: Characters whose UTF-8-read-as-cp1252 mojibake form fix_mojibake
+#: repairs: the Latin-1 Supplement accents/symbols plus the
+#: General-Punctuation/currency set — the characters that actually occur
+#: in web text and survive a cp1252 decode (code points whose UTF-8
+#: bytes hit cp1252's five undefined slots, e.g. the right double quote
+#: U+201D, are skipped by the table builder below: their mojibake form
+#: cannot exist as decoded TEXT).
+MOJIBAKE_CHARS = ("éèêëáàâäãíìîïóòôöõúùûüñçýÿ"
+                  "ÉÈÊÁÀÂÃÄÍÓÔÖÕÚÜÑÇ"   # Ã/Â included: repairing a
+                  # double-corrupted lead char peels exactly one layer
+                  "°±µ·º¿¡§«»¢£¥©®¤"
+                  "€—–‘’“”…•†‰™œžš")
+
+
+def _mojibake_table() -> list[tuple[str, str]]:
+    """(mojibake sequence, correct char) pairs, derived — not hand-typed —
+    by running the corruption forward (``c.encode('utf-8')
+    .decode('cp1252')``). Sorted longest-first then lexicographic for a
+    deterministic chain; the sequences are mutually non-substring (2-byte
+    UTF-8 mojibake starts Â/Ã, 3-byte starts â/Ê/Ë-class leads, and
+    same-length forms differ in their tail), so chain order cannot change
+    the result — the sort is for cross-engine replay, not correctness."""
+    out = []
+    for c in sorted(set(MOJIBAKE_CHARS)):
+        try:
+            bad = c.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        out.append((bad, c))
+    out.sort(key=lambda p: (-len(p[0]), p[0]))
+    return out
+
+
+MOJIBAKE_TABLE = _mojibake_table()
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair the dominant mojibake class in web corpora: UTF-8 text that
+    was decoded as cp1252 somewhere upstream — "cafÃ©" repairs to
+    "café", "â€”" to the em dash — via the pinned :data:`MOJIBAKE_TABLE`
+    replace chain — literal (non-regex) replaces, JVM-evaluated, NULL
+    passes through, text without mojibake is untouched (the sequences
+    require lead bytes Â/Ã/â that legitimate text followed by those
+    exact trailers essentially never produces; a false repair needs e.g.
+    a literal 'Ã' directly followed by '©'). A pinned table rather than
+    a re-encode round-trip keeps the repair expressible in ANY engine
+    (the DuckDB oracle replays the identical chain), at the cost of only
+    covering the curated character set — the ftfy-style full round-trip
+    belongs in a pandas_udf if a corpus needs the long tail. Runs BEFORE
+    :func:`normalize_unicode` in the cleaning stack (repair first, then
+    canonicalize what the repair produced)."""
+    out = col
+    for bad, good in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
 #: Tag-strip pattern and entity map for markup removal. Portable regex
 #: subset (no lookaround/backrefs — Java and RE2 agree); the entity chain
 #: is ORDERED: '&amp;' decodes LAST so '&amp;lt;' correctly yields '&lt;'

@@ -4855,6 +4855,59 @@ def _duck_normalize_sql(inner: str) -> str:
 _UNICODE_INJECT_TAIL = "\u00a0cafe\u0301\u3000end"
 
 
+def _duck_mojibake_sql(inner: str) -> str:
+    """DuckDB twin of functions.text.fix_mojibake: the identical ordered
+    replace chain, generated from the SAME pinned table with chr() so the
+    SQL text stays ASCII-reviewable."""
+    expr = inner
+    for bad, good in T.MOJIBAKE_TABLE:
+        bchr = " || ".join(f"chr({ord(ch)})" for ch in bad)
+        expr = f"replace({expr}, {bchr}, chr({ord(good)}))"
+    return expr
+
+
+#: deterministic mojibake mess for the repair oracle pair: the CORRECT
+#: tail, corrupted at module load by running the corruption forward —
+#: both engines then repair the same bytes (escapes: chars invisible or
+#: non-ASCII).
+_MOJIBAKE_TAIL_GOOD = "café — naïve… ±5°"
+_MOJIBAKE_TAIL_BAD = _MOJIBAKE_TAIL_GOOD.encode("utf-8").decode("cp1252")
+
+
+@register("fix_mojibake", f"""
+WITH inj AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0
+       THEN text || ' ' || {" || ".join(f"chr({ord(c)})" for c in _MOJIBAKE_TAIL_BAD)}
+       ELSE text END AS t
+ FROM documents)
+SELECT doc_id, {_duck_mojibake_sql("t")} AS fixed_text,
+       CAST(length(t) - length({_duck_mojibake_sql("t")}) AS BIGINT)
+         AS repair_shrink
+FROM inj
+""")
+def fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (functions.text.fix_mojibake): UTF-8-decoded-as-
+    cp1252 sequences restored to their intended characters via the pinned
+    table chain — the cleaning-stack stage BEFORE normalize_unicode
+    (repair, then canonicalize). Every 3rd document gets a tail corrupted
+    by running the corruption forward at module load (encode utf-8,
+    decode cp1252) identically in both engines; repair_shrink pins how
+    many characters the repair recovered (each multi-char mojibake
+    sequence collapses to one char; clean docs shrink 0). Pure per-row
+    literal-replace chain, JVM-side, scan-bound at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" " + _MOJIBAKE_TAIL_BAD))
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", messy.alias("__t"))
+    fixed = T.fix_mojibake(F.col("__t"))
+    return staged.select(
+        "doc_id", fixed.alias("fixed_text"),
+        (F.length("__t") - F.length(fixed)).cast("long")
+        .alias("repair_shrink"))
+
+
 @register("unicode_normalize", f"""
 WITH inj AS (SELECT doc_id,
   replace(text, 'e', 'e' || chr(8203)) || chr(160) || 'cafe' || chr(769)

@@ -480,6 +480,61 @@ def test_normalize_unicode_reference_cases(spark):
         assert _normalize_unicode_ref(src) == want, ascii(src)
 
 
+def test_fix_mojibake_roundtrip_and_passthrough(spark):
+    """fix_mojibake: corrupting any text over the covered character set
+    (encode utf-8 → decode cp1252, the actual upstream failure) and
+    repairing round-trips exactly; clean ASCII and already-correct
+    accented text pass through untouched; NULL propagates. Fuzzed via
+    hypothesis over a mixed alphabet, all examples in ONE Spark job."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    covered = "".join(sorted(set(T.MOJIBAKE_CHARS)))
+    cases = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.text(alphabet="abz 09,." + covered, max_size=30))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    cases += ["cafÃ© â€” naÃ¯veâ€¦", "plain ascii", "", "déjà vu — fine…"]
+
+    rows, kept = [], []
+    for s in cases:
+        try:
+            # the actual upstream failure, run forward; strings containing
+            # characters whose UTF-8 bytes hit cp1252's undefined slots
+            # cannot be corrupted into decoded text at all — skip them
+            corrupted = s.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        rows.append((len(kept), corrupted, s))
+        kept.append(s)
+    assert len(kept) > 40
+    df = spark.createDataFrame(rows, "i int, bad string, good string")
+    got = {r.i: (r.fixed, r.same) for r in df.select(
+        "i", T.fix_mojibake(F.col("bad")).alias("fixed"),
+        (T.fix_mojibake(F.col("good")) == F.col("good")).alias("same"))
+        .collect()}
+    for i, s in enumerate(kept):
+        fixed, same = got[i]
+        assert fixed == s, (ascii(s), ascii(fixed))
+        if not any(ch in s for ch in "ÃÂâ"):
+            # text without mojibake lead chars is never touched
+            assert same, ascii(s)
+
+    # explicit anchor cases + NULL passthrough
+    anchors = spark.createDataFrame(
+        [(0, "cafÃ©"), (1, "â€” dash â€“"), (2, None)], "i int, t string")
+    out = {r.i: r.c for r in anchors.select(
+        "i", T.fix_mojibake(F.col("t")).alias("c")).collect()}
+    assert out[0] == "café" and out[1] == "— dash –" and out[2] is None
+
+
 def test_normalize_unicode_fuzz_vs_reference_and_duckdb(spark):
     """Differential fuzz (hypothesis drives the case list; ONE Spark job
     checks all): normalize_unicode == the plain-Python unicodedata
