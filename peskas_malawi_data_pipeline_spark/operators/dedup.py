@@ -897,6 +897,37 @@ def decontaminate_segments(df: DataFrame, eval_df: DataFrame,
                                  length.cast("int"))).alias("seg_text"))
 
 
+def decontaminate_stats(df: DataFrame, eval_df: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        eval_text_col: str = "text", k: int = 5,
+                        broadcast_eval: bool = True) -> DataFrame:
+    """Per-document decontamination outcome — the report a release prints
+    and the frame a pipeline joins to decide drop/trim/keep: every corpus
+    document with (``id_col``, n_tokens, contaminated_tokens,
+    kept_tokens, n_spans). Zero-hit docs appear with 0/0; NULL-text docs
+    appear with NULL token counts (mirrors substring_dedup_stats). One
+    groupBy of the answer-sized span frame + a left join against per-doc
+    token counts."""
+    spans = decontaminate_spans(df, eval_df, id_col, text_col,
+                                eval_text_col, k, broadcast_eval)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("__dup"),
+        F.count(F.lit(1)).alias("__n"))
+    base = df.select(F.col(id_col),
+                     T.token_count(F.col(text_col)).cast("long")
+                     .alias("n_tokens"))
+    dup = F.when(F.col("n_tokens").isNotNull(),
+                 F.coalesce(F.col("__dup"), F.lit(0))).cast("long")
+    return (base.join(per_doc, id_col, "left")
+            .select(id_col, "n_tokens",
+                    dup.alias("contaminated_tokens"),
+                    (F.col("n_tokens") - dup).cast("long")
+                    .alias("kept_tokens"),
+                    F.when(F.col("n_tokens").isNotNull(),
+                           F.coalesce(F.col("__n"), F.lit(0))).cast("long")
+                    .alias("n_spans")))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25,
                          check_interval: int = 2) -> DataFrame:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from .core.barrier import materialize
 from .functions import expressions as E
 from .functions import text as T
+from .functions import web as WEB
 from .operators import aggregates as agg_ops
 from .operators import dedup as dedup_ops
 from .operators import joins as join_ops
@@ -4107,6 +4108,32 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.decontaminate_spans(corpus, ev, k=5)
 
 
+@register("decontaminate_stats", f"""
+WITH {_DUCK_DECON_CTES},
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM corp),
+dup AS (SELECT doc_id, sum(span_tokens) AS d, count(*) AS ns
+        FROM spans GROUP BY doc_id)
+SELECT base.doc_id, base.n_tokens,
+       CASE WHEN base.n_tokens IS NOT NULL
+            THEN CAST(coalesce(dup.d, 0) AS BIGINT) END
+         AS contaminated_tokens,
+       CAST(base.n_tokens - coalesce(dup.d, 0) AS BIGINT) AS kept_tokens,
+       CASE WHEN base.n_tokens IS NOT NULL
+            THEN CAST(coalesce(dup.ns, 0) AS BIGINT) END AS n_spans
+FROM base LEFT JOIN dup USING (doc_id)
+""")
+def decontaminate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document decontamination REPORT (dedup.decontaminate_stats):
+    token totals, tokens inside eval-contaminated spans, survivors, and
+    span counts — the drop/trim decision frame and the release-report
+    aggregate, completing the decontamination trio (spans → stats →
+    segments). Every corpus document appears; zero-hit docs carry 0/0."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return dedup_ops.decontaminate_stats(corpus, ev, k=5)
+
+
 @register("decontaminate_segments", f"""
 WITH {_DUCK_DECON_CTES},
 toksp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
@@ -4853,6 +4880,74 @@ def _duck_normalize_sql(inner: str) -> str:
 #: both engines (chr() on the DuckDB side, explicit escapes
 #: here — the characters are invisible, a literal is unreviewable).
 _UNICODE_INJECT_TAIL = "\u00a0cafe\u0301\u3000end"
+
+
+#: deterministic messy-URL injection for the canonicalization oracle
+#: pair: mixed-case scheme/host, default port, tracking params, unsorted
+#: query, trailing slash, fragment — same construction in both engines.
+_URL_INJECT_SQL = (
+    "'HTTP://WWW.Host' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p' || "
+    "CAST(doc_id % 3 AS VARCHAR) || '/?utm_source=s' || "
+    "CAST(doc_id AS VARCHAR) || '&b=2&a=' || CAST(doc_id % 5 AS VARCHAR) "
+    "|| '#frag'")
+
+
+def _url_inject_col() -> F.Column:
+    return F.concat(
+        F.lit("HTTP://WWW.Host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/p"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("/?utm_source=s"), F.col("doc_id").cast("string"),
+        F.lit("&b=2&a="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("#frag"))
+
+
+@register("url_canonicalize", f"""
+WITH inj AS (SELECT doc_id, {_URL_INJECT_SQL} AS u FROM documents),
+canon AS (SELECT doc_id, {WEB.duck_canonicalize_url_sql("u")} AS canon_url
+          FROM inj)
+SELECT doc_id, canon_url,
+       regexp_extract(canon_url, '://([^/?]*)', 1) AS host
+FROM canon
+""")
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions.web.canonicalize_url): the key
+    transform every web-corpus dedup/recrawl pipeline runs before URL-
+    level dedup or host aggregation — lowercase scheme/host, default-port
+    and www strip, fragment drop, tracking-param removal, sorted query,
+    path normalization. Built from portable regex/array primitives (no
+    engine URL parser), so the DuckDB oracle replays the identical chain
+    generated from the same regexes. The corpus has no URL column, so a
+    deterministic messy URL is injected per document identically in both
+    engines. Pure per-row map, scan-bound at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = WEB.canonicalize_url(_url_inject_col())
+    return docs.select(
+        "doc_id", canon.alias("canon_url"),
+        F.regexp_extract(canon, "://([^/?]*)", 1).alias("host"))
+
+
+@register("url_dedup_survivors", f"""
+WITH inj AS (SELECT doc_id, {_URL_INJECT_SQL} AS u FROM documents),
+canon AS (SELECT doc_id, {WEB.duck_canonicalize_url_sql("u")} AS canon_url
+          FROM inj)
+SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY canon_url
+""")
+def url_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup on the canonical key: documents whose messy URLs
+    collapse to one canonical form keep the smallest doc_id (the
+    crawl-order winner) — the fetch-once decision of a recrawl pipeline.
+    The injected URL classes are bounded (7 hosts × 3 paths × 5 query
+    values = 105 canon keys once tracking params drop), so the answer is
+    FIXED-size while groups grow with the corpus: one narrow-key groupBy,
+    map-side partials absorb the heat."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = WEB.canonicalize_url(_url_inject_col())
+    return (docs.select(canon.alias("canon_url"), "doc_id")
+            .groupBy("canon_url")
+            .agg(F.min("doc_id").cast("long").alias("survivor_id"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
 def _duck_mojibake_sql(inner: str) -> str:

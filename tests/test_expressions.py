@@ -480,6 +480,51 @@ def test_normalize_unicode_reference_cases(spark):
         assert _normalize_unicode_ref(src) == want, ascii(src)
 
 
+def test_canonicalize_url_pinned_cases_and_duckdb_twin(spark):
+    """canonicalize_url: every contract step pinned (case, ports, www,
+    userinfo, fragment, tracking params, query sort, path normalization,
+    non-URL → NULL), and the generated DuckDB twin produces IDENTICAL
+    output for every case — the property that makes the registry pair
+    exact rather than approximately similar."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import web as W
+
+    cases = [
+        ("HTTP://WWW.Example.com:80/a/b/?b=2&a=1&utm_source=x#top",
+         "http://example.com/a/b?a=1&b=2"),
+        ("https://Example.COM:443/a?a=1&b=2", "https://example.com/a?a=1&b=2"),
+        ("https://user:pw@Sub.www.site.org:8443/p//",
+         "https://sub.www.site.org:8443/p"),    # ^www. only at host START
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/?", "http://example.com/"),
+        ("http://example.com/path/", "http://example.com/path"),
+        ("http://example.com:8080/x?gclid=1&ref=z&zz=9&aa=2",
+         "http://example.com:8080/x?aa=2&zz=9"),
+        ("ftp://Files.example.net/pub/", "ftp://files.example.net/pub"),
+        ("http://example.com/a?x=1&x=0", "http://example.com/a?x=0&x=1"),
+        ("http://example.com/?utm_source=only", "http://example.com/"),
+        ("not a url", None),
+        ("//scheme-relative.com/x", None),      # absolute URLs only
+        ("http:///nohost", None),
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i int, u string")
+    got = {r.i: r.c for r in df.select(
+        "i", W.canonicalize_url(F.col("u")).alias("c")).collect()}
+    con = duckdb.connect()
+    expr = W.duck_canonicalize_url_sql("u")
+    for i, (url, want) in enumerate(cases):
+        assert got[i] == want, (url, got[i], want)
+        duck = con.sql(f"SELECT {expr} FROM (SELECT ? AS u)",
+                       params=[url]).fetchone()[0]
+        assert duck == want, (url, duck, want)
+
+
 def test_fix_mojibake_roundtrip_and_passthrough(spark):
     """fix_mojibake: corrupting any text over the covered character set
     (encode utf-8 → decode cp1252, the actual upstream failure) and
