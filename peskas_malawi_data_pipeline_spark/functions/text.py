@@ -447,6 +447,42 @@ def normalize_unicode(col: Column) -> Column:
     return F.trim(F.regexp_replace(spaced, " +", " "))
 
 
+#: Sentence boundary: a terminal-punctuation run followed by spaces.
+#: Deliberately lookaround-free (RE2 oracle engines have none): the
+#: boundary is MARKED by rewriting "run + spaces" to "run + \x1e" with a
+#: capture backreference, then split on the marker — the abbreviation/
+#: ellipsis long tail ("e.g. foo", "wait...") is out of contract, the
+#: standard trade for a regex segmenter at corpus scale.
+SENTENCE_BREAK_RE = r"([.!?]+) +"
+_SENT_MARK = "\x1e"
+
+
+def sentences(col: Column) -> Column:
+    """Array of sentences of ``col``: break after each terminal-
+    punctuation run that is followed by spaces, trim each piece, drop
+    empties. Text without terminals is ONE sentence; NULL passes
+    through. Pure per-row regex chain (JVM-side), mirrored exactly by
+    the DuckDB oracle form (queries._duck_sentences_sql)."""
+    marked = F.regexp_replace(col, SENTENCE_BREAK_RE, "$1" + _SENT_MARK)
+    return F.filter(
+        F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s)),
+        lambda s: s != "")
+
+
+def dedup_sentences(col: Column) -> Column:
+    """First-occurrence sentence dedup WITHIN a document (the line-dedup
+    member of the Gopher-style repetition family, at sentence
+    granularity): the :func:`sentences` array with later duplicates
+    removed, order preserved. One higher-order fold per row — the
+    accumulator is the unique-prefix array, so cost is O(sentences²) per
+    document with small counts by construction; no shuffle, no explode."""
+    return F.aggregate(
+        sentences(col),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(F.array_contains(acc, s), acc)
+        .otherwise(F.concat(acc, F.array(s))))
+
+
 #: Characters whose UTF-8-read-as-cp1252 mojibake form fix_mojibake
 #: repairs: the Latin-1 Supplement accents/symbols plus the
 #: General-Punctuation/currency set — the characters that actually occur

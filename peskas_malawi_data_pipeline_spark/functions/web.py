@@ -68,6 +68,22 @@ def canonicalize_url(col: Column) -> Column:
     return F.when(col.rlike(URL_RE) & (host != ""), rebuilt)
 
 
+#: href extractor over raw markup (same portable-regex stance as
+#: text.strip_markup: a regex is not an HTML parser — single/unquoted
+#: attribute syntax is out of contract, the standard corpus-scale trade).
+HREF_RE = r"<a [^>]*href=\"([^\"]+)\""
+
+
+def extract_links(col: Column) -> Column:
+    """All double-quoted ``href`` targets of ``<a>`` tags in ``col``, in
+    document order, as array<string> — the raw material for link graphs
+    and outbound-host statistics; feed each element through
+    :func:`canonicalize_url` before any grouping. Runs on the RAW markup
+    (before text.strip_markup removes the tags). Empty array for
+    link-free text, NULL for NULL."""
+    return F.regexp_extract_all(col, F.lit(HREF_RE), 1)
+
+
 def duck_canonicalize_url_sql(inner: str) -> str:
     """DuckDB twin of :func:`canonicalize_url` — the identical step
     chain over the same regexes, so the engines cannot drift by edit.

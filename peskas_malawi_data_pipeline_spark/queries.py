@@ -850,8 +850,13 @@ def outlier_alert_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis extension (lang-id, quality, tokens, fingerprints)
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKS = ("list_filter(string_split_regex(lower(trim(text)), '[\\s\\v]+'), "
-              "x -> x <> '')")
+def _duck_toks_of(expr: str) -> str:
+    """DuckDB twin of functions.text.tokens over an arbitrary expression."""
+    return (f"list_filter(string_split_regex(lower(trim({expr})), "
+            f"'[\\s\\v]+'), x -> x <> '')")
+
+
+_DUCK_TOKS = _duck_toks_of("text")
 
 
 @register("string_ops", f"""
@@ -4948,6 +4953,149 @@ def url_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("canon_url")
             .agg(F.min("doc_id").cast("long").alias("survivor_id"),
                  F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+def _duck_sentences_sql(inner: str) -> str:
+    """DuckDB twin of functions.text.sentences: mark terminal-punctuation
+    boundaries with chr(30), split, trim, drop empties."""
+    marked = (f"regexp_replace({inner}, '{T.SENTENCE_BREAK_RE}', "
+              f"'\\1' || chr(30), 'g')")
+    return (f"list_filter(list_transform(string_split({marked}, chr(30)), "
+            f"s -> trim(s)), s -> s <> '')")
+
+
+#: deterministic punctuation injection for the sentence oracles: the
+#: corpus is punctuation-free word soup, so two common words grow
+#: terminals — identical literal replaces in both engines.
+_SENT_INJECT_SQL = ("replace(replace(text, 'table', 'table.'), "
+                    "'spark', 'spark!')")
+
+
+def _sent_inject_col() -> F.Column:
+    return F.replace(F.replace(F.col("text"), F.lit("table"),
+                               F.lit("table.")),
+                     F.lit("spark"), F.lit("spark!"))
+
+
+@register("sentence_segments", f"""
+WITH inj AS (SELECT doc_id, {_SENT_INJECT_SQL} AS t FROM documents),
+arr AS (SELECT doc_id, {_duck_sentences_sql("t")} AS ss FROM inj)
+SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, ss[i] AS sentence,
+       CAST(len({_duck_toks_of("ss[i]")}) AS BIGINT) AS n_words
+FROM arr, UNNEST(range(1, len(ss) + 1)) AS u(i)
+""")
+def sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (functions.text.sentences): terminal-
+    punctuation boundary marking + split, lookaround-free so the oracle
+    regex replays byte-identically — the granularity RAG chunking,
+    line-level dedup, and per-sentence quality signals key on. The
+    corpus is punctuation-free, so two common words grow terminals
+    identically in both engines. One regex pass + one explode whose
+    output is corpus-token-bounded; no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.posexplode(T.sentences(_sent_inject_col()))
+        .alias("__i", "sentence"))
+    return staged.select(
+        "doc_id", (F.col("__i") + 1).cast("long").alias("sent_idx"),
+        "sentence",
+        T.token_count(F.col("sentence")).cast("long").alias("n_words"))
+
+
+@register("sentence_dedup_within_doc", f"""
+WITH inj AS (SELECT doc_id, {_SENT_INJECT_SQL} AS t FROM documents),
+arr AS (SELECT doc_id, {_duck_sentences_sql("t")} AS ss FROM inj),
+ex AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, ss[i] AS s
+       FROM arr, UNNEST(range(1, len(ss) + 1)) AS u(i)),
+firsts AS (SELECT doc_id, idx, s,
+                  row_number() OVER (PARTITION BY doc_id, s ORDER BY idx)
+                    AS rn
+           FROM ex),
+kept AS (SELECT doc_id, idx, s FROM firsts WHERE rn = 1)
+SELECT arr.doc_id,
+       CAST(len(arr.ss) AS BIGINT) AS n_sentences,
+       CAST(coalesce(k.nu, 0) AS BIGINT) AS n_unique,
+       CASE WHEN arr.ss IS NOT NULL THEN coalesce(k.ct, '') END
+         AS clean_text
+FROM arr LEFT JOIN (
+  SELECT doc_id, count(*) AS nu,
+         string_agg(s, ' ' ORDER BY idx) AS ct
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+""")
+def sentence_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document sentence dedup (functions.text.dedup_sentences) —
+    the sentence-granularity line-dedup of the Gopher repetition family:
+    later duplicate sentences drop, order preserved, re-joined with
+    single spaces. On the Spark side ONE higher-order fold per row (no
+    explode, no shuffle); the oracle replays it relationally
+    (first-occurrence row_number + ordered string_agg). n_sentences /
+    n_unique quantify the repetition the fold removed."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = T.sentences(_sent_inject_col())
+    uniq = T.dedup_sentences(_sent_inject_col())
+    staged = docs.select(
+        "doc_id", F.col("text").alias("__orig"),
+        F.explode(F.array(F.struct(sents.alias("all"), uniq.alias("u"))))
+        .alias("__s"))
+    return staged.select(
+        "doc_id",
+        F.size("__s.all").cast("long").alias("n_sentences"),
+        F.coalesce(F.size("__s.u"), F.lit(0)).cast("long").alias("n_unique"),
+        F.when(F.col("__orig").isNotNull(),
+               F.concat_ws(" ", F.col("__s.u"))).alias("clean_text"))
+
+
+_LINK_INJECT_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN text || "
+    "' <a class=\"x\" href=\"HTTP://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.COM:80/p?utm_campaign=c&q=' || CAST(doc_id % 3 AS VARCHAR) || "
+    "'\">t</a> and <a href=\"https://cdn' || CAST(doc_id % 2 AS VARCHAR) ||"
+    " '.example.net/a/\">u</a>' ELSE text END")
+
+
+@register("link_host_counts", f"""
+WITH inj AS (SELECT doc_id, {_LINK_INJECT_SQL} AS t FROM documents),
+links AS (SELECT doc_id, unnest(regexp_extract_all(t,
+            '{WEB.HREF_RE}', 1)) AS href FROM inj),
+canon AS (SELECT doc_id, {WEB.duck_canonicalize_url_sql("href")} AS cu
+          FROM links)
+SELECT regexp_extract(cu, '://([^/?]*)', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM canon WHERE cu IS NOT NULL GROUP BY 1
+""")
+def link_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound-link host statistics — extract_links (raw markup) →
+    canonicalize_url → host rollup: the link-graph / domain-reputation
+    aggregation a web pipeline feeds its crawl frontier and quality
+    priors. Anchors are injected into every 4th document identically in
+    both engines (messy case/port/tracking forms, so canonicalization is
+    load-bearing). Bounded host classes keep the answer fixed-size while
+    groups grow with the corpus — one narrow groupBy after a per-row
+    extract chain."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(' <a class="x" href="HTTP://WWW.Site'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".COM:80/p?utm_campaign=c&q="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('">t</a> and <a href="https://cdn'),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit('.example.net/a/">u</a>'))
+    ).otherwise(F.col("text"))
+    links = docs.select(
+        "doc_id", F.explode(WEB.extract_links(injected)).alias("href"))
+    canon = links.select(
+        "doc_id", WEB.canonicalize_url(F.col("href")).alias("cu"))
+    return (canon.filter(F.col("cu").isNotNull())
+            .select(F.regexp_extract("cu", "://([^/?]*)", 1).alias("host"),
+                    "doc_id")
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_links"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs")))
 
 
 def _duck_mojibake_sql(inner: str) -> str:

@@ -480,6 +480,63 @@ def test_normalize_unicode_reference_cases(spark):
         assert _normalize_unicode_ref(src) == want, ascii(src)
 
 
+def test_sentences_and_dedup_sentences(spark):
+    """sentences: terminal-run boundaries, multi-space tolerance, no-split
+    without trailing space, single sentence without terminals, NULL/empty
+    edges. dedup_sentences: first occurrence wins, order preserved."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+
+    cases = [
+        ("One. Two!  Three?", ["One.", "Two!", "Three?"]),
+        ("No terminals here", ["No terminals here"]),
+        ("Version 2.5 stays", ["Version 2.5 stays"]),   # no space after '.'
+        ("Wait... really?! Yes.", ["Wait...", "really?!", "Yes."]),
+        ("Dup. Other. Dup. Dup.", ["Dup.", "Other.", "Dup.", "Dup."]),
+        ("", []),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i int, t string")
+    got = {r.i: (r.s, r.u) for r in df.select(
+        "i", T.sentences(F.col("t")).alias("s"),
+        T.dedup_sentences(F.col("t")).alias("u")).collect()}
+    for i, (src, want) in enumerate(cases):
+        s, u = got[i]
+        assert s == want, (src, s, want)
+        if want is not None:
+            seen, ref = set(), []
+            for x in want:
+                if x not in seen:
+                    seen.add(x)
+                    ref.append(x)
+            assert u == ref, (src, u, ref)
+    assert got[4][1] == ["Dup.", "Other."]
+
+
+def test_extract_links(spark):
+    """extract_links: all double-quoted hrefs in document order; other
+    attributes tolerated; link-free text yields []; NULL propagates."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import web as W
+
+    cases = [
+        ('<a href="http://a.com/x">t</a> mid <a class="c" '
+         'href="https://b.org/">u</a>', ["http://a.com/x", "https://b.org/"]),
+        ("no links at all", []),
+        ('<a href="">empty skipped by +</a>', []),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i int, t string")
+    got = {r.i: r.l for r in df.select(
+        "i", W.extract_links(F.col("t")).alias("l")).collect()}
+    for i, (src, want) in enumerate(cases):
+        assert got[i] == want, (src, got[i], want)
+
+
 def test_canonicalize_url_pinned_cases_and_duckdb_twin(spark):
     """canonicalize_url: every contract step pinned (case, ports, www,
     userinfo, fragment, tracking params, query sort, path normalization,
