@@ -269,6 +269,124 @@ def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def _micro(col: Column) -> Column:
+    """Component-wise integer-micro quantization (same stance as
+    :func:`assign_nearest_centroid`): squared distances over micros are
+    exact BIGINTs, so argmins and rankings are engine-portable with no
+    float-order caveats at all."""
+    return F.transform(col, lambda v: F.floor(v.cast("double") * 1e6)
+                       .cast("long"))
+
+
+def pq_codebook(corpus: DataFrame, corpus_id: str = "corpus_id",
+                vec_col: str = "embedding", m: int = 4,
+                k_centroids: int = 8) -> dict[tuple[int, int], list[int]]:
+    """Product-quantization codebook as a DRIVER-side artifact (like a
+    learned merge table): {(sub_id 1..m, centroid_id 1..k) → micro-int
+    subvector}. Deterministic — the ``k_centroids`` lowest-id corpus
+    vectors sliced into ``m`` equal subvectors (no RNG, reproducible in
+    any engine; swap in offline k-means codebooks for better recall at
+    equal cost). The collect is bounded by construction (m·k rows)."""
+    rows = (corpus.orderBy(corpus_id).limit(k_centroids)
+            .select(_micro(F.col(vec_col)).alias("__v")).collect())
+    if not rows:
+        raise ValueError("pq_codebook: empty corpus")
+    dim = len(rows[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    cb: dict[tuple[int, int], list[int]] = {}
+    for cid, r in enumerate(rows, start=1):
+        v = r["__v"]
+        for s in range(1, m + 1):
+            cb[(s, cid)] = [int(x) for x in v[(s - 1) * d_sub:s * d_sub]]
+    return cb
+
+
+def _pq_shape(codebook: dict) -> tuple[int, int, int]:
+    m = max(s for s, _ in codebook)
+    k = max(c for _, c in codebook)
+    return m, k, len(codebook[(1, 1)])
+
+
+def pq_encode(df: DataFrame, codebook: dict,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ ENCODE: each vector compressed to ``m`` centroid ids — the
+    memory/IO compression that lets a 100 TB embedding corpus keep its
+    search structure in RAM (m bytes instead of dim·4). Per subspace the
+    code is the exact-integer argmin of squared micro distance to the
+    codebook (ties → lowest centroid id, via array_min over (d², cid)
+    structs — lexicographic, engine-portable). Pure map: the codebook
+    inlines as literals, the corpus never shuffles. Returns (``id_col``,
+    pq_codes array<int>, pq_packed long — codes radix-packed for exact
+    cross-engine comparison and compact storage)."""
+    m, k, d_sub = _pq_shape(codebook)
+    q = _micro(F.col(vec_col))
+    code_cols = []
+    for s in range(1, m + 1):
+        sub = F.slice(q, (s - 1) * d_sub + 1, d_sub)
+        cands = []
+        for cid in range(1, k + 1):
+            lit = F.array(*[F.lit(x) for x in codebook[(s, cid)]])
+            d2 = F.aggregate(
+                F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            cands.append(F.struct(d2.alias("d"),
+                                  F.lit(cid).cast("int").alias("c")))
+        code_cols.append(F.array_min(F.array(*cands))["c"])
+    codes = F.array(*code_cols)
+    packed = code_cols[0].cast("long") - 1
+    for s in range(2, m + 1):
+        packed = packed + (code_cols[s - 1].cast("long") - 1) * (k ** (s - 1))
+    return df.select(F.col(id_col), codes.alias("pq_codes"),
+                     packed.alias("pq_packed"))
+
+
+def pq_adc_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
+                k: int = 3, query_id: str = "query_id",
+                corpus_id: str = "corpus_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ search with ASYMMETRIC DISTANCE (ADC): corpus rows are scored
+    through their codes only — dist(q, x) ≈ Σ_sub d²(q_sub,
+    codebook[sub][code_sub]) — so the full corpus vectors are never read
+    at query time; all arithmetic is exact-integer micros. Top-``k``
+    smallest per query, ties → lowest corpus id, self-pairs excluded.
+
+    Plan: encode the corpus (pure map over the code column — in a real
+    deployment the codes are the PERSISTED artifact and this input is a
+    scan of m-byte rows), broadcast the query side, per-row expression
+    sum over subspaces (codebook inlined as nested literals), one window
+    top-k. Candidate volume is |corpus|·|queries| like brute force but
+    over m integer lookups instead of dim multiplies — the classic
+    PQ trade; compose with :func:`ivf_topk`'s list pruning for the
+    IVF-ADC shape when candidate volume itself is the bottleneck.
+    Returns (query_id, corpus_id, adc_dist, rank)."""
+    m, kc, d_sub = _pq_shape(codebook)
+    codes = pq_encode(corpus, codebook, id_col=corpus_id, vec_col=vec_col)
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x) for x in codebook[(s, c)]])
+            for c in range(1, kc + 1)])
+        for s in range(1, m + 1)])
+    qv = _micro(F.col(vec_col))
+    q = queries.select(F.col(query_id), qv.alias("__qv"))
+    joined = codes.join(F.broadcast(q),
+                        F.col(query_id) != F.col(corpus_id))
+    total = F.lit(0).cast("long")
+    for s in range(1, m + 1):
+        cvec = F.element_at(F.element_at(cb_lit, s),
+                            F.element_at(F.col("pq_codes"), s))
+        sub = F.slice(F.col("__qv"), (s - 1) * d_sub + 1, d_sub)
+        total = total + F.aggregate(
+            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = joined.select(query_id, corpus_id, total.alias("adc_dist"))
+    w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def assign_nearest_centroid(df: DataFrame, centroids: DataFrame,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

@@ -1602,6 +1602,92 @@ _DUCK_IVF_ASSIGN = ("CASE WHEN sqrt(list_dot_product(v, v)) * en > 0 THEN "
                     "(sqrt(list_dot_product(v, v)) * en) END")
 
 
+# Product-quantization twins: micro-int components → exact BIGINT squared
+# distances (same determinism stance as assign_nearest_centroid), 64 dims
+# split into 4×16 subspaces, codebook = the 8 lowest-id corpus vectors.
+_DUCK_PQ_CTES = """c AS (SELECT vec_id AS corpus_id,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+ FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY corpus_id) AS cid, v AS cv
+          FROM (SELECT * FROM c ORDER BY corpus_id LIMIT 8)),
+subs AS (SELECT unnest(range(1, 5)) AS sub),
+cd AS (SELECT corpus_id, sub, cid,
+         list_sum(list_transform(range(1, 17),
+           i -> (v[(sub-1)*16 + i] - cv[(sub-1)*16 + i])
+              * (v[(sub-1)*16 + i] - cv[(sub-1)*16 + i]))) AS d2
+       FROM c, subs, cents),
+codes AS (SELECT corpus_id, sub, cid FROM (
+            SELECT corpus_id, sub, cid,
+                   row_number() OVER (PARTITION BY corpus_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM cd) WHERE rn = 1)"""
+
+
+@register("pq_codes", f"""
+WITH {_DUCK_PQ_CTES}
+SELECT corpus_id AS vec_id,
+       CAST(sum((cid - 1) * CASE sub WHEN 1 THEN 1 WHEN 2 THEN 8
+                                     WHEN 3 THEN 64 ELSE 512 END)
+            AS BIGINT) AS pq_packed
+FROM codes GROUP BY corpus_id
+""")
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODE (similarity.pq_encode): every corpus
+    vector compressed to 4 centroid ids over 16-dim subspaces — the
+    m-byte representation that keeps a 100 TB embedding corpus's search
+    structure in RAM. Codes are exact-integer argmins over micro-
+    quantized components (no float ordering anywhere), radix-packed into
+    one BIGINT for the cross-engine compare. Pure map; the codebook is a
+    bounded driver artifact (8 seed vectors) inlined as literals."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    cb = sim_ops.pq_codebook(c, m=4, k_centroids=8)
+    return (sim_ops.pq_encode(c, cb, id_col="corpus_id")
+            .select(F.col("corpus_id").alias("vec_id"), "pq_packed"))
+
+
+@register("ann_pq_adc_topk", f"""
+WITH {_DUCK_PQ_CTES},
+q AS (SELECT vec_id AS query_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 20),
+qd AS (SELECT query_id, sub, cid,
+         list_sum(list_transform(range(1, 17),
+           i -> (qv[(sub-1)*16 + i] - cv[(sub-1)*16 + i])
+              * (qv[(sub-1)*16 + i] - cv[(sub-1)*16 + i]))) AS d2
+       FROM q, subs, cents),
+adc AS (SELECT query_id, corpus_id, CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+        FROM codes JOIN qd USING (sub, cid)
+        WHERE query_id <> corpus_id
+        GROUP BY query_id, corpus_id),
+r AS (SELECT query_id, corpus_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, corpus_id) AS rank
+      FROM adc)
+SELECT query_id, corpus_id, adc_dist, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""")
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (similarity.pq_adc_topk): corpus
+    rows scored through their 4 codes only — Σ per-subspace exact-integer
+    distance from the query subvector to the coded centroid — so full
+    vectors are never read at query time. Completes the ANN family
+    (brute / LSH / IVF / PQ-ADC); compose with IVF list pruning for
+    IVF-ADC when candidate volume is the bottleneck. The oracle replays
+    encode + ADC relationally over the same micro ints (exact BIGINTs —
+    no rounding gates at all)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    cb = sim_ops.pq_codebook(c, m=4, k_centroids=8)
+    out = sim_ops.pq_adc_topk(q, c, cb, k=3)
+    return out.select("query_id", "corpus_id", "adc_dist",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register("ann_ivf_topk", f"""
 WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT row_number() OVER (ORDER BY corpus_id) AS centroid_id,

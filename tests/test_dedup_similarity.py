@@ -276,6 +276,71 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
             assert r.cosine == exact_cos[(r.query_id, r.corpus_id)]
 
 
+def test_pq_encode_and_adc_vs_numpy_reference(spark):
+    """Product quantization: codes equal a numpy argmin reference over
+    the micro-quantized subvectors (ties → lowest centroid id), the
+    packed radix form round-trips, and pq_adc_topk's distances equal the
+    brute-force ADC computation exactly (integer arithmetic — zero
+    tolerance). A corpus vector IDENTICAL to a codebook seed encodes to
+    that seed's codes with per-subspace distance 0."""
+    import numpy as np
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    dim, m, kc = 8, 4, 3
+    vecs = rng.uniform(-1, 1, size=(20, dim)).round(3)
+    vecs[7] = vecs[1]          # an exact copy of a codebook seed (id 1)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "corpus_id int, embedding array<double>")
+    cb = S.pq_codebook(df, m=m, k_centroids=kc)
+    assert set(cb) == {(s, c) for s in range(1, m + 1)
+                       for c in range(1, kc + 1)}
+
+    micro = np.floor(vecs * 1e6).astype("int64")
+    d_sub = dim // m
+    cents = micro[:kc]
+
+    def ref_codes(v):
+        out = []
+        for s in range(m):
+            sub = v[s * d_sub:(s + 1) * d_sub]
+            d2 = [int(((sub - cents[c, s * d_sub:(s + 1) * d_sub]) ** 2)
+                      .sum()) for c in range(kc)]
+            out.append(int(np.lexsort((np.arange(kc), d2))[0]) + 1)
+        return out
+
+    got = {r.corpus_id: (list(r.pq_codes), r.pq_packed)
+           for r in S.pq_encode(df, cb, id_col="corpus_id").collect()}
+    for i, v in enumerate(micro):
+        want = ref_codes(v)
+        packed = sum((c - 1) * (kc ** s) for s, c in enumerate(want))
+        assert got[i] == (want, packed), (i, got[i], want)
+    assert got[7] == got[1]    # the exact copy shares the seed's codes
+
+    q = spark.createDataFrame(rows[:3], "query_id int, embedding array<double>")
+    adc = {(r.query_id, r.corpus_id): (r.adc_dist, r.rank)
+           for r in S.pq_adc_topk(q, df, cb, k=4).collect()}
+
+    def ref_adc(qi, ci):
+        total = 0
+        codes = ref_codes(micro[ci])
+        for s in range(m):
+            sub = micro[qi][s * d_sub:(s + 1) * d_sub]
+            cv = cents[codes[s] - 1, s * d_sub:(s + 1) * d_sub]
+            total += int(((sub - cv) ** 2).sum())
+        return total
+
+    for (qi, ci), (dist, rank) in adc.items():
+        assert qi != ci
+        assert dist == ref_adc(qi, ci), (qi, ci)
+        assert 1 <= rank <= 4
+    # query 1's exact copy (id 7) ties the minimum ADC distance: both
+    # score the query-to-own-codes residual
+    assert adc[(1, 7)][0] == min(d for (q_, _c), (d, _) in adc.items()
+                                 if q_ == 1)
+
+
 def test_jaccard_stop_shingle_cap_is_lower_bound(spark):
     from pyspark.sql import Row
 
