@@ -1324,6 +1324,57 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+@register("group_aware_split", f"""
+WITH RECURSIVE {_DUCK_MINHASH_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+          UNION SELECT id_b, id_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+g AS (SELECT d.doc_id,
+             CAST(coalesce(comp.component, d.doc_id) AS BIGINT) AS group_key
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+h AS (SELECT doc_id, group_key,
+             CAST('0x' || substr(md5('split:' ||
+                  CAST(group_key AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM g)
+SELECT doc_id, group_key,
+       CASE WHEN hv % 100 < 80 THEN 'train'
+            WHEN hv % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM h
+""")
+def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/valid/test assignment: hash_split keyed on the
+    near-dup GROUP, not the document — near-duplicates always land in the
+    same split, so the eval set can never contain a paraphrase of a
+    training document (the standard contamination hole a per-doc split
+    leaves open). Group key = connected component of the MinHash/LSH
+    candidate graph (large/small-star), singletons key on their own id;
+    the same deterministic md5 bucket arithmetic as `hash_split` then
+    applies to the group key. Scale shape: the component frame is
+    duplicate-members-sized (tiny vs the corpus), so the key join
+    broadcasts and the corpus never shuffles; split assignment is a pure
+    map. By-construction property (pinned by test): no component ever
+    spans two splits."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, shingle_n=3)
+    comp = dedup_ops.connected_components_star(pairs)
+    keyed = (docs.join(F.broadcast(comp.withColumnRenamed("id", "doc_id")),
+                       "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce(F.col("component"), F.col("doc_id"))
+                     .cast("long").alias("group_key")))
+    h = T.md5_prefix_hash(F.col("group_key").cast("string"), "split:") % 100
+    split = (F.when(h < 80, "train").when(h < 90, "valid")
+             .otherwise("test"))
+    return keyed.select("doc_id", "group_key", split.alias("split"))
+
+
 @register("dedup_components_star", _DUCK_COMPONENTS_SQL)
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate groups via alternating large-star/small-star rewrites

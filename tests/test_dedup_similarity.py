@@ -276,6 +276,60 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
             assert r.cosine == exact_cos[(r.query_id, r.corpus_id)]
 
 
+def test_group_aware_split_never_leaks_across_splits(spark):
+    """The leakage property that motivates group-aware splitting: every
+    near-dup component lands WHOLLY inside one split, while the per-doc
+    hash_split demonstrably straddles (on a corpus with planted near-dup
+    clusters whose member ids hash to different per-doc buckets)."""
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+    from peskas_malawi_data_pipeline_spark.operators import dedup as D
+
+    rows = []
+    for g in range(12):
+        # per-cluster DISTINCT base text so clusters don't merge with
+        # each other; members differ by one trailing token
+        base = " ".join(f"g{g}w{j}" for j in range(18))
+        for m in range(4):                      # 4 near-identical members
+            rows.append((g * 100 + m, base +
+                         (" extra" if m == 3 else "")))
+    for i in range(48, 120):                    # singletons
+        rows.append((i * 100 + 7, f"unique document number {i} " * 3
+                     + f"tail {i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = D.minhash_lsh_pairs(df, num_hashes=8, band_size=2, shingle_n=3)
+    comp = D.connected_components_star(pairs)
+    keyed = (df.join(comp.withColumnRenamed("id", "doc_id"), "doc_id",
+                     "left")
+             .select("doc_id",
+                     F.coalesce(F.col("component"), F.col("doc_id"))
+                     .cast("long").alias("group_key")))
+    h = T.md5_prefix_hash(F.col("group_key").cast("string"), "split:") % 100
+    hd = T.md5_prefix_hash(F.col("doc_id").cast("string"), "split:") % 100
+    out = keyed.select(
+        "doc_id", "group_key",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+        .alias("split"),
+        F.when(hd < 80, "train").when(hd < 90, "valid").otherwise("test")
+        .alias("per_doc_split")).collect()
+
+    by_group: dict = {}
+    per_doc_straddles = 0
+    for r in out:
+        by_group.setdefault(r.group_key, (set(), set()))
+        by_group[r.group_key][0].add(r.split)
+        by_group[r.group_key][1].add(r.per_doc_split)
+    multi = [g for g, (s, _) in by_group.items()
+             if len([r for r in out if r.group_key == g]) > 1]
+    assert len(multi) >= 10                      # clusters actually formed
+    for g, (splits, doc_splits) in by_group.items():
+        assert len(splits) == 1, (g, splits)     # NEVER leaks
+    # the per-doc baseline demonstrably straddles at least one cluster —
+    # the hole group-aware splitting closes
+    assert any(len(ds) > 1 for g, (_, ds) in by_group.items()
+               if g in set(multi))
+
+
 def test_pq_encode_and_adc_vs_numpy_reference(spark):
     """Product quantization: codes equal a numpy argmin reference over
     the micro-quantized subvectors (ties → lowest centroid id), the
