@@ -309,6 +309,26 @@ def _pq_shape(codebook: dict) -> tuple[int, int, int]:
     return m, k, len(codebook[(1, 1)])
 
 
+def _pq_code_columns(vec_micro: Column, codebook: dict) -> list[Column]:
+    """Per-subspace code columns (exact-integer argmin, ties → lowest
+    centroid id) for a micro-int vector — shared by :func:`pq_encode`
+    and :func:`ivf_pq_topk` so both compute codes in ONE map pass."""
+    m, k, d_sub = _pq_shape(codebook)
+    code_cols = []
+    for s in range(1, m + 1):
+        sub = F.slice(vec_micro, (s - 1) * d_sub + 1, d_sub)
+        cands = []
+        for cid in range(1, k + 1):
+            lit = F.array(*[F.lit(x) for x in codebook[(s, cid)]])
+            d2 = F.aggregate(
+                F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            cands.append(F.struct(d2.alias("d"),
+                                  F.lit(cid).cast("int").alias("c")))
+        code_cols.append(F.array_min(F.array(*cands))["c"])
+    return code_cols
+
+
 def pq_encode(df: DataFrame, codebook: dict,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
@@ -321,20 +341,8 @@ def pq_encode(df: DataFrame, codebook: dict,
     inlines as literals, the corpus never shuffles. Returns (``id_col``,
     pq_codes array<int>, pq_packed long — codes radix-packed for exact
     cross-engine comparison and compact storage)."""
-    m, k, d_sub = _pq_shape(codebook)
-    q = _micro(F.col(vec_col))
-    code_cols = []
-    for s in range(1, m + 1):
-        sub = F.slice(q, (s - 1) * d_sub + 1, d_sub)
-        cands = []
-        for cid in range(1, k + 1):
-            lit = F.array(*[F.lit(x) for x in codebook[(s, cid)]])
-            d2 = F.aggregate(
-                F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x)
-            cands.append(F.struct(d2.alias("d"),
-                                  F.lit(cid).cast("int").alias("c")))
-        code_cols.append(F.array_min(F.array(*cands))["c"])
+    m, k, _d_sub = _pq_shape(codebook)
+    code_cols = _pq_code_columns(_micro(F.col(vec_col)), codebook)
     codes = F.array(*code_cols)
     packed = code_cols[0].cast("long") - 1
     for s in range(2, m + 1):
@@ -382,6 +390,92 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
             F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
     scored = joined.select(query_id, corpus_id, total.alias("adc_dist"))
+    w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_coarse_centroids(corpus: DataFrame, corpus_id: str = "corpus_id",
+                         vec_col: str = "embedding",
+                         n_centroids: int = 8) -> dict[int, list[int]]:
+    """Coarse-quantizer centroids as a driver artifact (same stance as
+    :func:`pq_codebook`): {centroid_id 1..n → micro-int vector}, the
+    ``n_centroids`` lowest-id corpus vectors. Bounded collect; swap in
+    offline k-means for better recall at equal cost."""
+    rows = (corpus.orderBy(corpus_id).limit(n_centroids)
+            .select(_micro(F.col(vec_col)).alias("__v")).collect())
+    if not rows:
+        raise ValueError("ivf_coarse_centroids: empty corpus")
+    return {cid: [int(x) for x in r["__v"]]
+            for cid, r in enumerate(rows, start=1)}
+
+
+def _coarse_assign(vec_micro: Column, coarse: dict[int, list[int]],
+                   n: int) -> Column:
+    """The ``n`` nearest coarse-centroid ids of a micro-int vector, as an
+    array ordered by (exact integer d², centroid id) — a PURE-MAP top-n
+    (array_sort over (d², cid) structs with the centroids inlined as
+    literals), no window, no shuffle: the coarse assignment of a 100 TB
+    corpus is embarrassingly parallel."""
+    cands = []
+    for cid in sorted(coarse):
+        lit = F.array(*[F.lit(x) for x in coarse[cid]])
+        d2 = F.aggregate(
+            F.zip_with(vec_micro, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cands.append(F.struct(d2.alias("d"),
+                              F.lit(cid).cast("int").alias("c")))
+    ranked = F.slice(F.array_sort(F.array(*cands)), 1, n)
+    return F.transform(ranked, lambda s: s["c"])
+
+
+def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
+                coarse: dict[int, list[int]], k: int = 3, nprobe: int = 2,
+                query_id: str = "query_id", corpus_id: str = "corpus_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVF-ADC — the production ANN shape (Jégou et al.'s IVFADC): coarse
+    inverted-list pruning bounds the CANDIDATE volume
+    (|corpus|·nprobe/n_centroids instead of |corpus| per query) and
+    asymmetric distance over PQ codes bounds the PER-CANDIDATE cost
+    (m integer lookups instead of dim multiplies, against m-byte rows).
+    Everything is exact-integer micros: coarse assignment, codes, and
+    ADC scores — rankings are engine-portable with no float caveats.
+
+    Plan: ONE pure-map pass gives each corpus row its list id and codes
+    (centroids and codebook inline as literals — in production these are
+    the persisted index artifacts); queries expand to their ``nprobe``
+    lists map-side; the only joins are the list-id equi-join with the
+    (small) probe side broadcast — the corpus partitioning is never
+    touched — and the final per-query window top-k over candidate rows.
+    Returns (query_id, corpus_id, adc_dist, rank)."""
+    m, kc, d_sub = _pq_shape(codebook)
+    cv = _micro(F.col(vec_col))
+    # list id AND codes from one projection — the corpus is read once and
+    # never self-joined (both are pure expressions over the same vector)
+    coded = corpus.select(
+        F.col(corpus_id),
+        F.element_at(_coarse_assign(cv, coarse, 1), 1).alias("__list"),
+        F.array(*_pq_code_columns(cv, codebook)).alias("pq_codes"))
+    qv = _micro(F.col(vec_col))
+    probes = queries.select(
+        F.col(query_id), qv.alias("__qv"),
+        F.explode(_coarse_assign(qv, coarse, nprobe)).alias("__list"))
+    cand = coded.join(F.broadcast(probes), "__list") \
+        .filter(F.col(query_id) != F.col(corpus_id))
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x) for x in codebook[(s, c)]])
+            for c in range(1, kc + 1)])
+        for s in range(1, m + 1)])
+    total = F.lit(0).cast("long")
+    for s in range(1, m + 1):
+        cvec = F.element_at(F.element_at(cb_lit, s),
+                            F.element_at(F.col("pq_codes"), s))
+        sub = F.slice(F.col("__qv"), (s - 1) * d_sub + 1, d_sub)
+        total = total + F.aggregate(
+            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = cand.select(query_id, corpus_id, total.alias("adc_dist"))
     w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -1698,6 +1698,72 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("corpus_id").alias("vec_id"), "pq_packed"))
 
 
+@register("ann_ivf_pq_topk", f"""
+WITH {_DUCK_PQ_CTES},
+fa AS (SELECT c.corpus_id, cents.cid,
+              list_sum(list_transform(range(1, 65),
+                i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS fd2
+       FROM c, cents),
+ca AS (SELECT corpus_id, cid AS list_id FROM (
+         SELECT corpus_id, cid,
+                row_number() OVER (PARTITION BY corpus_id
+                                   ORDER BY fd2, cid) AS rn
+         FROM fa) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 20),
+qf AS (SELECT q.query_id, cents.cid,
+              list_sum(list_transform(range(1, 65),
+                i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS fd2
+       FROM q, cents),
+qa AS (SELECT query_id, cid AS list_id FROM (
+         SELECT query_id, cid,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY fd2, cid) AS rn
+         FROM qf) WHERE rn <= 2),
+qd AS (SELECT query_id, sub, cid,
+         list_sum(list_transform(range(1, 17),
+           i -> (qv[(sub-1)*16 + i] - cv[(sub-1)*16 + i])
+              * (qv[(sub-1)*16 + i] - cv[(sub-1)*16 + i]))) AS d2
+       FROM q, subs, cents),
+cand AS (SELECT qa.query_id, ca.corpus_id
+         FROM ca JOIN qa USING (list_id)
+         WHERE qa.query_id <> ca.corpus_id),
+adc AS (SELECT cand.query_id, cand.corpus_id,
+               CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+        FROM cand
+        JOIN codes ON codes.corpus_id = cand.corpus_id
+        JOIN qd ON qd.query_id = cand.query_id
+               AND qd.sub = codes.sub AND qd.cid = codes.cid
+        GROUP BY cand.query_id, cand.corpus_id),
+r AS (SELECT query_id, corpus_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, corpus_id) AS rank
+      FROM adc)
+SELECT query_id, corpus_id, adc_dist, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""")
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC (similarity.ivf_pq_topk), the production ANN composition:
+    coarse inverted lists bound the CANDIDATE volume
+    (|corpus|·nprobe/n_centroids), PQ asymmetric distance bounds the
+    PER-CANDIDATE cost (4 integer lookups over m-byte codes). One
+    pure-map pass gives each corpus row its list AND its codes; the
+    probe side broadcasts; every number is an exact-integer micro, so
+    the oracle's relational replay (windowed coarse assignment +
+    code/probe join) hash-matches with zero tolerance."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    cb = sim_ops.pq_codebook(c, m=4, k_centroids=8)
+    coarse = sim_ops.ivf_coarse_centroids(c, n_centroids=8)
+    out = sim_ops.ivf_pq_topk(q, c, cb, coarse, k=3, nprobe=2)
+    return out.select("query_id", "corpus_id", "adc_dist",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register("ann_pq_adc_topk", f"""
 WITH {_DUCK_PQ_CTES},
 q AS (SELECT vec_id AS query_id,

@@ -395,6 +395,70 @@ def test_pq_encode_and_adc_vs_numpy_reference(spark):
                                  if q_ == 1)
 
 
+def test_ivf_pq_topk_matches_bruteforce_composition(spark):
+    """IVF-ADC equals the brute-force composition exactly: coarse
+    assignment by integer full-dim argmin (ties → lowest centroid),
+    candidates = corpus rows in the query's nprobe lists, scores = exact
+    ADC over the codes — all integers, zero tolerance. Also: the
+    candidate set is genuinely PRUNED (some true ADC neighbors outside
+    probed lists are absent), which is the IVF trade the test documents."""
+    import numpy as np
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.default_rng(5)
+    dim, m, kc, ncent, nprobe = 8, 4, 3, 4, 2
+    vecs = rng.uniform(-1, 1, size=(30, dim)).round(3)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "corpus_id int, embedding array<double>")
+    q = spark.createDataFrame(rows[:5],
+                              "query_id int, embedding array<double>")
+    cb = S.pq_codebook(df, m=m, k_centroids=kc)
+    coarse = S.ivf_coarse_centroids(df, n_centroids=ncent)
+
+    micro = np.floor(vecs * 1e6).astype("int64")
+    cents = np.array([coarse[c] for c in sorted(coarse)], dtype="int64")
+    d_sub = dim // m
+    cbm = {k_: np.array(v, dtype="int64") for k_, v in cb.items()}
+
+    def lists_of(v, n):
+        d2 = ((cents - v) ** 2).sum(axis=1)
+        return [int(i) + 1 for i in np.lexsort((np.arange(ncent), d2))[:n]]
+
+    def codes_of(v):
+        out = []
+        for s in range(1, m + 1):
+            sub = v[(s - 1) * d_sub:s * d_sub]
+            d2 = [int(((sub - cbm[(s, c)]) ** 2).sum())
+                  for c in range(1, kc + 1)]
+            out.append(int(np.lexsort((np.arange(kc), d2))[0]) + 1)
+        return out
+
+    def adc(qv, codes):
+        return sum(int(((qv[(s - 1) * d_sub:s * d_sub]
+                         - cbm[(s, codes[s - 1])]) ** 2).sum())
+                   for s in range(1, m + 1))
+
+    want = {}
+    for qi in range(5):
+        probed = set(lists_of(micro[qi], nprobe))
+        scored = [(adc(micro[qi], codes_of(micro[ci])), ci)
+                  for ci in range(30)
+                  if ci != qi and lists_of(micro[ci], 1)[0] in probed]
+        for rank, (d, ci) in enumerate(sorted(scored)[:3], start=1):
+            want[(qi, ci)] = (d, rank)
+
+    got = {(r.query_id, r.corpus_id): (r.adc_dist, r.rank)
+           for r in S.ivf_pq_topk(q, df, cb, coarse, k=3,
+                                  nprobe=nprobe).collect()}
+    assert got == want
+
+    # pruning is real: the unpruned ADC ranking differs for some query
+    full = {(r.query_id, r.corpus_id)
+            for r in S.pq_adc_topk(q, df, cb, k=3).collect()}
+    assert full != set(got)
+
+
 def test_jaccard_stop_shingle_cap_is_lower_bound(spark):
     from pyspark.sql import Row
 
