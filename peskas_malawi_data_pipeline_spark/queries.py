@@ -1529,6 +1529,176 @@ _DUCK_QUALITY_MICRO = """CAST(floor((0.4 * least(n / 500.0, 1.0)
            + 0.3 * least(stop_ratio * 5.0, 1.0)) * 1000000) AS BIGINT)"""
 
 
+_PII_INJECT_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 3) % 256 AS VARCHAR) || ' call +265 99 123 ' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE text END")
+
+
+#: quality-gate thresholds (shared by both gate queries and their
+#: oracles): token band, composite-quality floor, duplicate-token-ratio
+#: ceiling. Reason bits: 1 lang, 2 band, 4 quality, 8 repetition, 16 PII.
+_GATE_MIN_TOKENS, _GATE_MAX_TOKENS = 20, 2000
+_GATE_MIN_QUALITY_MICRO = 500_000
+_GATE_MAX_DUP_MICRO = 650_000
+
+
+def _quality_gate_sig_sql() -> str:
+    """Shared oracle CTE chain ending in ``sig`` (doc_id, n_tokens,
+    lang_pred, quality_micro, dup_micro, n_pii) over the PII-injected
+    corpus — every gate signal reuses an existing oracle form verbatim."""
+    score_cols, case = _duck_lang_parts()
+    return f"""inj AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents),
+toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM inj),
+scored AS (SELECT doc_id, text, t, CAST(len(t) AS BIGINT) AS n_tokens,
+         {score_cols}
+  FROM toks),
+feat AS (SELECT doc_id, text, t, n_tokens, {case} AS lang_pred,
+         {_DUCK_QUALITY_FEATURES}
+  FROM scored),
+sig AS (SELECT doc_id, n_tokens, lang_pred,
+         {_DUCK_QUALITY_MICRO} AS quality_micro,
+         CAST(floor(CASE WHEN len(t) > 0
+           THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+           ELSE 0.0 END * 1000000) AS BIGINT) AS dup_micro,
+         CAST(len(regexp_extract_all(text, '{T.PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{T.PII_IP}'))
+            + len(regexp_extract_all(text, '{T.PII_PHONE}')) AS BIGINT)
+           AS n_pii
+  FROM feat)"""
+
+
+_GATE_REASONS_EXPR = f"""CASE WHEN lang_pred <> 'en' THEN 1 ELSE 0 END
+     + CASE WHEN n_tokens < {_GATE_MIN_TOKENS}
+                 OR n_tokens > {_GATE_MAX_TOKENS} THEN 2 ELSE 0 END
+     + CASE WHEN quality_micro < {_GATE_MIN_QUALITY_MICRO} THEN 4 ELSE 0 END
+     + CASE WHEN dup_micro > {_GATE_MAX_DUP_MICRO} THEN 8 ELSE 0 END
+     + CASE WHEN n_pii > 0 THEN 16 ELSE 0 END"""
+
+
+@register("quality_gate_reasons", f"""
+WITH {_quality_gate_sig_sql()}
+SELECT doc_id, n_tokens,
+       CAST({_GATE_REASONS_EXPR} AS BIGINT) AS reasons,
+       ({_GATE_REASONS_EXPR}) = 0 AS keep
+FROM sig
+""")
+def quality_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter-pipeline decision WITH OBSERVABILITY: per document, a
+    bitmask of every gate it fails (1 lang≠en, 2 token band, 4 composite
+    quality, 8 token repetition, 16 PII present) and the keep verdict —
+    what a release pipeline logs so "why was this dropped" is a lookup,
+    not a re-run, and what ablations slice on ("train without gate 8").
+    All signals are the existing oracle-paired integer forms (lang_id,
+    quality_scores, repetition_ratio, pii counts) over the PII-injected
+    corpus; reasons is an exact integer. Pure per-row map, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                 ((F.col("doc_id") * 3) % 256).cast("string"),
+                 F.lit(" call +265 99 123 "),
+                 (F.lit(1000) + F.col("doc_id") % 9000).cast("string"))
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", injected.alias("__t"))
+    t = F.col("__t")
+    pii = T.pii_counts(t)
+    n_tok = T.token_count(t).cast("long")
+    reasons = (
+        F.when(T.lang_id(t) != "en", 1).otherwise(0)
+        + F.when((n_tok < _GATE_MIN_TOKENS)
+                 | (n_tok > _GATE_MAX_TOKENS), 2).otherwise(0)
+        + F.when(F.floor(T.quality_score(t) * 1e6)
+                 < _GATE_MIN_QUALITY_MICRO, 4).otherwise(0)
+        + F.when(F.floor(T.dup_ngram_ratio(t, 1) * 1e6)
+                 > _GATE_MAX_DUP_MICRO, 8).otherwise(0)
+        + F.when(pii["n_emails"] + pii["n_ips"] + pii["n_phones"] > 0,
+                 16).otherwise(0)).cast("long")
+    return staged.select("doc_id", n_tok.alias("n_tokens"),
+                         reasons.alias("reasons"),
+                         (reasons == 0).alias("keep"))
+
+
+@register("quality_funnel_report", f"""
+WITH {_quality_gate_sig_sql()}
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+    AS after_lang,
+  CAST(sum(CASE WHEN lang_pred = 'en'
+        AND n_tokens BETWEEN {_GATE_MIN_TOKENS} AND {_GATE_MAX_TOKENS}
+        THEN 1 ELSE 0 END) AS BIGINT) AS after_band,
+  CAST(sum(CASE WHEN lang_pred = 'en'
+        AND n_tokens BETWEEN {_GATE_MIN_TOKENS} AND {_GATE_MAX_TOKENS}
+        AND quality_micro >= {_GATE_MIN_QUALITY_MICRO}
+        THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+  CAST(sum(CASE WHEN lang_pred = 'en'
+        AND n_tokens BETWEEN {_GATE_MIN_TOKENS} AND {_GATE_MAX_TOKENS}
+        AND quality_micro >= {_GATE_MIN_QUALITY_MICRO}
+        AND dup_micro <= {_GATE_MAX_DUP_MICRO}
+        THEN 1 ELSE 0 END) AS BIGINT) AS after_repetition,
+  CAST(sum(CASE WHEN lang_pred = 'en'
+        AND n_tokens BETWEEN {_GATE_MIN_TOKENS} AND {_GATE_MAX_TOKENS}
+        AND quality_micro >= {_GATE_MIN_QUALITY_MICRO}
+        AND dup_micro <= {_GATE_MAX_DUP_MICRO}
+        AND n_pii = 0 THEN 1 ELSE 0 END) AS BIGINT) AS after_pii
+FROM sig
+""")
+def quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release-report FUNNEL over the same gate signals: survivors
+    after each successive filter (lang → token band → quality →
+    repetition → PII) in one answer-sized aggregation — the number every
+    corpus paper prints and every pipeline dashboard plots. ONE pass:
+    conditional sums share the per-row signal computation; map-side
+    partials make the shuffle one row per partition."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                 ((F.col("doc_id") * 3) % 256).cast("string"),
+                 F.lit(" call +265 99 123 "),
+                 (F.lit(1000) + F.col("doc_id") % 9000).cast("string"))
+    ).otherwise(F.col("text"))
+    t = F.col("__t")
+    pii = T.pii_counts(t)
+    staged = docs.select(
+        F.col("doc_id"), injected.alias("__t")
+    ).select(
+        (T.lang_id(t) == "en").alias("__lang_ok"),
+        T.token_count(t).cast("long").between(
+            _GATE_MIN_TOKENS, _GATE_MAX_TOKENS).alias("__band_ok"),
+        (F.floor(T.quality_score(t) * 1e6)
+         >= _GATE_MIN_QUALITY_MICRO).alias("__q_ok"),
+        (F.floor(T.dup_ngram_ratio(t, 1) * 1e6)
+         <= _GATE_MAX_DUP_MICRO).alias("__rep_ok"),
+        ((pii["n_emails"] + pii["n_ips"] + pii["n_phones"]) == 0)
+        .alias("__pii_ok"))
+
+    def cum(*flags):
+        cond = flags[0]
+        for f_ in flags[1:]:
+            cond = cond & f_
+        return F.sum(cond.cast("long")).cast("long")
+
+    L, B, Q, R, P = (F.col(c) for c in
+                     ("__lang_ok", "__band_ok", "__q_ok", "__rep_ok",
+                      "__pii_ok"))
+    return staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        cum(L).alias("after_lang"),
+        cum(L, B).alias("after_band"),
+        cum(L, B, Q).alias("after_quality"),
+        cum(L, B, Q, R).alias("after_repetition"),
+        cum(L, B, Q, R, P).alias("after_pii"))
+
+
 def _corpus_clean_sql() -> str:
     score_cols, case = _duck_lang_parts()
     return f"""
@@ -4406,12 +4576,6 @@ def minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3, threshold=0.5)
 
 
-_PII_INJECT_SQL = (
-    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
-    "CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || "
-    "CAST(doc_id % 256 AS VARCHAR) || '.' || "
-    "CAST((doc_id * 3) % 256 AS VARCHAR) || ' call +265 99 123 ' || "
-    "CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE text END")
 
 
 @register("pii_redact", f"""
