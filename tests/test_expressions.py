@@ -582,6 +582,130 @@ def test_canonicalize_url_pinned_cases_and_duckdb_twin(spark):
         assert duck == want, (url, duck, want)
 
 
+def test_canonicalize_url_fuzz_vs_duckdb_twin(spark):
+    """Cross-engine fuzz: Spark canonicalize_url and the generated DuckDB
+    twin agree on URLs assembled from adversarial component soup —
+    mixed-case schemes/hosts, userinfo, weird ports, repeated slashes,
+    tracking and empty params, fragments, and strings that are not URLs
+    at all. ONE Spark job for all examples; the pinned-case test defines
+    the semantics, this pins the two engines to each other across the
+    input space."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import web as W
+
+    host = st.text(alphabet="aBc9.-", min_size=0, max_size=8)
+    piece = st.text(alphabet="aB1/._~%-", max_size=6)
+    param = st.sampled_from(["a=1", "b=2", "utm_source=x", "gclid=9",
+                             "ref=z", "x=0", "", "a=1"])
+    cases = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "HTTP", "https", "ftp", "x+s.1"]),
+        user=st.sampled_from(["", "u@", "u:p@", "@"]),
+        h=host,
+        port=st.sampled_from(["", ":80", ":443", ":8080", ":0443"]),
+        www=st.booleans(),
+        path=piece,
+        params=st.lists(param, max_size=4),
+        frag=st.sampled_from(["", "#f", "#", "#a#b"]),
+        junk=st.booleans())
+    def collect(scheme, user, h, port, www, path, params, frag, junk):
+        if junk:
+            cases.append(h + path)          # non-URL soup
+        else:
+            q = "&".join(params)
+            cases.append(f"{scheme}://{user}{'www.' if www else ''}{h}"
+                         f"{port}/{path}{'?' + q if q else ''}{frag}")
+
+    collect()
+    assert len(cases) > 80
+
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, u string")
+    got = {r.i: r.c for r in df.select(
+        "i", W.canonicalize_url(F.col("u")).alias("c")).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (i INT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    expr = W.duck_canonicalize_url_sql("u")
+    for i, duck in con.sql(f"SELECT i, {expr} FROM t ORDER BY i").fetchall():
+        assert duck == got[i], (cases[i], got[i], duck)
+
+
+def test_sentences_fuzz_vs_duckdb_twin(spark):
+    """Cross-engine fuzz: T.sentences equals the DuckDB oracle form over
+    random punctuation soup (terminal runs, missing trailing spaces,
+    multi-space gaps, leading/trailing boundaries)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+    from peskas_malawi_data_pipeline_spark.queries import _duck_sentences_sql
+
+    cases = []
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet="ab .!?", max_size=24))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, t string")
+    got = {r.i: r.s for r in df.select(
+        "i", T.sentences(F.col("t")).alias("s")).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (i INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    expr = _duck_sentences_sql("t")
+    for i, duck in con.sql(f"SELECT i, {expr} FROM t ORDER BY i").fetchall():
+        assert duck == got[i], (ascii(cases[i]), got[i], duck)
+
+
+def test_fix_mojibake_fuzz_vs_duckdb_twin(spark):
+    """Cross-engine fuzz: the pinned-table repair chain and its generated
+    DuckDB twin agree over corrupted and clean text alike."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+    from peskas_malawi_data_pipeline_spark.queries import _duck_mojibake_sql
+
+    covered = "".join(sorted(set(T.MOJIBAKE_CHARS)))
+    cases = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.text(alphabet="ab ÃÂâ€™“" + covered, max_size=20),
+           st.booleans())
+    def collect(s, corrupt):
+        if corrupt:
+            try:
+                s = s.encode("utf-8").decode("cp1252")
+            except UnicodeDecodeError:
+                return
+        cases.append(s)
+
+    collect()
+
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, t string")
+    got = {r.i: r.c for r in df.select(
+        "i", T.fix_mojibake(F.col("t")).alias("c")).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (i INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    expr = _duck_mojibake_sql("t")
+    for i, duck in con.sql(f"SELECT i, {expr} FROM t ORDER BY i").fetchall():
+        assert duck == got[i], (ascii(cases[i]), ascii(got[i]), ascii(duck))
+
+
 def test_fix_mojibake_roundtrip_and_passthrough(spark):
     """fix_mojibake: corrupting any text over the covered character set
     (encode utf-8 → decode cp1252, the actual upstream failure) and
