@@ -5136,6 +5136,63 @@ def prefix_join_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5)
 
 
+@register("streaming_near_dedup", f"""
+WITH {_DUCK_MINHASH_CTES}
+SELECT id_a, id_b FROM mh_pairs
+""")
+def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup discovery — the stateful streaming twin of the
+    incremental LSH pipeline: documents land continuously; each
+    micro-batch is MinHash-sketched ONCE (materialized), band-joined
+    against the PERSISTED index (dedup.incremental_lsh_pairs: new↔index
+    and new↔new, O(increment) per batch — the settled index↔index pairs
+    are never recomputed), its pairs appended, and its bands appended to
+    the index. The accumulated pair SET equals the batch LSH pair set
+    exactly, independent of arrival order and batching: every pair is
+    discovered in the micro-batch where its LATER member lands. Pair
+    appends are at-least-once under foreachBatch replay; the result is a
+    SET, so the terminal DISTINCT makes the read idempotent (same
+    argument as the oracle's DISTINCT). Documents are staged as three
+    landing files drained one per trigger, so the oracle equality proves
+    a genuinely multi-batch index-growth chain."""
+    import os
+    import tempfile
+
+    from .streaming import ingest_stream as st
+
+    work = tempfile.mkdtemp(prefix="peskas_stream_neardup_")
+    landing = os.path.join(work, "landing")
+    # documents carry no timestamp column, so a plain parquet write is a
+    # safe landing stage (the INT96 sniff hazard is timestamp-specific)
+    _t(spark, sf_dir, "documents").repartition(3).write.parquet(landing)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(landing))
+
+    index_dir = os.path.join(work, "bands")
+    pairs_dir = os.path.join(work, "pairs")
+
+    def step(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        new_bands = materialize(dedup_ops.minhash_bands(
+            batch_df, num_hashes=8, band_size=2, shingle_n=3))
+        index = (s.read.parquet(index_dir) if os.path.exists(index_dir)
+                 else new_bands.limit(0))
+        pairs = dedup_ops.incremental_lsh_pairs(new_bands, index,
+                                                max_bucket=1000)
+        pairs.write.mode("append").parquet(pairs_dir)
+        new_bands.write.mode("append").parquet(index_dir)
+
+    with st.stream_state_partitions(spark, 4):
+        q = (stream.writeStream.foreachBatch(step)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.read.parquet(pairs_dir).select("id_a", "id_b").distinct()
+
+
 @register("streaming_incremental_rollup", """
 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -545,3 +545,51 @@ def test_sessionize_pre_start_arrivals_exact(spark, tmp_path):
     want = {(1, e + 5 * 60): (1, 0),
             (1, e + 50 * 60): (4, 60 * 60)}
     assert got == want
+
+
+def test_streaming_near_dedup_arrival_order_invariant(spark, tmp_path):
+    """The streaming LSH index-growth loop (queries.streaming_near_dedup's
+    foreachBatch body) accumulates EXACTLY the batch LSH pair set under
+    any arrival order and batching: two adversarial landings — duplicate
+    cluster members split across batches, and reverse order — both equal
+    the single-shot batch run, and replaying a batch (at-least-once
+    foreachBatch) changes nothing after the terminal DISTINCT."""
+    from pyspark.sql import Row
+
+    from peskas_malawi_data_pipeline_spark.core.barrier import materialize
+    from peskas_malawi_data_pipeline_spark.operators import dedup as D
+
+    rows = []
+    for g in range(6):
+        base = " ".join(f"g{g}w{j}" for j in range(15))
+        for m in range(3):
+            rows.append(Row(doc_id=g * 10 + m,
+                            text=base + (" tail" if m == 2 else "")))
+    for i in range(40):
+        rows.append(Row(doc_id=1000 + i, text=f"unique {i} " * 5 + f"x{i}"))
+    df = spark.createDataFrame(rows)
+
+    want = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(
+        df, num_hashes=8, band_size=2, shingle_n=3).collect()}
+    assert len(want) >= 6          # clusters actually pair
+
+    def run_stream(batches):
+        index, acc = None, []
+        for ids in batches:
+            batch = df.filter(F.col("doc_id").isin(ids))
+            nb = materialize(D.minhash_bands(
+                batch, num_hashes=8, band_size=2, shingle_n=3))
+            idx = index if index is not None else nb.limit(0)
+            acc.extend((r.id_a, r.id_b) for r in
+                       D.incremental_lsh_pairs(nb, idx,
+                                               max_bucket=1000).collect())
+            index = materialize(idx.unionByName(nb))
+        return set(acc)
+
+    ids = [r.doc_id for r in rows]
+    split = [ids[0::3], ids[1::3], ids[2::3]]       # cluster members split
+    assert run_stream(split) == want
+    assert run_stream([list(reversed(ids))[i::2] for i in range(2)]) == want
+    # at-least-once replay: a re-delivered batch re-appends its pairs AND
+    # its bands; both are absorbed by set semantics
+    assert run_stream(split + [split[1]]) == want
