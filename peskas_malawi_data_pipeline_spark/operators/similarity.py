@@ -481,6 +481,70 @@ def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
             .filter(F.col("rank") <= k))
 
 
+def kmeans_lloyd(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 8,
+                 iterations: int = 2) -> DataFrame:
+    """Deterministic Lloyd k-means over micro-int components — the
+    "offline k-means codebook" step the IVF/PQ docstrings point at, with
+    NO RNG anywhere: seeds are the ``k`` lowest-id vectors, assignment is
+    the exact-integer d² argmin (ties → lowest centroid id), and the
+    update is the per-dimension micro mean with the same
+    divide-then-cast truncation as ``embedding_centroids`` (bigint sums
+    are order-independent, so the result is stable under any
+    partitioning and bit-identical in any engine). A cluster that loses
+    all members simply vanishes from the next round's centroid set —
+    deterministic in both engines, documented rather than re-seeded.
+
+    Plan per iteration: assignment is a PURE MAP (current centroids
+    inline as literals — they are a k×dim driver artifact, collected
+    once per round like a learned merge table); the update is ONE
+    posexplode + (cid, dim) partial-sum shuffle carrying k·dim rows.
+    Returns the FINAL assignment (``id_col``, centroid_id) after
+    ``iterations`` rounds; feed the final centroids to
+    :func:`assign_nearest_centroid`/:func:`ivf_pq_topk` machinery by
+    re-deriving them from the assignment when needed.
+    """
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+    base = df.select(F.col(id_col), _micro(F.col(vec_col)).alias("__v"))
+    seeds = (df.orderBy(id_col).limit(k)
+             .select(_micro(F.col(vec_col)).alias("__v")).collect())
+    cents: dict[int, list[int]] = {
+        cid: [int(x) for x in r["__v"]]
+        for cid, r in enumerate(seeds, start=1)}
+
+    def assign_expr(cdict: dict[int, list[int]]):
+        cands = []
+        for cid in sorted(cdict):
+            lit = F.array(*[F.lit(x) for x in cdict[cid]])
+            d2 = F.aggregate(
+                F.zip_with(F.col("__v"), lit,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            cands.append(F.struct(d2.alias("d"),
+                                  F.lit(cid).cast("int").alias("c")))
+        return F.array_min(F.array(*cands))["c"]
+
+    for it in range(iterations - 1):
+        assigned = base.select("__v", assign_expr(cents).alias("__cid"))
+        # identical mean idiom to embedding_centroids: divide-then-cast
+        # truncates toward zero, matching the oracle's integer `//`
+        stats = (assigned.select(
+            "__cid", F.posexplode("__v").alias("__dim", "__q"))
+            .groupBy("__cid", "__dim")
+            .agg((F.sum("__q") / F.count(F.lit(1))).cast("long")
+                 .alias("__m"))
+            .collect())
+        nxt: dict[int, dict[int, int]] = {}
+        for r in stats:
+            nxt.setdefault(int(r["__cid"]), {})[int(r["__dim"])] = \
+                int(r["__m"])
+        cents = {cid: [dims[i] for i in range(len(dims))]
+                 for cid, dims in nxt.items()}
+    return base.select(F.col(id_col),
+                       assign_expr(cents).cast("int").alias("centroid_id"))
+
+
 def assign_nearest_centroid(df: DataFrame, centroids: DataFrame,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

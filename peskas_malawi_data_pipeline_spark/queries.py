@@ -1845,6 +1845,49 @@ codes AS (SELECT corpus_id, sub, cid FROM (
             FROM cd) WHERE rn = 1)"""
 
 
+_DUCK_KM_D2 = ("list_sum(list_transform(range(1, 65), "
+               "i -> (v[i] - cv[i]) * (v[i] - cv[i])))")
+
+
+@register("kmeans_clusters", f"""
+WITH e AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+ FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c0.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY {_DUCK_KM_D2}, c0.cid) AS rn
+         FROM e, c0) WHERE rn = 1),
+m1 AS (SELECT a1.cid, t.i AS dim,
+              CAST(sum(v[t.i + 1]) // count(*) AS BIGINT) AS m
+       FROM a1 JOIN e USING (vec_id), UNNEST(range(0, 64)) AS t(i)
+       GROUP BY a1.cid, t.i),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c1.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY {_DUCK_KM_D2}, c1.cid) AS rn
+         FROM e, c1) WHERE rn = 1)
+SELECT vec_id, CAST(cid AS INT) AS centroid_id FROM a2
+""")
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (similarity.kmeans_lloyd, k=8, two
+    rounds): the offline clustering step that feeds IVF coarse lists, PQ
+    codebooks, and SemDeDup blocking with data-adapted centroids instead
+    of lowest-id seeds — no RNG anywhere (lowest-id seeding, exact
+    integer d² assignment with lowest-cid ties, truncating micro means),
+    so every engine lands the identical clustering. Per round the
+    assignment is a pure map (centroids inline as a k×dim driver
+    artifact) and the update one k·dim-row partial-sum shuffle; the
+    oracle unrolls both rounds relationally (windowed argmin +
+    ordinality means), the same pattern as the other iterative twins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.kmeans_lloyd(emb, id_col="vec_id", k=8, iterations=2)
+
+
 @register("pq_codes", f"""
 WITH {_DUCK_PQ_CTES}
 SELECT corpus_id AS vec_id,

@@ -395,6 +395,69 @@ def test_pq_encode_and_adc_vs_numpy_reference(spark):
                                  if q_ == 1)
 
 
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    """kmeans_lloyd equals a numpy Lloyd reference implementing the same
+    deterministic rules — lowest-id seeding, exact integer d² argmin
+    with lowest-cid ties, truncating micro means — across 1, 2 and 3
+    iterations, including an input that empties a cluster after round 1
+    (the vanished centroid stays vanished in both)."""
+    import numpy as np
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    # two tight blobs + one outlier seed that loses its members
+    pts = np.concatenate([
+        rng.normal(0.0, 0.05, size=(12, 6)),
+        rng.normal(1.0, 0.05, size=(12, 6)),
+        [[5.0] * 6],
+    ]).round(3)
+    order = rng.permutation(len(pts))
+    rows = [(int(i), [float(x) for x in pts[p]])
+            for i, p in enumerate(order)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    micro = {i: np.floor(np.array(v) * 1e6).astype("int64")
+             for i, v in rows}
+
+    def ref(k, iters):
+        cents = {cid: micro[cid - 1].copy() for cid in range(1, k + 1)}
+        assign = {}
+        for it in range(iters):
+            assign = {}
+            for i, v in micro.items():
+                best = min(((int(((v - cv) ** 2).sum()), cid)
+                            for cid, cv in sorted(cents.items())))
+                assign[i] = best[1]
+            if it == iters - 1:
+                break
+            nxt = {}
+            for cid in sorted(cents):
+                members = [micro[i] for i, c in assign.items() if c == cid]
+                if not members:
+                    continue          # cluster vanishes
+                s = np.sum(members, axis=0, dtype="int64")
+                n = len(members)
+                # divide-then-cast truncation, same as the engine idiom
+                nxt[cid] = np.array([int(float(x) / n) for x in s],
+                                    dtype="int64")
+            cents = nxt
+        return assign
+
+    for iters in (1, 2, 3):
+        got = {r.vec_id: r.centroid_id
+               for r in S.kmeans_lloyd(df, k=4,
+                                       iterations=iters).collect()}
+        assert got == ref(4, iters), iters
+    # the two blobs separate: no centroid serves members of both (k=4 may
+    # legitimately keep two centroids inside one blob — that's k-means,
+    # not a bug — but cross-blob sharing would be)
+    final = {r.vec_id: r.centroid_id
+             for r in S.kmeans_lloyd(df, k=4, iterations=3).collect()}
+    blob_a = {final[i] for i, p in enumerate(order) if p < 12}
+    blob_b = {final[i] for i, p in enumerate(order) if 12 <= p < 24}
+    assert blob_a and blob_b and not (blob_a & blob_b)
+
+
 def test_ivf_pq_topk_matches_bruteforce_composition(spark):
     """IVF-ADC equals the brute-force composition exactly: coarse
     assignment by integer full-dim argmin (ties → lowest centroid),
