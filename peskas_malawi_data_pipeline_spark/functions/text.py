@@ -390,18 +390,21 @@ def pii_counts(col: Column) -> dict[str, Column]:
     }
 
 
-#: Unicode cleanup tables (normalize_unicode). DELETE: code points removed
-#: outright — NUL first of all (DuckDB's nfc_normalize TRUNCATES the string
-#: at a NUL, so every engine must drop it BEFORE normalizing), then soft
-#: hyphen, the zero-width trio, word joiner, and the BOM/ZWNBSP — the
-#: invisible characters that silently fragment shingles and dedup groups.
-#: SPACE: code points mapped to ASCII space — C0/C1 controls and every
-#: Unicode Zs/Zl/Zp separator (mapped, not deleted: "a\\x00b" losing its
-#: boundary would invent a token). The oracle side is generated from
-#: these same tables (queries._duck_normalize_sql), so the two engines
-#: cannot drift apart by edit.
-UNICODE_DELETE_CPS = (0x0000, 0x00AD, 0x200B, 0x200C, 0x200D, 0x2060,
-                      0xFEFF)
+#: Unicode cleanup tables (normalize_unicode). NUL is handled by its own
+#: PRE-NFC stage mapping it to a space (UNICODE_NUL_RE): DuckDB's
+#: nfc_normalize TRUNCATES the string at a NUL, so every engine must
+#: remove it BEFORE normalizing — and mapping (not deleting) preserves
+#: the token boundary ("a\\x00b" → "a b", never "ab"). DELETE: code
+#: points removed outright — soft hyphen, the zero-width trio, word
+#: joiner, and the BOM/ZWNBSP — the invisible characters that silently
+#: fragment shingles and dedup groups. SPACE: code points mapped to
+#: ASCII space — C0/C1 controls and every Unicode Zs/Zl/Zp separator
+#: (mapped, not deleted, same boundary rationale as NUL). The oracle
+#: side is generated from these same tables
+#: (queries._duck_normalize_sql), so the two engines cannot drift apart
+#: by edit.
+UNICODE_NUL_RE = "\u0000"
+UNICODE_DELETE_CPS = (0x00AD, 0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF)
 UNICODE_SPACE_RANGES = ((0x0001, 0x001F), (0x007F, 0x007F),
                         (0x0080, 0x009F), (0x00A0, 0x00A0),
                         (0x1680, 0x1680), (0x2000, 0x200A),
@@ -424,9 +427,11 @@ def normalize_unicode(col: Column) -> Column:
     identical documents hash apart; this is the cleaning-stack stage that
     prevents it (strip_markup → normalize_unicode → redact_pii).
 
-    Deletion runs BEFORE NFC in every engine: a zero-width joiner between
-    a base and its combining mark blocks composition, and the point of
-    this op is that the visible text wins; NUL must also go first because
+    NUL maps to a SPACE in a pre-NFC stage (not a delete: ``a\\x00b``
+    keeps its token boundary as ``a b``) and deletion also runs BEFORE
+    NFC in every engine: a zero-width joiner between a base and its
+    combining mark blocks composition, and the point of this op is that
+    the visible text wins; NUL must go first of all because
     DuckDB's ``nfc_normalize`` truncates at it. The NFC step is the one
     Python stage in the chain (Spark has no normalizer expression):
     an Arrow-batched ``pandas_udf`` — the regex stages stay JVM-side.
@@ -442,7 +447,8 @@ def normalize_unicode(col: Column) -> Column:
         return s.map(lambda t: None if t is None
                      else unicodedata.normalize("NFC", t))
 
-    pre = F.regexp_replace(col, UNICODE_DELETE_RE, "")
+    pre = F.regexp_replace(
+        F.regexp_replace(col, UNICODE_NUL_RE, " "), UNICODE_DELETE_RE, "")
     spaced = F.regexp_replace(_nfc(pre), UNICODE_SPACE_RE, " ")
     return F.trim(F.regexp_replace(spaced, " +", " "))
 

@@ -13,7 +13,9 @@ differential-testable.
 Canonical form (each step pinned by tests and the DuckDB oracle twin):
 scheme and host lowercased; userinfo dropped; default ports stripped
 (:80 http, :443 https); leading ``www.`` dropped; fragment dropped;
-tracking params removed (``utm_*``, ``gclid``, ``fbclid``, ``ref``);
+tracking params removed (``utm_*``, ``gclid``, ``fbclid`` — only
+unambiguous tracking keys; ``ref`` is content-bearing on many sites and
+is kept, see TRACKING_PARAM_RE);
 remaining query params sorted lexicographically as ``k=v`` strings;
 empty path becomes ``/`` and trailing slashes collapse off non-root
 paths. Strings that do not parse as absolute ``scheme://authority...``
@@ -31,16 +33,26 @@ from pyspark.sql import functions as F
 URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 
 #: Tracking parameters dropped from query strings (matched on the key).
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$"
+#: Deliberately restricted to UNAMBIGUOUS tracking keys: ``utm_*`` /
+#: ``gclid`` / ``fbclid`` never carry content. Bare ``ref`` is NOT
+#: stripped — on many sites (``?ref=branch`` on code hosts) it selects
+#: genuinely distinct pages, and stripping it would false-merge them in
+#: url_dedup_survivors, dropping real documents. Callers with a known
+#: site profile pass their own pattern via ``tracking_param_re``.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=.*)?$"
 
 
 def _grp(col: Column, i: int) -> Column:
     return F.regexp_extract(col, URL_RE, i)
 
 
-def canonicalize_url(col: Column) -> Column:
+def canonicalize_url(col: Column,
+                     tracking_param_re: str = TRACKING_PARAM_RE) -> Column:
     """Canonical URL per the module contract, or NULL for non-URLs.
-    Pure per-row regex/array chain, JVM-evaluated, no shuffle."""
+    Pure per-row regex/array chain, JVM-evaluated, no shuffle.
+    ``tracking_param_re`` overrides the dropped-parameter pattern (the
+    default strips only the unambiguous ``utm_*``/``gclid``/``fbclid``
+    keys — see TRACKING_PARAM_RE on why ``ref`` is content-bearing)."""
     scheme = F.lower(_grp(col, 1))
     # authority: drop userinfo (everything through the last '@'), then
     # lowercase; hosts are case-insensitive, userinfo is not corpus key
@@ -60,7 +72,7 @@ def canonicalize_url(col: Column) -> Column:
     raw_q = F.regexp_replace(_grp(col, 4), r"^\?", "")
     params = F.filter(
         F.split(raw_q, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+        lambda p: (p != "") & ~p.rlike(tracking_param_re))
     query = F.concat_ws("&", F.array_sort(params))
     rebuilt = F.concat(
         scheme, F.lit("://"), host, path,
@@ -84,14 +96,16 @@ def extract_links(col: Column) -> Column:
     return F.regexp_extract_all(col, F.lit(HREF_RE), 1)
 
 
-def duck_canonicalize_url_sql(inner: str) -> str:
+def duck_canonicalize_url_sql(inner: str,
+                              tracking_param_re: str = TRACKING_PARAM_RE
+                              ) -> str:
     """DuckDB twin of :func:`canonicalize_url` — the identical step
     chain over the same regexes, so the engines cannot drift by edit.
     RE2 note: Spark's ``regexp_extract`` returns '' for a non-matching
     optional group, as does DuckDB's — the '?'-strip and ''-checks below
     rely on that shared convention."""
     url_re = URL_RE.replace("'", "''")
-    track = TRACKING_PARAM_RE.replace("'", "''")
+    track = tracking_param_re.replace("'", "''")
 
     def grp(i: int) -> str:
         return f"regexp_extract({inner}, '{url_re}', {i})"

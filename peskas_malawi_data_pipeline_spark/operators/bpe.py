@@ -328,34 +328,113 @@ def _fit_local(rows: list[tuple[str, int]], k: int) -> list:
     return merges
 
 
+def _encode_lengths_local(word_list: list[str], merges) -> list:
+    """Driver-side sequential encode of a distinct-word vocabulary:
+    ``(word, n_subwords)`` rows after applying ``merges`` IN ORDER with
+    non-overlapping left-to-right replacement — byte-for-byte the
+    semantics of the chained-replace path, reproduced in symbol-list
+    space (so no marker/sentinel machinery is needed: list adjacency IS
+    the boundary). The structure mirrors :func:`_fit_local`: a
+    pair → word-id occurrence index makes each merge O(affected words),
+    not a vocabulary scan, and O(1) dict probes for the k−affected
+    merges a given corpus never exercises — total work is
+    O(total symbols + merge applications), independent of k for the
+    merges that don't fire. Rewrites register their newly created
+    adjacencies so later merges see them; already-processed merges are
+    never revisited (exactly the sequential contract — a pair occurrence
+    CREATED by a later merge stays unmerged, matching the chained
+    replace). Words emptied by marker sanitization are omitted (the
+    distributed path's ``length(syms) > 0`` filter)."""
+    words: dict[int, list[str]] = {}
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wid, w in enumerate(word_list):
+        s = [c for c in w.replace(MARKER, "")]
+        if not s:
+            continue
+        words[wid] = s
+        for i in range(len(s) - 1):
+            where[(s[i], s[i + 1])].add(wid)
+    for pair, new_symbol in merges:
+        a, b = pair.split(" ", 1)
+        for wid in where.pop((a, b), ()):
+            s = words[wid]
+            out: list[str] = []
+            i, L = 0, len(s)
+            changed = False
+            while i < L:
+                if i < L - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(new_symbol)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(s[i])
+                    i += 1
+            if not changed:          # stale index entry (word rewritten)
+                continue
+            for i in range(len(out) - 1):
+                where[(out[i], out[i + 1])].add(wid)
+            words[wid] = out
+    return [(word_list[wid], len(s)) for wid, s in words.items()]
+
+
 def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text", strategy: str = "auto",
+                     local_vocab_limit: int = DEFAULT_LOCAL_VOCAB_LIMIT
+                     ) -> DataFrame:
     """Apply learned merges to the corpus and count subwords per document
     — the ENCODE side of BPE, and the real token-budget number a packing/
     mixing stage needs (whitespace counts over-estimate once a subword
     vocab exists). ``merges`` is the (pair, new_symbol) sequence from
     :func:`bpe_fit` (display form, no markers).
 
-    Plan: the merge chain runs over the DISTINCT-WORD table, not the
-    corpus — k chained literal replaces on a vocabulary-sized frame —
-    and the corpus is touched by one explode + one join against that
-    (word → subword-count) map (broadcast when the vocabulary is small,
-    plain shuffle join otherwise) + one per-doc aggregation. Words
-    emptied by marker sanitization drop out of both sides identically."""
+    Strategies (bit-identical outputs, differentially tested):
+
+    - ``local``: collect the distinct-word vocabulary to the driver,
+      encode it sequentially (:func:`_encode_lengths_local`), and
+      broadcast the (word → n_subwords) map back. O(1) Spark jobs AND
+      O(1) plan size in the merge count — the production path for a
+      32k-merge vocabulary, where the chained path's k-deep expression
+      tree is the bound (SCALE.md §10g), mirroring ``bpe_fit``'s
+      ``local`` trainer: the vocabulary moves once, the corpus never.
+    - ``chained``: k chained literal replaces over the distinct-word
+      frame — fully distributed, the fallback when the vocabulary
+      exceeds driver memory.
+    - ``auto`` (default): ``local`` when a cheap count shows the
+      vocabulary is within ``local_vocab_limit`` rows, else ``chained``.
+
+    Plan (either strategy): the merge evaluation runs over the
+    DISTINCT-WORD table, not the corpus, and the corpus is touched by
+    one explode + one join against the (word → subword-count) map
+    (broadcast under ``local`` — the gate already proved it
+    driver-sized; Catalyst/AQE-sized otherwise) + one per-doc
+    aggregation. Words emptied by marker sanitization drop out of both
+    sides identically."""
+    if strategy not in {"auto", "local", "chained"}:
+        raise ValueError(f"unknown strategy {strategy!r}")
     words = (df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
              .distinct())
-    enc = words.select("w", _sym_expr(F.col("w")).alias("syms")) \
-        .filter(F.length("syms") > 0)
-    # same trailing-space sentinel as bpe_fit: the pattern ends in
-    # " ", so a merge never matches a longer second symbol that merely
-    # starts with b (chain runs on syms || ' ', sentinel rtrimmed once)
-    col = F.concat(F.col("syms"), F.lit(" "))
-    for pair, new_symbol in merges:
-        a, b = pair.split(" ", 1)
-        col = F.replace(col, F.lit(f"{MARKER}{a} {MARKER}{b} "),
-                        F.lit(f"{MARKER}{new_symbol} "))
-    wl = enc.select("w", F.size(F.split(F.rtrim(col), " ")).cast("long")
-                    .alias("n_sub"))
+    if strategy == "auto":
+        words = materialize(words)
+        strategy = ("local" if words.count() <= local_vocab_limit
+                    else "chained")
+    if strategy == "local":
+        rows = _encode_lengths_local(
+            [r["w"] for r in words.collect()], merges)
+        wl = F.broadcast(df.sparkSession.createDataFrame(
+            rows, "w string, n_sub long"))
+    else:
+        enc = words.select("w", _sym_expr(F.col("w")).alias("syms")) \
+            .filter(F.length("syms") > 0)
+        # same trailing-space sentinel as bpe_fit: the pattern ends in
+        # " ", so a merge never matches a longer second symbol that merely
+        # starts with b (chain runs on syms || ' ', sentinel rtrimmed once)
+        col = F.concat(F.col("syms"), F.lit(" "))
+        for pair, new_symbol in merges:
+            a, b = pair.split(" ", 1)
+            col = F.replace(col, F.lit(f"{MARKER}{a} {MARKER}{b} "),
+                            F.lit(f"{MARKER}{new_symbol} "))
+        wl = enc.select("w", F.size(F.split(F.rtrim(col), " "))
+                        .cast("long").alias("n_sub"))
     tok = df.select(F.col(id_col), F.explode(T.tokens(F.col(text_col)))
                     .alias("w"))
     return (tok.join(wl, "w")

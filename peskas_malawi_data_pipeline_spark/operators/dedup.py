@@ -1224,6 +1224,14 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     prefix filtering (AllPairs/PPJoin, Xiao et al. WWW'08) — no blocking
     key, no LSH recall loss: the completeness guarantee is algebraic.
 
+    EAGER BY DEFAULT: with ``candidate_budget`` set (the default),
+    CONSTRUCTING this DataFrame materializes the posting frame and runs
+    the forecast aggregate (Spark jobs at call time, before the returned
+    frame is ever executed) — measured ~1.75× call-to-first-result at
+    sf0.1 vs the lazy path, amortizing as the join grows because both
+    self-join sides reuse the materialized blocks. Pass
+    ``candidate_budget=None`` for a fully lazy plan with no forecast.
+
     Two shingle sets with J ≥ τ overlap in ≥ ⌈τ·|x|⌉ elements, so under
     any global total order of shingles, each set's PREFIX — its first
     ``|x| − ⌈τ·|x|⌉ + 1`` elements — must intersect the other's (skipping

@@ -278,6 +278,30 @@ def _micro(col: Column) -> Column:
                        .cast("long"))
 
 
+def pq_codebook_from_centroids(centroid_vecs: dict[int, list[int]],
+                               m: int) -> dict[tuple[int, int], list[int]]:
+    """Slice full-vector centroids (micro-int, e.g. :func:`kmeans_lloyd`
+    output via :func:`kmeans_centroids`) into a PQ codebook
+    {(sub_id 1..m, centroid_id 1..n) → micro-int subvector}. Input cids
+    are REINDEXED densely in ascending order (k-means clusters that lost
+    all members leave gaps; the codebook contract is dense 1..n — the
+    oracle twin replays the same ``row_number() OVER (ORDER BY cid)``
+    reindex)."""
+    if not centroid_vecs:
+        raise ValueError("pq_codebook_from_centroids: no centroids")
+    dim = len(next(iter(centroid_vecs.values())))
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    cb: dict[tuple[int, int], list[int]] = {}
+    for dense_cid, cid in enumerate(sorted(centroid_vecs), start=1):
+        v = centroid_vecs[cid]
+        for s in range(1, m + 1):
+            cb[(s, dense_cid)] = [int(x)
+                                  for x in v[(s - 1) * d_sub:s * d_sub]]
+    return cb
+
+
 def pq_codebook(corpus: DataFrame, corpus_id: str = "corpus_id",
                 vec_col: str = "embedding", m: int = 4,
                 k_centroids: int = 8) -> dict[tuple[int, int], list[int]]:
@@ -285,22 +309,18 @@ def pq_codebook(corpus: DataFrame, corpus_id: str = "corpus_id",
     learned merge table): {(sub_id 1..m, centroid_id 1..k) → micro-int
     subvector}. Deterministic — the ``k_centroids`` lowest-id corpus
     vectors sliced into ``m`` equal subvectors (no RNG, reproducible in
-    any engine; swap in offline k-means codebooks for better recall at
-    equal cost). The collect is bounded by construction (m·k rows)."""
+    any engine). For a data-adapted codebook at equal search cost, feed
+    :func:`kmeans_lloyd` + :func:`kmeans_centroids` output through
+    :func:`pq_codebook_from_centroids` (recall win pinned by the
+    ``ann_pq_recall`` registry query). The collect is bounded by
+    construction (m·k rows)."""
     rows = (corpus.orderBy(corpus_id).limit(k_centroids)
             .select(_micro(F.col(vec_col)).alias("__v")).collect())
     if not rows:
         raise ValueError("pq_codebook: empty corpus")
-    dim = len(rows[0]["__v"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d_sub = dim // m
-    cb: dict[tuple[int, int], list[int]] = {}
-    for cid, r in enumerate(rows, start=1):
-        v = r["__v"]
-        for s in range(1, m + 1):
-            cb[(s, cid)] = [int(x) for x in v[(s - 1) * d_sub:s * d_sub]]
-    return cb
+    return pq_codebook_from_centroids(
+        {cid: [int(x) for x in r["__v"]]
+         for cid, r in enumerate(rows, start=1)}, m)
 
 
 def _pq_shape(codebook: dict) -> tuple[int, int, int]:
@@ -489,7 +509,7 @@ def kmeans_lloyd(df: DataFrame, id_col: str = "vec_id",
     NO RNG anywhere: seeds are the ``k`` lowest-id vectors, assignment is
     the exact-integer d² argmin (ties → lowest centroid id), and the
     update is the per-dimension micro mean with the same
-    divide-then-cast truncation as ``embedding_centroids`` (bigint sums
+    integer-``div`` truncation as ``embedding_centroids`` (bigint sums
     are order-independent, so the result is stable under any
     partitioning and bit-identical in any engine). A cluster that loses
     all members simply vanishes from the next round's centroid set —
@@ -527,13 +547,14 @@ def kmeans_lloyd(df: DataFrame, id_col: str = "vec_id",
 
     for it in range(iterations - 1):
         assigned = base.select("__v", assign_expr(cents).alias("__cid"))
-        # identical mean idiom to embedding_centroids: divide-then-cast
-        # truncates toward zero, matching the oracle's integer `//`
+        # exact integer mean: Spark's `div` truncates toward zero exactly
+        # like DuckDB's `//` (-7 div 2 = -3), with NO double intermediate —
+        # bit-identical at any per-cluster sum magnitude, unlike a
+        # divide-then-cast whose double rounding drifts past 2^53
         stats = (assigned.select(
             "__cid", F.posexplode("__v").alias("__dim", "__q"))
             .groupBy("__cid", "__dim")
-            .agg((F.sum("__q") / F.count(F.lit(1))).cast("long")
-                 .alias("__m"))
+            .agg(F.expr("sum(__q) div count(1)").alias("__m"))
             .collect())
         nxt: dict[int, dict[int, int]] = {}
         for r in stats:
@@ -543,6 +564,59 @@ def kmeans_lloyd(df: DataFrame, id_col: str = "vec_id",
                  for cid, dims in nxt.items()}
     return base.select(F.col(id_col),
                        assign_expr(cents).cast("int").alias("centroid_id"))
+
+
+def kmeans_centroids(df: DataFrame, assignment: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict[int, list[int]]:
+    """Centroid vectors of a (``id_col``, centroid_id) assignment — the
+    driver artifact that feeds :func:`pq_codebook_from_centroids` and
+    :func:`ivf_pq_topk`'s ``coarse`` argument, closing the
+    train-then-index loop (:func:`kmeans_lloyd` → this → PQ/IVF).
+    Same exact arithmetic as the Lloyd update: per-dimension micro sums
+    (order-independent BIGINTs) with truncating integer ``div`` means —
+    bit-identical in any engine. Plan: one join + one k·dim-row
+    partial-sum shuffle; the collect is k·dim rows, bounded like a
+    learned merge table. Clusters absent from the assignment simply
+    don't appear (callers reindex via pq_codebook_from_centroids)."""
+    joined = (df.select(F.col(id_col), _micro(F.col(vec_col)).alias("__v"))
+              .join(assignment, id_col))
+    stats = (joined.select(
+        "centroid_id", F.posexplode("__v").alias("__dim", "__q"))
+        .groupBy("centroid_id", "__dim")
+        .agg(F.expr("sum(__q) div count(1)").alias("__m"))
+        .collect())
+    acc: dict[int, dict[int, int]] = {}
+    for r in stats:
+        acc.setdefault(int(r["centroid_id"]), {})[int(r["__dim"])] = \
+            int(r["__m"])
+    return {cid: [dims[i] for i in range(len(dims))]
+            for cid, dims in acc.items()}
+
+
+def brute_force_l2_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
+                        query_id: str = "query_id",
+                        corpus_id: str = "corpus_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """EXACT squared-L2 top-``k`` over integer-micro components — the
+    exact baseline the PQ/ADC family approximates (ADC estimates THIS
+    distance through codes, so recall must be measured against it, not
+    against cosine). Every distance is an exact BIGINT: rankings are
+    engine-portable with zero float caveats. Plan: broadcast the
+    (small) query side, pure-map distances over the corpus — the corpus
+    partitioning is never touched — one per-query window top-k. Ties →
+    lowest corpus id; self-pairs excluded. Returns (query_id,
+    corpus_id, l2_d2, rank)."""
+    q = queries.select(F.col(query_id), _micro(F.col(vec_col)).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), _micro(F.col(vec_col)).alias("__cv"))
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (c.join(F.broadcast(q), F.col(query_id) != F.col(corpus_id))
+              .select(query_id, corpus_id, d2.alias("l2_d2")))
+    w = Window.partitionBy(query_id).orderBy("l2_d2", corpus_id)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def assign_nearest_centroid(df: DataFrame, centroids: DataFrame,

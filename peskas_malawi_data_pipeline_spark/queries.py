@@ -2962,11 +2962,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dim", "q"))
     return (x.groupBy("label", F.col("dim").cast("int").alias("dim"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 # divide-then-cast truncates toward zero, matching DuckDB's
-                 # `//` on negative sums (-7//2 = -3, not floor's -4); sums
-                 # stay < 2^53 so the double division is exact
-                 (F.sum("q") / F.count(F.lit(1)))
-                 .cast("long").alias("centroid_micro")))
+                 # integer `div` truncates toward zero exactly like DuckDB's
+                 # `//` on negative sums (-7 div 2 = -3, not floor's -4) and
+                 # has no double intermediate — exact at any sum magnitude
+                 F.expr("sum(q) div count(1)").alias("centroid_micro")))
 
 
 @register("triangle_count", f"""
@@ -4788,6 +4787,187 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+def _duck_adc_blocks(x: str, cents: str) -> str:
+    """CTE block for one PQ codebook variant ``x`` built from centroid
+    CTE ``cents`` (cid, cv full micro vector): corpus codes (per-subspace
+    exact-integer argmin), all-pairs ADC distances + top-3 (``pq_{x}``),
+    and IVF-pruned ADC top-3 (``ivf_{x}``) — the SQL twin of
+    similarity.pq_adc_topk / ivf_pq_topk over the same dense-cid
+    codebook. dim=64, m=4, d_sub=16, nprobe=2, k=3."""
+    return f"""cd_{x} AS (
+  SELECT corpus_id, sub, cid,
+         list_sum(list_transform(range(1, 17),
+           i -> (vs[i] - cs[i]) * (vs[i] - cs[i]))) AS d2
+  FROM (SELECT e.vec_id AS corpus_id, subs.sub, ce.cid,
+               list_slice(e.v, (sub - 1) * 16 + 1, sub * 16) AS vs,
+               list_slice(ce.cv, (sub - 1) * 16 + 1, sub * 16) AS cs
+        FROM e, subs, {cents} ce)),
+codes_{x} AS (SELECT corpus_id, sub, cid FROM (
+    SELECT corpus_id, sub, cid,
+           row_number() OVER (PARTITION BY corpus_id, sub
+                              ORDER BY d2, cid) AS rn
+    FROM cd_{x}) WHERE rn = 1),
+adc_{x} AS (
+  SELECT query_id, corpus_id, sum(sd2) AS adc FROM (
+    SELECT query_id, corpus_id,
+           list_sum(list_transform(range(1, 17),
+             i -> (qs[i] - cs[i]) * (qs[i] - cs[i]))) AS sd2
+    FROM (SELECT qm.query_id, co.corpus_id,
+                 list_slice(qm.qv, (co.sub - 1) * 16 + 1, co.sub * 16) AS qs,
+                 list_slice(ce.cv, (co.sub - 1) * 16 + 1, co.sub * 16) AS cs
+          FROM qm, codes_{x} co JOIN {cents} ce ON co.cid = ce.cid
+          WHERE qm.query_id <> co.corpus_id))
+  GROUP BY query_id, corpus_id),
+pq_{x} AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, corpus_id) AS rn
+    FROM adc_{x}) WHERE rn <= 3),
+fl_{x} AS (SELECT e.vec_id AS corpus_id, ce.cid,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      list_sum(list_transform(range(1, 65),
+        i -> (v[i] - cv[i]) * (v[i] - cv[i]))), ce.cid) AS rn
+  FROM e, {cents} ce),
+cl_{x} AS (SELECT corpus_id, cid AS list_id FROM fl_{x} WHERE rn = 1),
+ql_{x} AS (SELECT qm.query_id, ce.cid AS list_id,
+    row_number() OVER (PARTITION BY qm.query_id ORDER BY
+      list_sum(list_transform(range(1, 65),
+        i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), ce.cid) AS rn
+  FROM qm, {cents} ce),
+qp_{x} AS (SELECT query_id, list_id FROM ql_{x} WHERE rn <= 2),
+iadc_{x} AS (SELECT a.query_id, a.corpus_id, a.adc
+  FROM adc_{x} a
+  JOIN cl_{x} c ON a.corpus_id = c.corpus_id
+  JOIN qp_{x} p ON p.query_id = a.query_id AND p.list_id = c.list_id),
+ivf_{x} AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, corpus_id) AS rn
+    FROM iadc_{x}) WHERE rn <= 3)"""
+
+
+def _duck_pq_recall_row(method: str, cte: str) -> str:
+    return f"""SELECT '{method}' AS method,
+  (SELECT count(*) FROM {cte} JOIN exact USING (query_id, corpus_id)) AS hits,
+  (SELECT count(*) FROM {cte}) AS approx_n,
+  (SELECT count(*) FROM exact) AS exact_n"""
+
+
+_DUCK_ANN_PQ_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+ FROM embeddings),
+qm AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+xs AS (SELECT query_id, e.vec_id AS corpus_id,
+              list_sum(list_transform(range(1, 65),
+                i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS d2
+       FROM qm, e WHERE query_id <> e.vec_id),
+exact AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, corpus_id) AS rn
+    FROM xs) WHERE rn <= 3),
+subs AS (SELECT unnest(range(1, 5)) AS sub),
+cents_l AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+a1 AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cents_l.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (v[i] - cv[i]) * (v[i] - cv[i]))), cents_l.cid) AS rn
+    FROM e, cents_l) WHERE rn = 1),
+m1 AS (SELECT a1.cid, t.i AS dim,
+              CAST(sum(v[t.i + 1]) // count(*) AS BIGINT) AS m
+       FROM a1 JOIN e USING (vec_id), UNNEST(range(0, 64)) AS t(i)
+       GROUP BY a1.cid, t.i),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+a2 AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (v[i] - cv[i]) * (v[i] - cv[i]))), c1.cid) AS rn
+    FROM e, c1) WHERE rn = 1),
+m2 AS (SELECT a2.cid, t.i AS dim,
+              CAST(sum(v[t.i + 1]) // count(*) AS BIGINT) AS m
+       FROM a2 JOIN e USING (vec_id), UNNEST(range(0, 64)) AS t(i)
+       GROUP BY a2.cid, t.i),
+c2 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m2 GROUP BY cid),
+cents_t AS (SELECT row_number() OVER (ORDER BY cid) AS cid, cv FROM c2),
+{_duck_adc_blocks("l", "cents_l")},
+{_duck_adc_blocks("t", "cents_t")},
+m AS ({_duck_pq_recall_row("pq_adc", "pq_l")}
+  UNION ALL {_duck_pq_recall_row("pq_adc_trained", "pq_t")}
+  UNION ALL {_duck_pq_recall_row("ivf_adc", "ivf_l")}
+  UNION ALL {_duck_pq_recall_row("ivf_adc_trained", "ivf_t")})
+SELECT method, CAST(hits AS BIGINT) AS hits,
+       CAST(approx_n AS BIGINT) AS approx_n,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(hits * 1000000 // exact_n AS BIGINT) AS recall_ppm
+FROM m
+"""
+
+
+@register("ann_pq_recall", _DUCK_ANN_PQ_RECALL_SQL)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the PQ compression family — PQ-ADC and IVF-ADC, each
+    with BOTH the lowest-id seed codebook and a k-means-TRAINED codebook
+    (similarity.kmeans_lloyd → kmeans_centroids →
+    pq_codebook_from_centroids) — against the exact integer-L2 top-k
+    baseline (similarity.brute_force_l2_topk; ADC approximates squared
+    L2, so recall is measured under THAT metric, all-BIGINT exact).
+    This closes the train-then-index loop: the clustering step the
+    codebook docstrings pointed at now demonstrably feeds the index, and
+    the approximation quality of all four configurations is pinned in
+    ppm like LSH/IVF already are in `ann_recall_at_k`.
+
+    Plan: the exact frame is answer-sized (materialized once, broadcast
+    into each hit-join); each method runs its own production plan —
+    codes from one pure-map pass (codebooks inlined as literals), ADC
+    scoring over codes only, IVF list pruning with the probe side
+    broadcast; the trained codebook adds the bounded k-means artifacts
+    (k×dim collects). Four one-row aggregates, unioned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = materialize(
+        sim_ops.brute_force_l2_topk(q, c, k=3)
+        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
+    cb_l = sim_ops.pq_codebook(c, m=4, k_centroids=8)
+    coarse_l = sim_ops.ivf_coarse_centroids(c, n_centroids=8)
+    assign = sim_ops.kmeans_lloyd(emb, id_col="vec_id", k=8, iterations=2)
+    cents_t = sim_ops.kmeans_centroids(emb, assign, id_col="vec_id")
+    cb_t = sim_ops.pq_codebook_from_centroids(cents_t, m=4)
+    # dense reindex (ascending-cid order preserved) so the coarse ids
+    # match the oracle's row_number() OVER (ORDER BY cid) — gaps appear
+    # when a cluster loses all members
+    coarse_t = {i: cents_t[cid]
+                for i, cid in enumerate(sorted(cents_t), start=1)}
+    rows = []
+    for method, approx in (
+            ("pq_adc", sim_ops.pq_adc_topk(q, c, cb_l, k=3)),
+            ("pq_adc_trained", sim_ops.pq_adc_topk(q, c, cb_t, k=3)),
+            ("ivf_adc", sim_ops.ivf_pq_topk(q, c, cb_l, coarse_l, k=3,
+                                            nprobe=2)),
+            ("ivf_adc_trained", sim_ops.ivf_pq_topk(q, c, cb_t, coarse_t,
+                                                    k=3, nprobe=2))):
+        agg = (approx.select("query_id", "corpus_id")
+               .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                    F.count(F.lit(1)).alias("approx_n"))
+               .crossJoin(F.broadcast(exact_n)))
+        rows.append(agg.select(
+            F.lit(method).alias("method"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("approx_n").cast("long").alias("approx_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+            .alias("recall_ppm")))
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
 # Symbol-noise injection so every Gopher rule branch is exercised on the
 # symbol-free harness corpus: every 5th doc gets a run of '#' marks, every
 # 5th+1 a run of '...' — deterministic, same expression in both engines.
@@ -5332,17 +5512,20 @@ def strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_normalize_sql(inner: str) -> str:
     """DuckDB twin of functions.text.normalize_unicode, generated from
-    the SAME code-point tables (T.UNICODE_DELETE_CPS /
+    the SAME code-point tables (T.UNICODE_NUL_RE / T.UNICODE_DELETE_CPS /
     T.UNICODE_SPACE_RANGES) so the engines cannot drift apart by edit:
-    delete invisibles (NUL first — nfc_normalize truncates at it), NFC,
+    NUL → space FIRST (nfc_normalize truncates at NUL; mapping, not
+    deleting, preserves the token boundary), delete invisibles, NFC,
     controls/Zs/Zl/Zp → space, collapse, trim."""
+    dnul = "\\x{0000}"
     ddel = "[" + "".join(f"\\x{{{c:04X}}}" for c in T.UNICODE_DELETE_CPS) \
         + "]"
     dsp = "[" + "".join(
         f"\\x{{{a:04X}}}" + (f"-\\x{{{b:04X}}}" if b > a else "")
         for a, b in T.UNICODE_SPACE_RANGES) + "]"
     return (f"trim(regexp_replace(regexp_replace(nfc_normalize("
-            f"regexp_replace({inner}, '{ddel}', '', 'g')), "
+            f"regexp_replace(regexp_replace({inner}, '{dnul}', ' ', 'g'), "
+            f"'{ddel}', '', 'g')), "
             f"'{dsp}', ' ', 'g'), ' +', ' ', 'g'))")
 
 

@@ -458,6 +458,60 @@ def test_kmeans_lloyd_matches_numpy_reference(spark):
     assert blob_a and blob_b and not (blob_a & blob_b)
 
 
+def test_kmeans_centroids_and_trained_codebook(spark):
+    """kmeans_centroids equals the numpy grouped truncating-mean over the
+    final assignment; pq_codebook_from_centroids slices those vectors
+    into a dense-cid codebook, REINDEXING over gaps (a vanished cluster
+    must not KeyError the codebook constructors); brute_force_l2_topk
+    equals the numpy exact integer-L2 ranking with lowest-id ties."""
+    import numpy as np
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    pts = np.concatenate([
+        rng.normal(0.0, 0.05, size=(10, 8)),
+        rng.normal(1.0, 0.05, size=(10, 8)),
+        [[5.0] * 8],                       # outlier seed, loses members
+    ]).round(3)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    micro = {i: np.floor(np.array(v) * 1e6).astype("int64")
+             for i, v in rows}
+
+    assign = S.kmeans_lloyd(df, k=3, iterations=2)
+    amap = {r.vec_id: r.centroid_id for r in assign.collect()}
+    got = S.kmeans_centroids(df, assign)
+    want = {}
+    for cid in sorted(set(amap.values())):
+        members = [micro[i] for i, c in amap.items() if c == cid]
+        s = np.sum(members, axis=0, dtype="int64")
+        # truncating integer division toward zero, the div/`//` idiom
+        want[cid] = [int(x) // len(members) if x >= 0
+                     else -((-int(x)) // len(members)) for x in s]
+    assert got == want
+
+    # gap reindex: centroids {1: ..., 3: ...} → dense cids 1, 2
+    cb = S.pq_codebook_from_centroids(
+        {1: list(range(8)), 3: list(range(8, 16))}, m=2)
+    assert set(cb) == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    assert cb[(1, 2)] == [8, 9, 10, 11] and cb[(2, 1)] == [4, 5, 6, 7]
+
+    # exact integer-L2 top-k vs numpy
+    q = spark.createDataFrame(rows[:4],
+                              "query_id int, embedding array<double>")
+    c = df.withColumnRenamed("vec_id", "corpus_id")
+    got_l2 = {(r.query_id, r.corpus_id): (r.l2_d2, r.rank)
+              for r in S.brute_force_l2_topk(q, c, k=3).collect()}
+    want_l2 = {}
+    for qi in range(4):
+        scored = sorted((int(((micro[qi] - micro[ci]) ** 2).sum()), ci)
+                        for ci in micro if ci != qi)
+        for rank, (d, ci) in enumerate(scored[:3], start=1):
+            want_l2[(qi, ci)] = (d, rank)
+    assert got_l2 == want_l2
+
+
 def test_ivf_pq_topk_matches_bruteforce_composition(spark):
     """IVF-ADC equals the brute-force composition exactly: coarse
     assignment by integer full-dim argmin (ties → lowest centroid),
@@ -1897,6 +1951,87 @@ def test_bpe_apply_counts_matches_manual_encode(spark):
             1: (2, encode_len("abc") + encode_len("a")),
             2: (1, encode_len("lowlow"))}
     assert got == want
+
+
+def _bpe_apply_rows(bpe, df, merges, strategy):
+    return sorted(
+        (r.doc_id, r.n_words, r.n_subwords)
+        for r in bpe.bpe_apply_counts(df, merges, strategy=strategy)
+        .collect())
+
+
+def test_bpe_apply_counts_strategies_identical(spark):
+    """The encode strategies (driver-local occurrence-index applier /
+    distributed chained replace / auto) produce BIT-IDENTICAL per-doc
+    subword counts — on the textbook corpus, the right-boundary corpus
+    (where a substring replace without the sentinel over-merges), and
+    seeded random corpora whose fit merges include composite-symbol
+    pairs (the case where encode-order shortcuts diverge). Merges come
+    from bpe_fit itself so the test exercises real learned sequences."""
+    import random
+
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    corpora = [
+        ["low low low lower lower newest newest newest widest widest"],
+        ["xy " * 5, "ax " * 4, "axy"],
+    ]
+    rng = random.Random(23)
+    for _ in range(3):
+        corpora.append(
+            [" ".join("".join(rng.choice("abc")
+                              for _ in range(rng.randint(1, 7)))
+                      for _ in range(rng.randint(1, 12)))
+             for _ in range(25)])
+    for texts in corpora:
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "doc_id int, text string")
+        merges = [(r.pair, r.new_symbol)
+                  for r in bpe.bpe_fit(df, k=12).orderBy("merge_rank")
+                  .collect()]
+        ref = _bpe_apply_rows(bpe, df, merges, "chained")
+        assert _bpe_apply_rows(bpe, df, merges, "local") == ref
+        assert _bpe_apply_rows(bpe, df, merges, "auto") == ref
+
+
+def test_bpe_apply_counts_sequential_not_minrank(spark):
+    """The local applier must replay merges SEQUENTIALLY, not by
+    min-rank iteration: with merges [(ab c), (a b)] over word 'abc',
+    sequential leaves 2 subwords ('ab','c' — rank 1's pass is over
+    before rank 2 creates 'ab'), while a min-rank loop would revisit
+    rank 1 and collapse to 1. Both strategies must agree on 2."""
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "abc")], "doc_id int, text string")
+    merges = [("ab c", "abc"), ("a b", "ab")]
+    for strategy in ("chained", "local"):
+        got = {r.doc_id: r.n_subwords
+               for r in bpe.bpe_apply_counts(df, merges,
+                                             strategy=strategy).collect()}
+        assert got == {0: 2}, strategy
+
+
+def test_bpe_apply_counts_auto_local_is_bounded_jobs(spark):
+    """The encode auto→local path runs a CONSTANT number of Spark jobs
+    and builds an O(1)-size plan however many merges are applied — the
+    property that makes applying a production 32k-merge tokenizer
+    feasible (the chained path's expression tree is k deep)."""
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(i, "ab abc abcd abcde " * (i + 1)) for i in range(6)],
+        "doc_id int, text string")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe.bpe_fit(df, k=64).orderBy("merge_rank")
+              .collect()]
+    tracker = spark.sparkContext.statusTracker()
+    before = max(tracker.getJobIdsForGroup() or [0])
+    got = _bpe_apply_rows(bpe, df, merges, "auto")
+    after = max(tracker.getJobIdsForGroup() or [0])
+    assert got == _bpe_apply_rows(bpe, df, merges, "chained")
+    # words materialize + count + collect + result collect ≈ 4; pin
+    # "constant, not O(k)"
+    assert after - before <= 10
 
 
 def test_prefix_jaccard_pairs_survives_int32_ppm_overflow(spark):

@@ -444,6 +444,7 @@ def _normalize_unicode_ref(t):
 
     if t is None:
         return None
+    t = re.sub(T.UNICODE_NUL_RE, " ", t)
     t = re.sub(T.UNICODE_DELETE_RE, "", t)
     t = unicodedata.normalize("NFC", t)
     t = re.sub(T.UNICODE_SPACE_RE, " ", t)
@@ -451,9 +452,10 @@ def _normalize_unicode_ref(t):
 
 
 def test_normalize_unicode_reference_cases(spark):
-    """normalize_unicode: NFC composition, zero-width/soft-hyphen/BOM/NUL
+    """normalize_unicode: NFC composition, zero-width/soft-hyphen/BOM
     deletion (deletion BEFORE NFC, so a ZWJ blocking composition loses),
-    control & unicode-space mapping, collapse, trim, NULL passthrough."""
+    NUL → space (pre-NFC, boundary-preserving), control & unicode-space
+    mapping, collapse, trim, NULL passthrough."""
     from pyspark.sql import functions as F
 
     from peskas_malawi_data_pipeline_spark.functions import text as T
@@ -462,7 +464,7 @@ def test_normalize_unicode_reference_cases(spark):
         ("café", "café"),                     # NFC composes
         ("e​́", "é"),                     # ZWSP deleted first
         ("a­b﻿c⁠d", "abcd"),         # invisibles deleted
-        ("a\x00b", "ab"),                           # NUL deleted, not split
+        ("a\x00b", "a b"),                  # NUL → space, boundary kept
         ("a b　c d", "a b c d"),      # Zs/Zl mapped
         ("x\x01\x02\x1f\x7f\x9fy", "x y"),          # controls → one space
         ("  tab\there\nnl  ", "tab here nl"),
@@ -559,7 +561,7 @@ def test_canonicalize_url_pinned_cases_and_duckdb_twin(spark):
         ("http://example.com/?", "http://example.com/"),
         ("http://example.com/path/", "http://example.com/path"),
         ("http://example.com:8080/x?gclid=1&ref=z&zz=9&aa=2",
-         "http://example.com:8080/x?aa=2&zz=9"),
+         "http://example.com:8080/x?aa=2&ref=z&zz=9"),  # ref is content
         ("ftp://Files.example.net/pub/", "ftp://files.example.net/pub"),
         ("http://example.com/a?x=1&x=0", "http://example.com/a?x=0&x=1"),
         ("http://example.com/?utm_source=only", "http://example.com/"),
@@ -729,6 +731,11 @@ def test_fix_mojibake_roundtrip_and_passthrough(spark):
     collect()
     cases += ["cafÃ© â€” naÃ¯veâ€¦", "plain ascii", "", "déjà vu — fine…"]
 
+    def ref_fix(t):
+        for bad, good in T.MOJIBAKE_TABLE:
+            t = t.replace(bad, good)
+        return t
+
     rows, kept = [], []
     for s in cases:
         try:
@@ -737,6 +744,13 @@ def test_fix_mojibake_roundtrip_and_passthrough(spark):
             # cannot be corrupted into decoded text at all — skip them
             corrupted = s.encode("utf-8").decode("cp1252")
         except UnicodeDecodeError:
+            continue
+        if ref_fix(s) != s:
+            # hypothesis can assemble a literal mojibake sequence in the
+            # SOURCE (e.g. 'Ã' directly followed by '“') — such text is
+            # not a repair fixed-point by the operator's own contract
+            # ("a false repair needs a literal 'Ã' directly followed by
+            # '©'"), so it cannot round-trip; out of contract, skip
             continue
         rows.append((len(kept), corrupted, s))
         kept.append(s)
