@@ -1026,6 +1026,165 @@ def incremental_components(prior: DataFrame, new_pairs: DataFrame,
         check_interval=check_interval)
 
 
+def pinned_incremental_split(prior_split: DataFrame, components: DataFrame,
+                             new_docs: DataFrame, doc_id: str = "doc_id",
+                             seed: str = "split:", train_pct: int = 80,
+                             valid_pct: int = 10) -> DataFrame:
+    """Incremental leakage-safe split with PINNED assignments — the
+    eval-set-stability companion to the batch group-aware split: when
+    tomorrow's batch adds a document that bridges two duplicate
+    components, the merged component's hash bucket moves, and a naive
+    re-run would silently migrate previously-assigned documents across
+    train/test — invalidating every metric computed on the old eval set.
+    Here previously-assigned documents KEEP their split unconditionally;
+    only new documents take a decision:
+
+    - a new doc whose (possibly merged) component contains previously
+      assigned docs INHERITS their pin — when the merge united prior
+      components with DIFFERENT pins, the pin of the smallest prior
+      group_key wins (deterministic in any engine), and every doc in
+      that component is flagged ``pin_conflict`` (the merge created
+      cross-split near-duplicates among OLD docs — unavoidable without
+      moving them; the flag is the audit trail an eval owner filters
+      on). Conflicts are answer-sized: derive the report with
+      ``out.filter("pin_conflict").select("group_key").distinct()``.
+    - a new doc in an all-new component gets the batch hash rule on its
+      component key (same md5 bucket arithmetic as ``hash_split``).
+
+    ``prior_split`` is the stored (doc_id, group_key, split[,
+    pin_conflict]) snapshot from the previous run (the flag column is
+    optional — a first batch coming from the batch split has none);
+    ``components`` the UPDATED (id, component) snapshot from
+    :func:`incremental_components` (docs with no pairs may be absent —
+    they key on their own id); ``new_docs`` the increment (ids already
+    in ``prior_split`` are ignored, so at-least-once replay is
+    absorbed). Returns the full replacement snapshot
+    (doc_id, group_key, split, pin_conflict). The flag is STICKY across
+    batches: once a component spans two splits it stays flagged in every
+    later snapshot (and infects components it later merges into) — an
+    eval owner must be able to trust a False at any point in history.
+
+    Scale shape: the DECISION work is O(increment + old docs in
+    increment-touched components) — the pin table is built only for
+    components the increment touches (broadcast semi-join; a component
+    the batch never touches cannot CHANGE its conflict state: its
+    membership is unchanged, so its stored flag passes through), then
+    broadcast into both output branches. The O(prior) part is only the
+    passthrough re-emit of the stored snapshot with refreshed group
+    keys — the same full-replacement contract as
+    :func:`incremental_components`. By-construction properties (pinned
+    by tests): no previously-assigned doc ever changes split across
+    replays, and a component never spans two splits unless
+    ``pin_conflict`` says so."""
+    prior_flag = (F.coalesce(F.col("pin_conflict").cast("boolean"),
+                             F.lit(False))
+                  if "pin_conflict" in prior_split.columns
+                  else F.lit(False))
+    comp = components.select(F.col("id").alias(doc_id), "component")
+    old_keyed = (prior_split.join(comp, doc_id, "left")
+                 .select(F.col(doc_id),
+                         F.coalesce("component", F.col("group_key"))
+                         .cast("long").alias("group_key"),
+                         F.col("group_key").alias("__prior_gk"),
+                         "split", prior_flag.alias("__prior_cf")))
+    new_keyed = (new_docs.select(F.col(doc_id))
+                 .join(prior_split.select(doc_id), doc_id, "left_anti")
+                 .join(comp, doc_id, "left")
+                 .select(F.col(doc_id),
+                         F.coalesce("component", F.col(doc_id))
+                         .cast("long").alias("group_key")))
+    touched = new_keyed.select("group_key").distinct()
+    # pins only for increment-touched components: min prior group key's
+    # split wins; the flag = (any member already flagged) OR (>1
+    # distinct prior split — this merge created the conflict just now).
+    # min_by ties are benign — equal __prior_gk rows share one split.
+    pins = (old_keyed.join(F.broadcast(touched), "group_key")
+            .groupBy("group_key")
+            .agg(F.min_by("split", "__prior_gk").alias("__pin"),
+                 ((F.countDistinct("split") > 1) | F.max("__prior_cf"))
+                 .alias("pin_conflict")))
+    h = T.md5_prefix_hash(F.col("group_key").cast("string"), seed) % 100
+    hash_rule = (F.when(h < train_pct, "train")
+                 .when(h < train_pct + valid_pct, "valid")
+                 .otherwise("test"))
+    old_out = (old_keyed.join(F.broadcast(pins.drop("__pin")),
+                              "group_key", "left")
+               .select(doc_id, "group_key", "split",
+                       F.coalesce("pin_conflict", F.col("__prior_cf"))
+                       .alias("pin_conflict")))
+    new_out = (new_keyed.join(F.broadcast(pins), "group_key", "left")
+               .select(F.col(doc_id), F.col("group_key"),
+                       F.coalesce("__pin", hash_rule).alias("split"),
+                       F.coalesce("pin_conflict", F.lit(False))
+                       .alias("pin_conflict")))
+    return old_out.unionByName(new_out)
+
+
+def fused_near_dup(corpus: DataFrame, edges: dict[str, DataFrame],
+                   richness: Column,
+                   id_col: str = "doc_id") -> DataFrame:
+    """CROSS-MODAL near-dup verdict: a real multimodal corpus dedups on
+    EITHER signal — two documents sharing an image are duplicates even
+    when their captions differ, and vice versa — but separate pair
+    streams (text MinHash, image perceptual hash, …) each only see their
+    own modality. This fuses them: union the edge streams with modality
+    provenance, run ONE connected-components pass over the fused graph
+    (so a text-dup chained to an image-dup lands in one group — pinned
+    by test), then pick each group's survivor by the ``richness``
+    expression (higher keeps; ties → lowest id) — the "prefer the richer
+    document" policy, e.g. byte size or modality count.
+
+    ``edges``: {modality_name: (id_a, id_b) candidate-pair frame}.
+    Returns one row per corpus doc: (``id_col``, group_key,
+    survivor_id, n_edges_<modality>…) — the edge counts are the
+    per-group provenance audit (which signal(s) formed the group);
+    singletons get their own id and zero counts.
+
+    Scale shape: the fused edge set is Σ answer-sized pair streams, the
+    component frame is duplicate-members-sized — every join against the
+    corpus broadcasts and the corpus itself never shuffles; the survivor
+    argmax runs over members only (not the corpus), and provenance
+    counts over the edge frames themselves."""
+    mods = sorted(edges)
+    tagged = None
+    for m in mods:
+        part = edges[m].select(F.col("id_a"), F.col("id_b"),
+                               F.lit(m).alias("__mod"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    if tagged is None:
+        raise ValueError("fused_near_dup: no edge frames")
+    tagged = materialize(tagged)
+    comp = materialize(
+        connected_components_star(tagged.select("id_a", "id_b")))
+    keyed = (corpus
+             .join(F.broadcast(comp.withColumnRenamed("id", id_col)),
+                   id_col, "left")
+             .select(F.col(id_col),
+                     F.coalesce("component", F.col(id_col)).cast("long")
+                     .alias("group_key"), richness.alias("__rich")))
+    # survivor argmax over DUP MEMBERS only (answer-sized): max richness,
+    # ties → lowest id via the lexicographic (rich, -id) struct max
+    members = keyed.join(
+        F.broadcast(comp.select(F.col("id").alias(id_col))), id_col)
+    surv = (members.groupBy("group_key")
+            .agg(F.max_by(id_col,
+                          F.struct(F.col("__rich").alias("r"),
+                                   (-F.col(id_col)).alias("negid")))
+                 .alias("survivor_id")))
+    ec = (tagged.join(F.broadcast(comp),
+                      tagged["id_a"] == comp["id"])
+          .groupBy(F.col("component").alias("group_key"))
+          .agg(*[F.sum(F.when(F.col("__mod") == m, 1).otherwise(0))
+                 .cast("long").alias(f"n_edges_{m}") for m in mods]))
+    return (keyed.join(F.broadcast(surv), "group_key", "left")
+            .join(F.broadcast(ec), "group_key", "left")
+            .select(F.col(id_col), F.col("group_key"),
+                    F.coalesce("survivor_id", F.col(id_col)).cast("long")
+                    .alias("survivor_id"),
+                    *[F.coalesce(f"n_edges_{m}", F.lit(0)).cast("long")
+                      .alias(f"n_edges_{m}") for m in mods]))
+
+
 def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
                               id_b: str = "id_b",
                               max_rounds: int = 12) -> DataFrame:

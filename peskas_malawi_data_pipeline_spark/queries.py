@@ -1375,6 +1375,104 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select("doc_id", "group_key", split.alias("split"))
 
 
+@register("pinned_incremental_split", f"""
+WITH RECURSIVE {_DUCK_MINHASH_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+          UNION SELECT id_b, id_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp_new AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+oedges AS (SELECT a, b FROM edges WHERE a % 7 <> 0 AND b % 7 <> 0),
+onodes AS (SELECT DISTINCT a AS id FROM oedges),
+oreach(src, dst) AS (
+  SELECT id, id FROM onodes
+  UNION
+  SELECT r.src, e.b FROM oreach r JOIN oedges e ON r.dst = e.a),
+comp_old AS (SELECT src AS id, min(dst) AS component
+             FROM oreach GROUP BY src),
+old_split AS (
+  SELECT doc_id, gk_old,
+         CASE WHEN hv % 100 < 80 THEN 'train'
+              WHEN hv % 100 < 90 THEN 'valid' ELSE 'test' END AS split
+  FROM (SELECT doc_id, gk_old,
+               CAST('0x' || substr(md5('split:' ||
+                    CAST(gk_old AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+        FROM (SELECT d.doc_id,
+                     CAST(coalesce(co.component, d.doc_id) AS BIGINT)
+                       AS gk_old
+              FROM documents d LEFT JOIN comp_old co ON d.doc_id = co.id
+              WHERE d.doc_id % 7 <> 0))),
+keyed AS (SELECT d.doc_id,
+                 CAST(coalesce(cf.component, d.doc_id) AS BIGINT)
+                   AS group_key
+          FROM documents d LEFT JOIN comp_new cf ON d.doc_id = cf.id),
+pins AS (SELECT k.group_key,
+                arg_min(o.split, o.gk_old) AS pinned_split,
+                count(DISTINCT o.split) > 1 AS pin_conflict
+         FROM keyed k JOIN old_split o USING (doc_id)
+         GROUP BY k.group_key)
+SELECT k.doc_id, k.group_key, o.split,
+       coalesce(p.pin_conflict, FALSE) AS pin_conflict
+FROM keyed k JOIN old_split o USING (doc_id)
+LEFT JOIN pins p USING (group_key)
+UNION ALL
+SELECT k.doc_id, k.group_key,
+       coalesce(p.pinned_split,
+                CASE WHEN k.hv % 100 < 80 THEN 'train'
+                     WHEN k.hv % 100 < 90 THEN 'valid'
+                     ELSE 'test' END) AS split,
+       coalesce(p.pin_conflict, FALSE) AS pin_conflict
+FROM (SELECT doc_id, group_key,
+             CAST('0x' || substr(md5('split:' ||
+                  CAST(group_key AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM keyed WHERE doc_id % 7 = 0) k
+LEFT JOIN pins p USING (group_key)
+""")
+def pinned_incremental_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental group-aware split with PINNED assignments
+    (dedup.pinned_incremental_split) — eval-set stability under corpus
+    growth, the missing piece of the leakage story: the ``doc_id % 7``
+    slice plays the day's new batch; the persisted state is the old
+    corpus's band index, its component snapshot, AND its split
+    assignment. The increment is sketched, band-joined against the index
+    (O(increment)), components update incrementally, old docs keep their
+    split unconditionally, new docs inherit their component's pin (min
+    prior group key wins on merge conflicts, which are flagged). Oracle:
+    a two-closure replay — old-corpus components give the prior split,
+    full-corpus components the merged keys — with the identical pin/
+    conflict rule in relational form. Property pinned by test: replaying
+    the batches never moves a previously-assigned doc."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    index_bands = materialize(dedup_ops.minhash_bands(
+        old, num_hashes=8, band_size=2, shingle_n=3))
+    prior_comp = materialize(dedup_ops.connected_components(
+        dedup_ops.lsh_pairs_from_bands(index_bands)))
+    # the stored split snapshot a previous batch run would have written:
+    # the batch group-aware rule over the OLD corpus's components
+    h_old = T.md5_prefix_hash(F.col("group_key").cast("string"),
+                              "split:") % 100
+    prior_split = (old.join(
+        F.broadcast(prior_comp.withColumnRenamed("id", "doc_id")),
+        "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component", F.col("doc_id")).cast("long")
+                .alias("group_key"))
+        .select("doc_id", "group_key",
+                F.when(h_old < 80, "train").when(h_old < 90, "valid")
+                .otherwise("test").alias("split")))
+    new_pairs = dedup_ops.incremental_lsh_pairs(
+        dedup_ops.minhash_bands(new, num_hashes=8, band_size=2,
+                                shingle_n=3),
+        index_bands, max_bucket=1000)
+    comp = dedup_ops.incremental_components(prior_comp, new_pairs)
+    return dedup_ops.pinned_incremental_split(prior_split, comp, new)
+
+
 @register("dedup_components_star", _DUCK_COMPONENTS_SQL)
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate groups via alternating large-star/small-star rewrites
@@ -2653,6 +2751,104 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.sketch_hamming_pairs(
         ph, "phash", "media_id", bits=60, bands=4, max_hamming=3,
         max_bucket=1000, site="image_near_dup")
+
+
+@register("cross_modal_dedup", f"""
+WITH RECURSIVE {_DUCK_MINHASH_CTES},
+ph AS (
+  SELECT doc_id AS media_id,
+         CAST('0x' || substr(sha256(
+           CASE WHEN doc_id % 5 = 0
+                THEN 'img-payload-' || CAST(doc_id // 10 AS VARCHAR)
+                ELSE text END), 1, 15) AS BIGINT) AS phash
+  FROM documents WHERE text IS NOT NULL),
+phbanded AS (
+  SELECT media_id, phash, CAST(b.i AS INT) AS band_id,
+         (phash >> (CAST(b.i AS INT) * 15)) & 32767 AS band_val
+  FROM ph, UNNEST(range(0, 4)) AS b(i)),
+iedges AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           a.phash AS pa, b.phash AS pb
+    FROM phbanded a JOIN phbanded b USING (band_id, band_val)
+    WHERE a.media_id < b.media_id)
+  WHERE bit_count(xor(pa, pb)) <= 3),
+fused AS (SELECT id_a, id_b FROM mh_pairs
+          UNION SELECT id_a, id_b FROM iedges),
+edges AS (SELECT id_a AS a, id_b AS b FROM fused
+          UNION SELECT id_b, id_a FROM fused),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+keyed AS (SELECT d.doc_id,
+                 CAST(coalesce(c.component, d.doc_id) AS BIGINT)
+                   AS group_key,
+                 length(d.text) AS rich
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+surv AS (SELECT group_key, doc_id AS survivor_id FROM (
+    SELECT k.group_key, k.doc_id,
+           row_number() OVER (PARTITION BY k.group_key
+                              ORDER BY k.rich DESC, k.doc_id) AS rn
+    FROM keyed k JOIN comp c ON k.doc_id = c.id) WHERE rn = 1),
+tec AS (SELECT c.component AS group_key, count(*) AS n
+        FROM mh_pairs e JOIN comp c ON e.id_a = c.id GROUP BY 1),
+iec AS (SELECT c.component AS group_key, count(*) AS n
+        FROM iedges e JOIN comp c ON e.id_a = c.id GROUP BY 1)
+SELECT k.doc_id, k.group_key,
+       CAST(coalesce(s.survivor_id, k.doc_id) AS BIGINT) AS survivor_id,
+       CAST(coalesce(i.n, 0) AS BIGINT) AS n_edges_image,
+       CAST(coalesce(t.n, 0) AS BIGINT) AS n_edges_text
+FROM keyed k
+LEFT JOIN surv s USING (group_key)
+LEFT JOIN tec t USING (group_key)
+LEFT JOIN iec i USING (group_key)
+""")
+def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup decision layer (dedup.fused_near_dup): the text
+    MinHash pair stream and the image perceptual-hash pair stream (same
+    payload construction as `image_near_dup`) fuse into ONE duplicate
+    graph with modality provenance — a document whose image matches one
+    neighbor and whose text matches another lands in a single group
+    (pinned by test) — and each group keeps its RICHEST member
+    (longest text, ties → lowest id). Output per doc: group key,
+    survivor, and per-modality edge counts (the provenance audit).
+    Oracle: both pair streams rebuilt relationally, one recursive
+    closure over their union, the identical argmax/count joins. Scale
+    shape: edge streams and components are answer-sized, every
+    corpus-side join broadcasts (see fused_near_dup)."""
+    from .operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    text_pairs = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, shingle_n=3)
+    payload_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("img-payload-"),
+                 F.expr("doc_id div 10").cast("string"))
+    ).otherwise(F.col("text"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.encode(payload_text, "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("uri"),
+        F.struct(
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+            F.lit(None).cast("long").alias("sample_rate")).alias("meta"))
+    image_pairs = (dedup_ops.sketch_hamming_pairs(
+        mm.perceptual_hash(media, decode="fake"), "phash", "media_id",
+        bits=60, bands=4, max_hamming=3, max_bucket=1000,
+        site="cross_modal_dedup")
+        .select(F.col("id_a"), F.col("id_b")))
+    return dedup_ops.fused_near_dup(
+        docs, {"text": text_pairs.select("id_a", "id_b"),
+               "image": image_pairs},
+        richness=F.length("text"))
 
 
 @register("frame_sample_plan", """

@@ -2034,6 +2034,111 @@ def test_bpe_apply_counts_auto_local_is_bounded_jobs(spark):
     assert after - before <= 10
 
 
+def test_pinned_incremental_split_stability_and_conflicts(spark):
+    """pinned_incremental_split properties: (1) previously-assigned docs
+    NEVER change split — across a merge that moves their component key,
+    and across a second batch replay; (2) a new doc bridging two prior
+    components inherits the pin of the SMALLEST prior group key, and
+    every doc of the merged component is conflict-flagged iff the prior
+    pins disagreed; (3) an all-new component takes the batch hash rule
+    on its key; (4) re-offering an already-assigned doc as new is a
+    no-op (at-least-once replay)."""
+    from peskas_malawi_data_pipeline_spark.functions import text as T
+    from peskas_malawi_data_pipeline_spark.operators import dedup
+
+    def hash_split_of(spark, key):
+        return spark.range(1).select(
+            (T.md5_prefix_hash(F.lit(str(key)), "split:") % 100)
+            .alias("h")).collect()[0].h
+
+    def rule(h):
+        return "train" if h < 80 else ("valid" if h < 90 else "test")
+
+    # prior state: components {1,2} and {5,6}, singleton 9; stored splits
+    # chosen to DISAGREE so the bridge must conflict
+    prior_comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "id long, component long")
+    prior_split = spark.createDataFrame(
+        [(1, 1, "train"), (2, 1, "train"), (5, 5, "test"), (6, 5, "test"),
+         (9, 9, "valid")], "doc_id long, group_key long, split string")
+    # batch 1: 14 bridges both prior components; (15,16) all-new pair;
+    # 17 pairless; 9 re-offered (already assigned)
+    pairs1 = spark.createDataFrame(
+        [(2, 14), (6, 14), (15, 16)], "id_a long, id_b long")
+    comp1 = dedup.incremental_components(prior_comp, pairs1)
+    new1 = spark.createDataFrame([(14,), (15,), (16,), (17,), (9,)],
+                                 "doc_id long")
+    out1 = dedup.pinned_incremental_split(prior_split, comp1, new1)
+    rows1 = {r.doc_id: (r.group_key, r.split, r.pin_conflict)
+             for r in out1.collect()}
+    assert len(rows1) == len(out1.collect())          # no duplicate docs
+    # (1) old docs keep their split (group keys may move: 5,6 → 1)
+    assert {i: rows1[i][1] for i in (1, 2, 5, 6, 9)} == {
+        1: "train", 2: "train", 5: "test", 6: "test", 9: "valid"}
+    assert rows1[5][0] == 1 and rows1[6][0] == 1
+    # (2) bridge doc inherits min prior group key's pin, conflict flagged
+    # on the whole merged component
+    assert rows1[14] == (1, "train", True)
+    assert all(rows1[i][2] for i in (1, 2, 5, 6))
+    assert not any(rows1[i][2] for i in (9, 15, 16, 17))
+    # (3) all-new components take the hash rule on their key
+    assert rows1[15] == (15, rule(hash_split_of(spark, 15)), False)
+    assert rows1[16][1] == rows1[15][1]
+    assert rows1[17] == (17, rule(hash_split_of(spark, 17)), False)
+    # (4) re-offered doc 9 kept its stored row exactly
+    assert rows1[9] == (9, "valid", False)
+
+    # batch 2 replay: 20 joins the (15,16) group — every batch-0/1 doc
+    # keeps its split; 20 inherits the group's batch-1 pin
+    prior_split2 = out1          # carries the sticky pin_conflict column
+    comp2 = dedup.incremental_components(
+        comp1, spark.createDataFrame([(16, 20)], "id_a long, id_b long"))
+    out2 = dedup.pinned_incremental_split(
+        prior_split2, comp2, spark.createDataFrame([(20,)], "doc_id long"))
+    rows2 = {r.doc_id: (r.group_key, r.split, r.pin_conflict)
+             for r in out2.collect()}
+    for i, (gk, split, _c) in rows1.items():
+        assert rows2[i][1] == split, i
+    assert rows2[20] == (15, rows1[15][1], False)
+    # a component spans two splits ONLY where pin_conflict says so
+    by_gk = {}
+    for i, (gk, split, c) in rows2.items():
+        by_gk.setdefault(gk, []).append((split, c))
+    for gk, members in by_gk.items():
+        splits = {s for s, _ in members}
+        if len(splits) > 1:
+            assert all(c for _, c in members), gk
+
+
+def test_fused_near_dup_bridges_modalities(spark):
+    """fused_near_dup: a text-dup pair (1,2) chained to an image-dup pair
+    (2,3) forms ONE group — the cross-modal bridge neither stream sees
+    alone; the survivor is the RICHEST member (ties → lowest id); the
+    per-modality edge counts attribute the group's evidence; singletons
+    keep their own id, themselves as survivor, and zero counts."""
+    from peskas_malawi_data_pipeline_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 7), (6, 7)],
+        "doc_id long, rich long")
+    text_pairs = spark.createDataFrame([(1, 2), (5, 6)],
+                                       "id_a long, id_b long")
+    image_pairs = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: (r.group_key, r.survivor_id,
+                      r.n_edges_image, r.n_edges_text)
+           for r in dedup.fused_near_dup(
+               corpus, {"text": text_pairs, "image": image_pairs},
+               richness=F.col("rich")).collect()}
+    # one fused group {1,2,3}: 1 text edge + 1 image edge; survivor is
+    # doc 2 (rich 30 ties doc 3 → lowest id wins)
+    assert out[1] == (1, 2, 1, 1)
+    assert out[2] == (1, 2, 1, 1) and out[3] == (1, 2, 1, 1)
+    # text-only group {5,6}: survivor 5 (equal rich → lowest id)
+    assert out[5] == (5, 5, 0, 1) and out[6] == (5, 5, 0, 1)
+    # singleton
+    assert out[4] == (4, 4, 0, 0)
+
+
 def test_prefix_jaccard_pairs_survives_int32_ppm_overflow(spark):
     """Regression: documents with >2148 shingles push n*1e6 past int32;
     the ppm size/prefix bounds must run in long arithmetic or qualifying
