@@ -69,6 +69,14 @@ DEFAULT_LOCAL_VOCAB_LIMIT = 2_000_000
 # just wastes a slightly wider limit-N on a vocabulary-sized aggregate.
 _BATCH_CANDIDATES = 64
 
+# chained-encode fallback: literal replaces per select before a
+# materialize barrier bounds the expression depth. MEASURED: an unbatched
+# chain StackOverflows the JVM at plan construction around 2k merges
+# (column→expression conversion recurses per node), so the barrier is a
+# correctness bound, not a tuning knob; 128 keeps each select far from
+# the cliff while paying only k/128 vocabulary-sized barriers.
+_CHAIN_BATCH = 128
+
 
 def _sym_expr(word_col):
     """Marker-encoded symbolization of a word column — THE shared
@@ -398,7 +406,11 @@ def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
       ``local`` trainer: the vocabulary moves once, the corpus never.
     - ``chained``: k chained literal replaces over the distinct-word
       frame — fully distributed, the fallback when the vocabulary
-      exceeds driver memory.
+      exceeds driver memory. Replaces run in ``_CHAIN_BATCH``-deep
+      selects with a materialize barrier between batches: an unbatched
+      chain StackOverflows plan construction near 2k merges, so the
+      barrier is what makes this path viable at production merge
+      counts (k/128 vocabulary-sized barriers, never a corpus pass).
     - ``auto`` (default): ``local`` when a cheap count shows the
       vocabulary is within ``local_vocab_limit`` rows, else ``chained``.
 
@@ -426,14 +438,21 @@ def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
         enc = words.select("w", _sym_expr(F.col("w")).alias("syms")) \
             .filter(F.length("syms") > 0)
         # same trailing-space sentinel as bpe_fit: the pattern ends in
-        # " ", so a merge never matches a longer second symbol that merely
-        # starts with b (chain runs on syms || ' ', sentinel rtrimmed once)
-        col = F.concat(F.col("syms"), F.lit(" "))
-        for pair, new_symbol in merges:
-            a, b = pair.split(" ", 1)
-            col = F.replace(col, F.lit(f"{MARKER}{a} {MARKER}{b} "),
-                            F.lit(f"{MARKER}{new_symbol} "))
-        wl = enc.select("w", F.size(F.split(F.rtrim(col), " "))
+        # " ", so a merge never matches a longer second symbol that
+        # merely starts with b (chain runs on syms || ' ', the sentinel
+        # rtrimmed at each batch boundary — syms never ends in a space,
+        # so re-appending it next batch is exact)
+        merges = list(merges)
+        for start in range(0, len(merges), _CHAIN_BATCH):
+            col = F.concat(F.col("syms"), F.lit(" "))
+            for pair, new_symbol in merges[start:start + _CHAIN_BATCH]:
+                a, b = pair.split(" ", 1)
+                col = F.replace(col, F.lit(f"{MARKER}{a} {MARKER}{b} "),
+                                F.lit(f"{MARKER}{new_symbol} "))
+            enc = enc.select("w", F.rtrim(col).alias("syms"))
+            if start + _CHAIN_BATCH < len(merges):
+                enc = materialize(enc)
+        wl = enc.select("w", F.size(F.split(F.col("syms"), " "))
                         .cast("long").alias("n_sub"))
     tok = df.select(F.col(id_col), F.explode(T.tokens(F.col(text_col)))
                     .alias("w"))

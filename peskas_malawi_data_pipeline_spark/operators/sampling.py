@@ -76,3 +76,76 @@ def weighted_systematic_sample(df: DataFrame, weight_col: str, n: int,
     return (g.filter(F.expr(f"{npts.format(x='__ci')} > "
                             f"{npts.format(x='__ce')}"))
             .select(*df.columns, F.col("__key").alias("sample_key")))
+
+
+def mixture_allocation(df: DataFrame, weights: dict[str, int],
+                       total_budget: int, source_col: str = "source",
+                       tokens_col: str = "n_tokens") -> DataFrame:
+    """Training-mixture token allocation: apportion a ``total_budget``
+    of training tokens across sources proportionally to integer
+    ``weights`` using LARGEST-REMAINDER apportionment (Hamilton's
+    method) — the deterministic, exactly-integral way to turn "web 50%,
+    news 30%, code 20%" into per-source token targets that sum EXACTLY
+    to the budget (naive rounding under- or over-shoots). Per source:
+
+    - ``available_tokens``: what the corpus has (Σ ``tokens_col``);
+    - ``target_tokens``: floor quota ``budget·w div W`` plus one of the
+      ``budget − Σ quotas`` leftover tokens, awarded by largest
+      remainder (ties → source name ASC — fully deterministic);
+    - ``oversample_ppm``: ``target·10⁶ div available`` — above 10⁶
+      means the source must repeat (epochs > 1), the signal a mixture
+      designer actually tunes against (weights a source can't supply
+      are the classic silent mixture bug).
+
+    Sources present in the corpus but absent from ``weights`` get
+    weight 0 (target 0, never sampled); weights naming absent sources
+    are an error (a silent zero row would hide a config typo). All
+    arithmetic is exact integers. Plan: ONE per-source aggregation
+    (map-side partials absorb the corpus); everything after runs on the
+    n_sources-row frame — window + projection on an answer-sized frame.
+    Feed the targets to :func:`weighted_systematic_sample` per source
+    for the physical draw."""
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0 (got {total_budget})")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    w_total = sum(weights.values())
+    if w_total == 0:
+        raise ValueError("at least one weight must be positive")
+    avail = (df.groupBy(F.col(source_col).alias("source"))
+             .agg(F.sum(tokens_col).cast("long").alias("available_tokens")))
+    avail = materialize(avail)
+    present = {r["source"] for r in avail.select("source").collect()}
+    missing = sorted(set(weights) - present)
+    if missing:
+        raise ValueError(f"weights name absent sources: {missing}")
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv]) \
+        if weights else F.create_map()
+    base = avail.select(
+        "source", "available_tokens",
+        F.coalesce(wmap[F.col("source")], F.lit(0)).cast("long")
+        .alias("__w"))
+    quota = F.expr(f"{total_budget} * __w div {w_total}")
+    rem = F.expr(f"({total_budget} * __w) % {w_total}")
+    scored = base.select("source", "available_tokens",
+                         quota.alias("__quota"), rem.alias("__rem"))
+    # leftover = budget − Σ quotas < n_sources: award by largest
+    # remainder. The window runs over the answer-sized source frame.
+    w_rank = Window.orderBy(F.desc("__rem"), "source")
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    ranked = scored.select(
+        "source", "available_tokens", "__quota",
+        F.row_number().over(w_rank).alias("__rk"),
+        (F.lit(total_budget) - F.sum("__quota").over(w_all))
+        .alias("__leftover"))
+    target = (F.col("__quota")
+              + F.when(F.col("__rk") <= F.col("__leftover"), 1)
+              .otherwise(0)).cast("long")
+    out = ranked.select("source", "available_tokens",
+                        target.alias("target_tokens"))
+    return out.select(
+        "source", "available_tokens", "target_tokens",
+        F.when(F.col("available_tokens") > 0,
+               F.expr("target_tokens * 1000000 div available_tokens"))
+        .otherwise(F.lit(None).cast("long")).alias("oversample_ppm"))

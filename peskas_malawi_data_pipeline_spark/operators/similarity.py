@@ -524,29 +524,63 @@ def kmeans_lloyd(df: DataFrame, id_col: str = "vec_id",
     :func:`assign_nearest_centroid`/:func:`ivf_pq_topk` machinery by
     re-deriving them from the assignment when needed.
     """
+    return df.select(
+        F.col(id_col),
+        kmeans_assign_expr(
+            kmeans_fit_centroids(df, id_col=id_col, vec_col=vec_col, k=k,
+                                 iterations=iterations),
+            F.col(vec_col)).alias("centroid_id"))
+
+
+def _assign_micro_expr(centroid_vecs: dict[int, list[int]],
+                       micro_col: Column) -> Column:
+    """Argmin assignment over an ALREADY-quantized micro-int vector
+    column (exact integer d², ties → lowest centroid id)."""
+    cands = []
+    for cid in sorted(centroid_vecs):
+        lit = F.array(*[F.lit(x) for x in centroid_vecs[cid]])
+        d2 = F.aggregate(
+            F.zip_with(micro_col, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cands.append(F.struct(d2.alias("d"),
+                              F.lit(cid).cast("int").alias("c")))
+    return F.array_min(F.array(*cands))["c"].cast("int")
+
+
+def kmeans_assign_expr(centroid_vecs: dict[int, list[int]],
+                       vec_col: Column) -> Column:
+    """PURE-MAP nearest-centroid assignment expression for a raw vector
+    column against driver-artifact micro-int centroids (inlined as
+    literals): exact integer d² argmin, ties → lowest centroid id — the
+    same rule everywhere in the k-means/IVF family. No join, no
+    shuffle: blocking a 100 TB corpus on a trained clustering is one
+    projection."""
+    return _assign_micro_expr(centroid_vecs, _micro(vec_col))
+
+
+def kmeans_fit_centroids(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", k: int = 8,
+                         iterations: int = 2) -> dict[int, list[int]]:
+    """The Lloyd loop itself, returning the FINAL-round centroid dict
+    (what :func:`kmeans_lloyd`'s assignment is computed against — i.e.
+    the centroids after ``iterations - 1`` mean updates): {cid →
+    micro-int vector}, a bounded k×dim driver artifact like a learned
+    merge table. Per update round: assignment is a pure map (current
+    centroids inline as literals), the mean is ONE posexplode +
+    (cid, dim) partial-sum shuffle with exact integer ``div``
+    truncation. A cluster that loses all members vanishes from the dict
+    — deterministic in every engine."""
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
-    base = df.select(F.col(id_col), _micro(F.col(vec_col)).alias("__v"))
+    base = df.select(_micro(F.col(vec_col)).alias("__v"))
     seeds = (df.orderBy(id_col).limit(k)
              .select(_micro(F.col(vec_col)).alias("__v")).collect())
     cents: dict[int, list[int]] = {
         cid: [int(x) for x in r["__v"]]
         for cid, r in enumerate(seeds, start=1)}
-
-    def assign_expr(cdict: dict[int, list[int]]):
-        cands = []
-        for cid in sorted(cdict):
-            lit = F.array(*[F.lit(x) for x in cdict[cid]])
-            d2 = F.aggregate(
-                F.zip_with(F.col("__v"), lit,
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x)
-            cands.append(F.struct(d2.alias("d"),
-                                  F.lit(cid).cast("int").alias("c")))
-        return F.array_min(F.array(*cands))["c"]
-
-    for it in range(iterations - 1):
-        assigned = base.select("__v", assign_expr(cents).alias("__cid"))
+    for _it in range(iterations - 1):
+        assigned = base.select(
+            "__v", _assign_micro_expr(cents, F.col("__v")).alias("__cid"))
         # exact integer mean: Spark's `div` truncates toward zero exactly
         # like DuckDB's `//` (-7 div 2 = -3), with NO double intermediate —
         # bit-identical at any per-cluster sum magnitude, unlike a
@@ -562,8 +596,7 @@ def kmeans_lloyd(df: DataFrame, id_col: str = "vec_id",
                 int(r["__m"])
         cents = {cid: [dims[i] for i in range(len(dims))]
                  for cid, dims in nxt.items()}
-    return base.select(F.col(id_col),
-                       assign_expr(cents).cast("int").alias("centroid_id"))
+    return cents
 
 
 def kmeans_centroids(df: DataFrame, assignment: DataFrame,

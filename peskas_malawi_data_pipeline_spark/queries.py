@@ -1170,6 +1170,61 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "n_tokens", n=50, id_col="doc_id", n_shards=8)
 
 
+#: mixture design for the allocation query: graded weights over the 20
+#: synthetic sources, with src16..src19 deliberately ABSENT (weight 0 —
+#: excluded sources must still appear in the report with target 0).
+_MIX_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(16)}
+_MIX_BUDGET = 1_000_000
+
+
+def _duck_mix_weight_case() -> str:
+    arms = " ".join(f"WHEN '{s}' THEN {w}"
+                    for s, w in sorted(_MIX_WEIGHTS.items()))
+    return f"CASE source {arms} ELSE 0 END"
+
+
+@register("mixture_allocation", f"""
+WITH toks AS (SELECT source, {_DUCK_TOKS} AS t FROM documents),
+avail AS (SELECT source, CAST(sum(len(t)) AS BIGINT) AS available_tokens
+          FROM toks GROUP BY source),
+w AS (SELECT source, available_tokens,
+             CAST({_duck_mix_weight_case()} AS BIGINT) AS wgt
+      FROM avail),
+q AS (SELECT source, available_tokens,
+             CAST({_MIX_BUDGET} * wgt // {sum(_MIX_WEIGHTS.values())}
+                  AS BIGINT) AS quota,
+             ({_MIX_BUDGET} * wgt) % {sum(_MIX_WEIGHTS.values())} AS rem
+      FROM w),
+r AS (SELECT source, available_tokens, quota,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             {_MIX_BUDGET} - sum(quota) OVER () AS leftover
+      FROM q),
+t AS (SELECT source, available_tokens,
+             CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS target_tokens
+      FROM r)
+SELECT source, available_tokens, target_tokens,
+       CASE WHEN available_tokens > 0
+            THEN CAST(target_tokens * 1000000 // available_tokens
+                      AS BIGINT) END AS oversample_ppm
+FROM t
+""")
+def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token allocation (sampling.mixture_allocation):
+    a 1M-token budget apportioned across sources by largest-remainder
+    (Hamilton) over graded weights — targets sum EXACTLY to the budget,
+    deterministic remainder tie-break, all-integer arithmetic. Sources
+    outside the weight map (src16..19) report target 0; oversample_ppm
+    > 10⁶ flags sources that must repeat (epochs > 1) — the silent
+    mixture bug this report exists to catch. Plan: one per-source
+    aggregation over the corpus; the apportionment window runs on the
+    20-row answer frame."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", T.token_count(F.col("text")).cast("long")
+        .alias("n_tokens"))
+    return samp_ops.mixture_allocation(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
 @register("fingerprint_groups", """
 SELECT md5(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g')) AS fp,
        CAST(min(doc_id) AS BIGINT) AS keeper_id,
@@ -1575,6 +1630,78 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), block_col="source",
         shingle_n=3, threshold=0.2)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("lsh_pair_quality", f"""
+WITH {_DUCK_MINHASH_CTES},
+src AS (SELECT doc_id, source FROM documents),
+cand AS (SELECT p.id_a, p.id_b
+         FROM mh_pairs p
+         JOIN src a ON p.id_a = a.doc_id
+         JOIN src b ON p.id_b = b.doc_id
+         WHERE a.source = b.source),
+shs AS (SELECT sh.doc_id, src.source, sh.s FROM sh JOIN src USING (doc_id)),
+truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM shs a JOIN shs b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.2),
+m AS (SELECT
+  (SELECT count(*) FROM cand) AS n_candidates,
+  (SELECT count(*) FROM truth) AS n_true,
+  (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS tp)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(tp AS BIGINT) AS true_positives,
+       CASE WHEN n_candidates > 0
+            THEN CAST(tp * 1000000 // n_candidates AS BIGINT)
+       END AS precision_ppm,
+       CASE WHEN n_true > 0
+            THEN CAST(tp * 1000000 // n_true AS BIGINT)
+       END AS recall_ppm
+FROM m
+""")
+def lsh_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator quality for the TEXT near-dup family, pinned
+    in ppm like `ann_recall_at_k` pins ANN: the MinHash/LSH pair stream
+    (8 hashes, 4 bands of 2) scored against exact shingle-Jaccard ≥ 0.2
+    truth within source blocks (the block bounds the exact verify;
+    candidates are restricted to the same blocks so precision/recall
+    measure the GENERATOR, not the block policy). Output: candidate
+    count, truth count, true positives, precision_ppm, recall_ppm — the
+    two numbers a dedup owner tunes bands/hashes against; an unmeasured
+    candidate generator silently trades recall for speed. Plan: both
+    pair streams are answer-sized; the hit-join broadcasts; one-row
+    aggregate output."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    cand = (dedup_ops.minhash_lsh_pairs(docs, num_hashes=8, band_size=2,
+                                        shingle_n=3)
+            .join(src.select(F.col("doc_id").alias("id_a"),
+                             F.col("source").alias("__sa")), "id_a")
+            .join(src.select(F.col("doc_id").alias("id_b"),
+                             F.col("source").alias("__sb")), "id_b")
+            .filter(F.col("__sa") == F.col("__sb"))
+            .select("id_a", "id_b"))
+    truth = materialize(
+        dedup_ops.jaccard_pairs(docs, block_col="source", shingle_n=3,
+                                threshold=0.2)
+        .select("id_a", "id_b").withColumn("__hit", F.lit(1)))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    agg = (cand.join(F.broadcast(truth), ["id_a", "id_b"], "left")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+                .alias("true_positives"))
+           .crossJoin(F.broadcast(n_true)))
+    return agg.select(
+        "n_candidates", F.col("n_true").cast("long").alias("n_true"),
+        "true_positives",
+        F.when(F.col("n_candidates") > 0,
+               F.expr("true_positives * 1000000 div n_candidates"))
+        .alias("precision_ppm"),
+        F.when(F.col("n_true") > 0,
+               F.expr("true_positives * 1000000 div n_true"))
+        .alias("recall_ppm"))
 
 
 @register("embedding_near_dup", """
@@ -4033,6 +4160,75 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3)
     return out.select("vec_id", F.col("centroid_id").cast("long")
                       .alias("centroid_id"))
+
+
+_DUCK_KM32_CTES = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, q AS cq
+       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 32)),
+a1 AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (q[i] - cq[i]) * (q[i] - cq[i]))), c0.cid) AS rn
+    FROM e, c0) WHERE rn = 1),
+m1 AS (SELECT a1.cid, t.i AS dim,
+              CAST(sum(q[t.i + 1]) // count(*) AS BIGINT) AS m
+       FROM a1 JOIN e USING (vec_id), UNNEST(range(0, 64)) AS t(i)
+       GROUP BY a1.cid, t.i),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS cq FROM m1 GROUP BY cid),
+a2 AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (q[i] - cq[i]) * (q[i] - cq[i]))), c1.cid) AS rn
+    FROM e, c1) WHERE rn = 1)"""
+
+
+@register("semantic_dedup_trained", f"""
+WITH {_DUCK_KM32_CTES},
+ev AS (SELECT a.vec_id, a.cid, e.v FROM a2 a JOIN e USING (vec_id)),
+pairs AS (
+  SELECT b.vec_id AS dup
+  FROM ev a JOIN ev b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+SELECT vec_id, CAST(cid AS INT) AS centroid_id
+FROM ev WHERE vec_id NOT IN (SELECT dup FROM pairs)
+""")
+def semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on a TRAINED clustering — the composition the SemDeDup
+    paper actually prescribes (k-means the embeddings, then prune
+    within-cluster cosine near-dups), now that `kmeans_clusters` exists:
+    similarity.kmeans_lloyd (k=32 ≈ √N at bench scale, two rounds, zero
+    RNG) blocks the corpus, dedup.embedding_near_dup_pairs finds
+    within-cluster cosine ≥ 0.3 pairs, min-id survivors keep. Versus the
+    seed-blocked `semantic_dedup`, the trained cells track data density,
+    which is what bounds Σ|cluster|² on a REAL corpus (the paper's k≈√N
+    argument assumes balanced cells — lowest-id seeds don't chase
+    balance, k-means does). Oracle: the unrolled two-round Lloyd chain
+    (same pattern as kmeans_clusters) + the identical pair/survivor
+    SQL as semantic_dedup. Scale shape: the trained centroids are a
+    bounded driver artifact, so blocking the corpus is ONE pure-map
+    projection (kmeans_assign_expr — no join, no shuffle); the pair
+    stage is the blocked quadratic verify with the banded/IVF variants
+    as the scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim_ops.kmeans_fit_centroids(emb, id_col="vec_id", k=32,
+                                         iterations=2)
+    clustered = emb.select(
+        "vec_id", "embedding",
+        sim_ops.kmeans_assign_expr(cents, F.col("embedding"))
+        .alias("centroid_id"))
+    pairs = dedup_ops.embedding_near_dup_pairs(
+        clustered, id_col="vec_id", vec_col="embedding",
+        block_col="centroid_id", threshold=0.3)
+    dups = pairs.select(F.col("id_b").alias("vec_id"))
+    return (clustered.join(dups, "vec_id", "left_anti")
+            .select("vec_id", "centroid_id"))
 
 
 @register("kmv_distinct_users", f"""

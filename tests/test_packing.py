@@ -115,3 +115,36 @@ def test_pack_greedy_string_ids(spark):
     from collections import Counter
     per_bin = Counter((r.shard, r.bin_id) for r in rows)
     assert max(per_bin.values()) <= 2
+
+
+def test_mixture_allocation_largest_remainder(spark):
+    """mixture_allocation: targets sum EXACTLY to the budget, quotas are
+    proportional to weights with the leftover awarded by largest
+    remainder (ties -> source name ASC), unweighted sources report
+    target 0, oversample_ppm exceeds 1e6 exactly when a source must
+    repeat, weights naming absent sources raise, and zero-total weights
+    raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import sampling as S
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("c", 10), ("d", 999)],
+        "source string, n_tokens long")
+    # budget 100 over weights a:3 b:3 c:1  (W=7): quotas 42/42/14,
+    # remainders 6/6/2 -> leftover 2 goes to a then b (name tie-break)
+    out = {r.source: (r.available_tokens, r.target_tokens,
+                      r.oversample_ppm)
+           for r in S.mixture_allocation(
+               df, {"a": 3, "b": 3, "c": 1}, 100).collect()}
+    assert out["a"] == (200, 43, 215_000)
+    assert out["b"] == (50, 43, 860_000)
+    assert out["c"] == (10, 14, 1_400_000)      # must repeat: > 1e6
+    assert out["d"] == (999, 0, 0)              # unweighted -> target 0
+    assert sum(t for _, t, _ in out.values()) == 100
+
+    with pytest.raises(ValueError, match="absent"):
+        S.mixture_allocation(df, {"a": 1, "zz": 1}, 100).collect()
+    with pytest.raises(ValueError, match="positive"):
+        S.mixture_allocation(df, {"a": 0}, 100)
