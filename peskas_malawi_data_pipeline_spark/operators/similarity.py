@@ -302,6 +302,43 @@ def pq_codebook_from_centroids(centroid_vecs: dict[int, list[int]],
     return cb
 
 
+def pq_codebook_subspace_trained(corpus: DataFrame,
+                                 corpus_id: str = "corpus_id",
+                                 vec_col: str = "embedding", m: int = 4,
+                                 k_centroids: int = 8,
+                                 iterations: int = 2
+                                 ) -> dict[tuple[int, int], list[int]]:
+    """PER-SUBSPACE trained PQ codebook — the canonical Jégou et al.
+    training: an independent k-means per subvector slice, so each
+    subspace's centroids adapt to ITS marginal distribution (a
+    full-vector clustering sliced up shares one partition across all
+    subspaces and wastes codes where a subspace's mass isn't). Runs
+    :func:`kmeans_fit_centroids` on each of the ``m`` sliced frames
+    (seeds = the k lowest-id vectors' slices, the family's shared
+    deterministic seeding); per-subspace cids are reindexed densely, so
+    the codebook may be RAGGED across subspaces if a slice loses a
+    cluster (the scorers handle it — ``_sub_cids``). Cost: m small
+    Lloyd runs, each (iterations−1) k·d_sub partial-sum shuffles + two
+    bounded collects; the corpus is scanned per run but never
+    shuffled."""
+    dim = len(corpus.select(F.col(vec_col)).limit(1).collect()[0][0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    cb: dict[tuple[int, int], list[int]] = {}
+    for s in range(1, m + 1):
+        sliced = corpus.select(
+            F.col(corpus_id),
+            F.slice(F.col(vec_col), (s - 1) * d_sub + 1, d_sub)
+            .alias("__sub"))
+        cents = kmeans_fit_centroids(sliced, id_col=corpus_id,
+                                     vec_col="__sub", k=k_centroids,
+                                     iterations=iterations)
+        for dense_cid, cid in enumerate(sorted(cents), start=1):
+            cb[(s, dense_cid)] = cents[cid]
+    return cb
+
+
 def pq_codebook(corpus: DataFrame, corpus_id: str = "corpus_id",
                 vec_col: str = "embedding", m: int = 4,
                 k_centroids: int = 8) -> dict[tuple[int, int], list[int]]:
@@ -329,16 +366,25 @@ def _pq_shape(codebook: dict) -> tuple[int, int, int]:
     return m, k, len(codebook[(1, 1)])
 
 
+def _sub_cids(codebook: dict, s: int) -> list[int]:
+    """Centroid ids present for subspace ``s``, ascending. Codebooks may
+    be RAGGED (per-subspace training can lose a cluster in one subspace
+    only); ids are dense 1..k_s within each subspace by the
+    pq_codebook_from_centroids reindex contract, so a code IS its
+    position in the cid-ordered centroid array."""
+    return sorted(c for (ss, c) in codebook if ss == s)
+
+
 def _pq_code_columns(vec_micro: Column, codebook: dict) -> list[Column]:
     """Per-subspace code columns (exact-integer argmin, ties → lowest
     centroid id) for a micro-int vector — shared by :func:`pq_encode`
     and :func:`ivf_pq_topk` so both compute codes in ONE map pass."""
-    m, k, d_sub = _pq_shape(codebook)
+    m, _k, d_sub = _pq_shape(codebook)
     code_cols = []
     for s in range(1, m + 1):
         sub = F.slice(vec_micro, (s - 1) * d_sub + 1, d_sub)
         cands = []
-        for cid in range(1, k + 1):
+        for cid in _sub_cids(codebook, s):
             lit = F.array(*[F.lit(x) for x in codebook[(s, cid)]])
             d2 = F.aggregate(
                 F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
@@ -390,12 +436,12 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
     PQ trade; compose with :func:`ivf_topk`'s list pruning for the
     IVF-ADC shape when candidate volume itself is the bottleneck.
     Returns (query_id, corpus_id, adc_dist, rank)."""
-    m, kc, d_sub = _pq_shape(codebook)
+    m, _kc, d_sub = _pq_shape(codebook)
     codes = pq_encode(corpus, codebook, id_col=corpus_id, vec_col=vec_col)
     cb_lit = F.array(*[
         F.array(*[
             F.array(*[F.lit(x) for x in codebook[(s, c)]])
-            for c in range(1, kc + 1)])
+            for c in _sub_cids(codebook, s)])
         for s in range(1, m + 1)])
     qv = _micro(F.col(vec_col))
     q = queries.select(F.col(query_id), qv.alias("__qv"))
@@ -468,7 +514,7 @@ def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
     (small) probe side broadcast — the corpus partitioning is never
     touched — and the final per-query window top-k over candidate rows.
     Returns (query_id, corpus_id, adc_dist, rank)."""
-    m, kc, d_sub = _pq_shape(codebook)
+    m, _kc, d_sub = _pq_shape(codebook)
     cv = _micro(F.col(vec_col))
     # list id AND codes from one projection — the corpus is read once and
     # never self-joined (both are pure expressions over the same vector)
@@ -485,7 +531,7 @@ def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
     cb_lit = F.array(*[
         F.array(*[
             F.array(*[F.lit(x) for x in codebook[(s, c)]])
-            for c in range(1, kc + 1)])
+            for c in _sub_cids(codebook, s)])
         for s in range(1, m + 1)])
     total = F.lit(0).cast("long")
     for s in range(1, m + 1):

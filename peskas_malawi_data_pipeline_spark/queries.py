@@ -5360,6 +5360,132 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
+def _duck_sub_lloyd(s: int) -> str:
+    """One subspace's Lloyd chain (seeds → assign → truncating means →
+    trained centroids, iterations=2 ⇒ one mean update) over the 16-dim
+    slice starting at offset (s−1)·16 — the SQL twin of
+    similarity.kmeans_fit_centroids on the sliced frame."""
+    off = (s - 1) * 16
+    d2 = (f"list_sum(list_transform(range(1, 17), "
+          f"i -> (v[{off} + i] - cq[i]) * (v[{off} + i] - cq[i])))")
+    return f"""s{s}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+       list_transform(range(1, 17), i -> v[{off} + i]) AS cq
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+s{s}a1 AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM e, s{s}c0 c) WHERE rn = 1),
+s{s}m1 AS (SELECT a.cid, t.i AS dim,
+              CAST(sum(v[{off} + t.i + 1]) // count(*) AS BIGINT) AS m
+       FROM s{s}a1 a JOIN e USING (vec_id), UNNEST(range(0, 16)) AS t(i)
+       GROUP BY a.cid, t.i),
+s{s}c1 AS (SELECT cid, list(m ORDER BY dim) AS cq FROM s{s}m1
+           GROUP BY cid),
+s{s}cents AS (SELECT {s} AS sub,
+                     row_number() OVER (ORDER BY cid) AS cid, cq AS cv
+              FROM s{s}c1)"""
+
+
+_DUCK_ANN_PQ_SUB_SQL = f"""
+WITH e AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+ FROM embeddings),
+qm AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+xs AS (SELECT query_id, e.vec_id AS corpus_id,
+              list_sum(list_transform(range(1, 65),
+                i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS d2
+       FROM qm, e WHERE query_id <> e.vec_id),
+exact AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, corpus_id) AS rn
+    FROM xs) WHERE rn <= 3),
+subs AS (SELECT unnest(range(1, 5)) AS sub),
+cents_l AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+{_duck_adc_blocks("l", "cents_l")},
+{",".join(_duck_sub_lloyd(s) for s in range(1, 5))},
+cents_sub AS ({" UNION ALL ".join(f"SELECT * FROM s{s}cents"
+                                  for s in range(1, 5))}),
+cd_s AS (SELECT e.vec_id AS corpus_id, cs.sub, cs.cid,
+                list_sum(list_transform(range(1, 17),
+                  i -> (v[(cs.sub - 1) * 16 + i] - cv[i])
+                     * (v[(cs.sub - 1) * 16 + i] - cv[i]))) AS d2
+         FROM e, cents_sub cs),
+codes_s AS (SELECT corpus_id, sub, cid FROM (
+    SELECT corpus_id, sub, cid,
+           row_number() OVER (PARTITION BY corpus_id, sub
+                              ORDER BY d2, cid) AS rn
+    FROM cd_s) WHERE rn = 1),
+adc_s AS (
+  SELECT query_id, corpus_id, sum(sd2) AS adc FROM (
+    SELECT qm.query_id, co.corpus_id,
+           list_sum(list_transform(range(1, 17),
+             i -> (qv[(co.sub - 1) * 16 + i] - ce.cv[i])
+                * (qv[(co.sub - 1) * 16 + i] - ce.cv[i]))) AS sd2
+    FROM qm, codes_s co
+    JOIN cents_sub ce ON co.sub = ce.sub AND co.cid = ce.cid
+    WHERE qm.query_id <> co.corpus_id)
+  GROUP BY query_id, corpus_id),
+pq_s AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, corpus_id) AS rn
+    FROM adc_s) WHERE rn <= 3),
+m AS ({_duck_pq_recall_row("pq_adc", "pq_l")}
+  UNION ALL {_duck_pq_recall_row("pq_adc_subtrained", "pq_s")})
+SELECT method, CAST(hits AS BIGINT) AS hits,
+       CAST(approx_n AS BIGINT) AS approx_n,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(hits * 1000000 // exact_n AS BIGINT) AS recall_ppm
+FROM m
+"""
+
+
+@register("ann_pq_subspace_recall", _DUCK_ANN_PQ_SUB_SQL)
+def ann_pq_subspace_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SUBSPACE PQ training (similarity.pq_codebook_subspace_trained
+    — the canonical Jégou method: one independent k-means per subvector
+    slice, so each subspace's codes adapt to its own marginal) measured
+    against the lowest-id seed codebook on the exact integer-L2
+    baseline — the third point on the codebook-quality curve after
+    `ann_pq_recall`'s full-vector-trained variant. Oracle: four
+    unrolled per-slice Lloyd chains + the shared ADC/top-k SQL, all
+    exact BIGINTs. Plan: m bounded Lloyd runs (corpus scanned, never
+    shuffled) feed a pure-map encode; scoring and metrics as in
+    ann_pq_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = materialize(
+        sim_ops.brute_force_l2_topk(q, c, k=3)
+        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
+    cb_l = sim_ops.pq_codebook(c, m=4, k_centroids=8)
+    cb_s = sim_ops.pq_codebook_subspace_trained(c, m=4, k_centroids=8,
+                                                iterations=2)
+    rows = []
+    for method, approx in (
+            ("pq_adc", sim_ops.pq_adc_topk(q, c, cb_l, k=3)),
+            ("pq_adc_subtrained", sim_ops.pq_adc_topk(q, c, cb_s, k=3))):
+        agg = (approx.select("query_id", "corpus_id")
+               .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                    F.count(F.lit(1)).alias("approx_n"))
+               .crossJoin(F.broadcast(exact_n)))
+        rows.append(agg.select(
+            F.lit(method).alias("method"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("approx_n").cast("long").alias("approx_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+            .alias("recall_ppm")))
+    return rows[0].unionByName(rows[1])
+
+
 # Symbol-noise injection so every Gopher rule branch is exercised on the
 # symbol-free harness corpus: every 5th doc gets a run of '#' marks, every
 # 5th+1 a run of '...' — deterministic, same expression in both engines.
