@@ -1704,6 +1704,119 @@ def lsh_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_ppm"))
 
 
+def _duck_band_cte(name: str, band_size: int) -> str:
+    """Banding CTE over the shared 8-hash ``sig``: ``8/band_size`` bands,
+    key = '_'-joined member hashes (same partition as the Spark
+    concat_ws key — keys are internal, only the induced BUCKETS must
+    match)."""
+    nb = 8 // band_size
+    selects = []
+    for b in range(nb):
+        key = " || '_' || ".join(
+            f"CAST(h{b * band_size + r} AS VARCHAR)"
+            for r in range(band_size))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
+    return f"{name} AS ({' UNION ALL '.join(selects)})"
+
+
+def _duck_sweep_arm(bs: int) -> str:
+    """Candidate pairs + same-source restriction + metrics row for one
+    band_size over the shared sig/truth CTEs."""
+    return f"""SELECT {bs} AS band_size, CAST({8 // bs} AS BIGINT) AS n_bands,
+  (SELECT count(*) FROM cand_{bs}) AS n_candidates,
+  (SELECT count(*) FROM truth) AS n_true,
+  (SELECT count(*) FROM cand_{bs} JOIN truth USING (id_a, id_b)) AS tp"""
+
+
+@register("lsh_quality_sweep", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
+sig AS (SELECT doc_id,
+  {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(8))}
+  FROM sh),
+{_duck_band_cte("bands_1", 1)},
+{_duck_band_cte("bands_2", 2)},
+{_duck_band_cte("bands_4", 4)},
+src AS (SELECT doc_id, source FROM documents),
+{",".join(f'''p_{bs} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_{bs} a JOIN bands_{bs} b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+cand_{bs} AS (SELECT p.id_a, p.id_b FROM p_{bs} p
+  JOIN src a ON p.id_a = a.doc_id
+  JOIN src b ON p.id_b = b.doc_id
+  WHERE a.source = b.source)''' for bs in (1, 2, 4))},
+shs AS (SELECT sh.doc_id, src.source, sh.s FROM sh JOIN src USING (doc_id)),
+truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM shs a JOIN shs b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.2),
+m AS ({" UNION ALL ".join(_duck_sweep_arm(bs) for bs in (1, 2, 4))})
+SELECT band_size, n_bands,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(tp AS BIGINT) AS true_positives,
+       CASE WHEN n_candidates > 0
+            THEN CAST(tp * 1000000 // n_candidates AS BIGINT)
+       END AS precision_ppm,
+       CASE WHEN n_true > 0
+            THEN CAST(tp * 1000000 // n_true AS BIGINT)
+       END AS recall_ppm
+FROM m
+""")
+def lsh_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-CURVE, measured: precision/recall of the banded MinHash
+    candidate generator at three bandings of the SAME 8-hash signature —
+    8 bands of 1 (collision-happy, high recall / low precision), 4×2
+    (the engine default), 2×4 (strict, high precision / low recall) —
+    against the same exact-Jaccard truth as `lsh_pair_quality`. This is
+    the tuning table a dedup owner reads before picking (b, r): the
+    P(candidate) = 1−(1−J^r)^b trade is textbook, but the REALIZED
+    curve on one's own corpus is what matters, and here it is an
+    oracle-pinned number. Plan: one metrics row per banding; each arm
+    re-bands the shared signature (the sketch map is the shared heavy
+    part; banding is a projection); truth is materialized once and
+    broadcast into every arm's hit-join."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    truth = materialize(
+        dedup_ops.jaccard_pairs(docs, block_col="source", shingle_n=3,
+                                threshold=0.2)
+        .select("id_a", "id_b").withColumn("__hit", F.lit(1)))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    rows = []
+    for bs in (1, 2, 4):
+        cand = (dedup_ops.minhash_lsh_pairs(docs, num_hashes=8,
+                                            band_size=bs, shingle_n=3)
+                .join(src.select(F.col("doc_id").alias("id_a"),
+                                 F.col("source").alias("__sa")), "id_a")
+                .join(src.select(F.col("doc_id").alias("id_b"),
+                                 F.col("source").alias("__sb")), "id_b")
+                .filter(F.col("__sa") == F.col("__sb"))
+                .select("id_a", "id_b"))
+        agg = (cand.join(F.broadcast(truth), ["id_a", "id_b"], "left")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                    F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+                    .alias("true_positives"))
+               .crossJoin(F.broadcast(n_true)))
+        rows.append(agg.select(
+            F.lit(bs).alias("band_size"),
+            F.lit(8 // bs).cast("long").alias("n_bands"),
+            "n_candidates",
+            F.col("n_true").cast("long").alias("n_true"),
+            "true_positives",
+            F.when(F.col("n_candidates") > 0,
+                   F.expr("true_positives * 1000000 div n_candidates"))
+            .alias("precision_ppm"),
+            F.when(F.col("n_true") > 0,
+                   F.expr("true_positives * 1000000 div n_true"))
+            .alias("recall_ppm")))
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
 @register("embedding_near_dup", """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
