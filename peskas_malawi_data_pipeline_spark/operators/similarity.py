@@ -547,6 +547,127 @@ def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
             .filter(F.col("rank") <= k))
 
 
+def _coarse_lit(coarse: dict[int, list[int]]) -> Column:
+    """Inline literal array of coarse centroid vectors, positioned by
+    cid — requires DENSE 1..n cids so ``element_at(arr, cid)`` IS the
+    centroid lookup (the lowest-id and reindexed-trained constructors
+    both guarantee it)."""
+    cids = sorted(coarse)
+    if cids != list(range(1, len(cids) + 1)):
+        raise ValueError(f"coarse cids must be dense 1..n, got {cids}")
+    return F.array(*[F.array(*[F.lit(x) for x in coarse[c]])
+                     for c in cids])
+
+
+def _residual_expr(vec_micro: Column, coarse: dict[int, list[int]],
+                   list_col: Column) -> Column:
+    """``vec − coarse[list]`` in exact integer micros — the quantity PQ
+    encodes in the full IVFADC shape (the coarse cell absorbs the
+    vector's position, PQ only has to code the small remainder)."""
+    return F.zip_with(vec_micro, F.element_at(_coarse_lit(coarse),
+                                              list_col),
+                      lambda a, b: a - b)
+
+
+def pq_codebook_residual_trained(corpus: DataFrame,
+                                 coarse: dict[int, list[int]],
+                                 corpus_id: str = "corpus_id",
+                                 vec_col: str = "embedding", m: int = 4,
+                                 k_centroids: int = 8,
+                                 iterations: int = 2
+                                 ) -> dict[tuple[int, int], list[int]]:
+    """Per-subspace PQ codebook trained on COARSE RESIDUALS — the full
+    Jégou IVFADC training: residuals cluster tightly around zero no
+    matter where the coarse cell sits, so one shared codebook codes
+    every list's remainders far better than it codes raw positions.
+    One pure-map pass derives (assign coarse list → subtract its
+    centroid) the residual frame; then an independent deterministic
+    k-means per residual slice (:func:`kmeans_fit_centroids` with
+    ``pre_quantized=True`` — residuals are already exact micros, a
+    double round-trip would not be — and ``distinct_seeds=True``: the
+    coarse centroids' own residuals are all exactly zero, so plain
+    lowest-id seeding would hand k-means k identical zero seeds and
+    collapse the codebook to one code). Dense per-subspace reindex; may
+    be ragged (see ``_sub_cids``)."""
+    dim = len(next(iter(coarse.values())))
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    cv = _micro(F.col(vec_col))
+    res = corpus.select(
+        F.col(corpus_id),
+        _residual_expr(cv, coarse, _assign_micro_expr(coarse, cv))
+        .alias("__res"))
+    cb: dict[tuple[int, int], list[int]] = {}
+    for s in range(1, m + 1):
+        sliced = res.select(
+            F.col(corpus_id),
+            F.slice(F.col("__res"), (s - 1) * d_sub + 1, d_sub)
+            .alias("__sub"))
+        cents = kmeans_fit_centroids(sliced, id_col=corpus_id,
+                                     vec_col="__sub", k=k_centroids,
+                                     iterations=iterations,
+                                     pre_quantized=True,
+                                     distinct_seeds=True)
+        for dense_cid, cid in enumerate(sorted(cents), start=1):
+            cb[(s, dense_cid)] = cents[cid]
+    return cb
+
+
+def ivf_pq_residual_topk(queries: DataFrame, corpus: DataFrame,
+                         codebook: dict, coarse: dict[int, list[int]],
+                         k: int = 3, nprobe: int = 2,
+                         query_id: str = "query_id",
+                         corpus_id: str = "corpus_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the complete Jégou et al. shape:
+    corpus vectors are coded as ``coarse[list] + PQ(residual)``, and the
+    query is compared through its own PER-LIST residual
+    (``q − coarse[probed list]``), so the codebook only has to
+    discriminate remainders near zero. All exact integer micros.
+
+    Plan: ONE pure-map pass assigns each corpus row its list, subtracts
+    the centroid (inline literals), and codes the residual — the corpus
+    is read once, never shuffled; the probe side explodes queries to
+    ``nprobe`` (list, query-residual) rows and broadcasts into the
+    list-id equi-join; ADC sums m integer subspace lookups; one window
+    top-k. Returns (query_id, corpus_id, adc_dist, rank)."""
+    m, _kc, d_sub = _pq_shape(codebook)
+    cv = _micro(F.col(vec_col))
+    clist = _assign_micro_expr(coarse, cv)
+    coded = corpus.select(
+        F.col(corpus_id), clist.alias("__list"),
+        F.array(*_pq_code_columns(
+            _residual_expr(cv, coarse, clist), codebook))
+        .alias("pq_codes"))
+    qv = _micro(F.col(vec_col))
+    probes = (queries.select(
+        F.col(query_id), qv.alias("__qv"),
+        F.explode(_coarse_assign(qv, coarse, nprobe)).alias("__list"))
+        .select(F.col(query_id), F.col("__list"),
+                _residual_expr(F.col("__qv"), coarse, F.col("__list"))
+                .alias("__qres")))
+    cand = coded.join(F.broadcast(probes), "__list") \
+        .filter(F.col(query_id) != F.col(corpus_id))
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x) for x in codebook[(s, c)]])
+            for c in _sub_cids(codebook, s)])
+        for s in range(1, m + 1)])
+    total = F.lit(0).cast("long")
+    for s in range(1, m + 1):
+        cvec = F.element_at(F.element_at(cb_lit, s),
+                            F.element_at(F.col("pq_codes"), s))
+        sub = F.slice(F.col("__qres"), (s - 1) * d_sub + 1, d_sub)
+        total = total + F.aggregate(
+            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = cand.select(query_id, corpus_id, total.alias("adc_dist"))
+    w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def kmeans_lloyd(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 8,
                  iterations: int = 2) -> DataFrame:
@@ -606,7 +727,10 @@ def kmeans_assign_expr(centroid_vecs: dict[int, list[int]],
 
 def kmeans_fit_centroids(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", k: int = 8,
-                         iterations: int = 2) -> dict[int, list[int]]:
+                         iterations: int = 2,
+                         pre_quantized: bool = False,
+                         distinct_seeds: bool = False
+                         ) -> dict[int, list[int]]:
     """The Lloyd loop itself, returning the FINAL-round centroid dict
     (what :func:`kmeans_lloyd`'s assignment is computed against — i.e.
     the centroids after ``iterations - 1`` mean updates): {cid →
@@ -615,12 +739,30 @@ def kmeans_fit_centroids(df: DataFrame, id_col: str = "vec_id",
     centroids inline as literals), the mean is ONE posexplode +
     (cid, dim) partial-sum shuffle with exact integer ``div``
     truncation. A cluster that loses all members vanishes from the dict
-    — deterministic in every engine."""
+    — deterministic in every engine. ``pre_quantized=True`` declares
+    ``vec_col`` is ALREADY an array<long> of micros (e.g. PQ residuals)
+    — a double round-trip would not be exact, so it must be skipped,
+    never re-applied. ``distinct_seeds=True`` seeds with the first k
+    DISTINCT vectors in id order (min id per distinct value) instead of
+    the first k rows — required whenever the input can hold repeated
+    values at low ids: PQ RESIDUALS are the motivating case (the coarse
+    centroids' own residuals are all exactly zero, so plain lowest-id
+    seeding hands k-means k identical zero seeds and the codebook
+    collapses to one code — measured as a 6× recall loss before this
+    fix)."""
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
-    base = df.select(_micro(F.col(vec_col)).alias("__v"))
-    seeds = (df.orderBy(id_col).limit(k)
-             .select(_micro(F.col(vec_col)).alias("__v")).collect())
+    vexpr = (F.col(vec_col) if pre_quantized
+             else _micro(F.col(vec_col)))
+    base = df.select(vexpr.alias("__v"))
+    if distinct_seeds:
+        seeds = (df.select(vexpr.alias("__v"),
+                           F.col(id_col).alias("__id"))
+                 .groupBy("__v").agg(F.min("__id").alias("__mid"))
+                 .orderBy("__mid").limit(k).collect())
+    else:
+        seeds = (df.orderBy(id_col).limit(k)
+                 .select(vexpr.alias("__v")).collect())
     cents: dict[int, list[int]] = {
         cid: [int(x) for x in r["__v"]]
         for cid, r in enumerate(seeds, start=1)}

@@ -5557,6 +5557,153 @@ FROM m
 """
 
 
+def _duck_res_lloyd(s: int) -> str:
+    """One subspace's Lloyd chain over the RESIDUAL frame ``rese``
+    (corpus_id, rv) — the SQL twin of kmeans_fit_centroids with
+    pre_quantized=True AND distinct_seeds=True on the sliced residuals
+    (seeds = min corpus_id per DISTINCT residual slice: the coarse
+    members' residuals are all the zero vector and must count as ONE
+    seed, not eight)."""
+    off = (s - 1) * 16
+    d2 = (f"list_sum(list_transform(range(1, 17), "
+          f"i -> (rv[{off} + i] - cq[i]) * (rv[{off} + i] - cq[i])))")
+    return f"""r{s}c0 AS (SELECT row_number() OVER (ORDER BY mid) AS cid, cq
+  FROM (SELECT list_transform(range(1, 17), i -> rv[{off} + i]) AS cq,
+               min(corpus_id) AS mid
+        FROM rese GROUP BY 1
+        ORDER BY mid LIMIT 8)),
+r{s}a1 AS (SELECT corpus_id, cid FROM (
+    SELECT rese.corpus_id, c.cid,
+           row_number() OVER (PARTITION BY rese.corpus_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM rese, r{s}c0 c) WHERE rn = 1),
+r{s}m1 AS (SELECT a.cid, t.i AS dim,
+              CAST(sum(rv[{off} + t.i + 1]) // count(*) AS BIGINT) AS m
+       FROM r{s}a1 a JOIN rese USING (corpus_id),
+            UNNEST(range(0, 16)) AS t(i)
+       GROUP BY a.cid, t.i),
+r{s}c1 AS (SELECT cid, list(m ORDER BY dim) AS cq FROM r{s}m1
+           GROUP BY cid),
+r{s}cents AS (SELECT {s} AS sub,
+                     row_number() OVER (ORDER BY cid) AS cid, cq AS cv
+              FROM r{s}c1)"""
+
+
+_DUCK_ANN_IVF_RES_SQL = f"""
+WITH e AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+ FROM embeddings),
+qm AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+xs AS (SELECT query_id, e.vec_id AS corpus_id,
+              list_sum(list_transform(range(1, 65),
+                i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS d2
+       FROM qm, e WHERE query_id <> e.vec_id),
+exact AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, corpus_id) AS rn
+    FROM xs) WHERE rn <= 3),
+subs AS (SELECT unnest(range(1, 5)) AS sub),
+cents_l AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+{_duck_adc_blocks("l", "cents_l")},
+rese AS (SELECT e.vec_id AS corpus_id, c.list_id,
+                list_transform(range(1, 65), i -> v[i] - ce.cv[i]) AS rv
+         FROM e JOIN cl_l c ON e.vec_id = c.corpus_id
+                JOIN cents_l ce ON c.list_id = ce.cid),
+{",".join(_duck_res_lloyd(s) for s in range(1, 5))},
+cents_res AS ({" UNION ALL ".join(f"SELECT * FROM r{s}cents"
+                                  for s in range(1, 5))}),
+rcd AS (SELECT rese.corpus_id, cs.sub, cs.cid,
+               list_sum(list_transform(range(1, 17),
+                 i -> (rv[(cs.sub - 1) * 16 + i] - cv[i])
+                    * (rv[(cs.sub - 1) * 16 + i] - cv[i]))) AS d2
+        FROM rese, cents_res cs),
+codes_r AS (SELECT corpus_id, sub, cid FROM (
+    SELECT corpus_id, sub, cid,
+           row_number() OVER (PARTITION BY corpus_id, sub
+                              ORDER BY d2, cid) AS rn
+    FROM rcd) WHERE rn = 1),
+qres AS (SELECT q.query_id, p.list_id,
+                list_transform(range(1, 65),
+                               i -> qv[i] - ce.cv[i]) AS qrv
+         FROM qm q JOIN qp_l p USING (query_id)
+              JOIN cents_l ce ON p.list_id = ce.cid),
+adc_r AS (
+  SELECT query_id, corpus_id, sum(sd2) AS adc FROM (
+    SELECT qr.query_id, co.corpus_id,
+           list_sum(list_transform(range(1, 17),
+             i -> (qrv[(co.sub - 1) * 16 + i] - ce.cv[i])
+                * (qrv[(co.sub - 1) * 16 + i] - ce.cv[i]))) AS sd2
+    FROM qres qr
+    JOIN cl_l c ON c.list_id = qr.list_id
+    JOIN codes_r co ON co.corpus_id = c.corpus_id
+    JOIN cents_res ce ON co.sub = ce.sub AND co.cid = ce.cid
+    WHERE qr.query_id <> co.corpus_id)
+  GROUP BY query_id, corpus_id),
+ivf_r AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, corpus_id) AS rn
+    FROM adc_r) WHERE rn <= 3),
+m AS ({_duck_pq_recall_row("ivf_adc", "ivf_l")}
+  UNION ALL {_duck_pq_recall_row("ivf_adc_residual", "ivf_r")})
+SELECT method, CAST(hits AS BIGINT) AS hits,
+       CAST(approx_n AS BIGINT) AS approx_n,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(hits * 1000000 // exact_n AS BIGINT) AS recall_ppm
+FROM m
+"""
+
+
+@register("ann_ivf_residual_recall", _DUCK_ANN_IVF_RES_SQL)
+def ann_ivf_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVFADC (similarity.ivf_pq_residual_topk +
+    pq_codebook_residual_trained) vs plain IVF-ADC, recall@3 against the
+    exact integer-L2 baseline — the COMPLETE Jégou shape: corpus rows
+    code ``coarse[list] + PQ(residual)`` with a per-subspace codebook
+    TRAINED ON RESIDUALS, and queries compare through their per-probed-
+    list residual. Residuals concentrate near zero regardless of cell
+    position, which is why the same code budget buys more precision —
+    measured here in oracle-pinned ppm. Oracle: list assignment +
+    residual transform + four per-slice Lloyd chains + residual ADC,
+    all exact BIGINTs. Plan: ONE pure-map pass assigns, subtracts, and
+    codes each corpus row (coarse + codebook inline as literals);
+    probes broadcast; candidates bounded by nprobe lists."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = materialize(
+        sim_ops.brute_force_l2_topk(q, c, k=3)
+        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
+    coarse_l = sim_ops.ivf_coarse_centroids(c, n_centroids=8)
+    cb_l = sim_ops.pq_codebook(c, m=4, k_centroids=8)
+    cb_res = sim_ops.pq_codebook_residual_trained(
+        c, coarse_l, m=4, k_centroids=8, iterations=2)
+    rows = []
+    for method, approx in (
+            ("ivf_adc", sim_ops.ivf_pq_topk(q, c, cb_l, coarse_l, k=3,
+                                            nprobe=2)),
+            ("ivf_adc_residual", sim_ops.ivf_pq_residual_topk(
+                q, c, cb_res, coarse_l, k=3, nprobe=2))):
+        agg = (approx.select("query_id", "corpus_id")
+               .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                    F.count(F.lit(1)).alias("approx_n"))
+               .crossJoin(F.broadcast(exact_n)))
+        rows.append(agg.select(
+            F.lit(method).alias("method"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("approx_n").cast("long").alias("approx_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+            .alias("recall_ppm")))
+    return rows[0].unionByName(rows[1])
+
+
 @register("ann_pq_subspace_recall", _DUCK_ANN_PQ_SUB_SQL)
 def ann_pq_subspace_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-SUBSPACE PQ training (similarity.pq_codebook_subspace_trained

@@ -512,6 +512,80 @@ def test_kmeans_centroids_and_trained_codebook(spark):
     assert got_l2 == want_l2
 
 
+def test_residual_codebook_distinct_seeding(spark):
+    """pq_codebook_residual_trained must not collapse when the coarse
+    members' residuals are all zero (they are, by construction): the
+    residual k-means seeds on DISTINCT residual slices (min id per
+    value), so the codebook keeps multiple codes per subspace, and
+    ivf_pq_residual_topk's ADC equals a numpy recomputation of the same
+    spec on a small corpus."""
+    import numpy as np
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    dim, m = 8, 2
+    vecs = rng.uniform(-1, 1, size=(24, dim)).round(3)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows,
+                               "corpus_id int, embedding array<double>")
+    coarse = S.ivf_coarse_centroids(df, n_centroids=4)
+    cb = S.pq_codebook_residual_trained(df, coarse, m=m, k_centroids=4)
+    # no collapse: >1 distinct code per subspace (zero-seed collapse
+    # would leave exactly one centroid per subspace)
+    for s in range(1, m + 1):
+        assert len(S._sub_cids(cb, s)) > 1, s
+
+    # numpy replay of the full spec: list assign -> residual -> code ->
+    # per-probed-list query residual -> ADC -> top-3
+    micro = np.floor(vecs * 1e6).astype("int64")
+    cents = np.array([coarse[c] for c in sorted(coarse)], dtype="int64")
+    d_sub = dim // m
+
+    def lists_of(v, n):
+        d2 = ((cents - v) ** 2).sum(axis=1)
+        return [int(i) + 1
+                for i in np.lexsort((np.arange(len(cents)), d2))[:n]]
+
+    def codes_of(res):
+        out = []
+        for s in range(1, m + 1):
+            sub = res[(s - 1) * d_sub:s * d_sub]
+            cids = S._sub_cids(cb, s)
+            d2 = [int(((sub - np.array(cb[(s, c)])) ** 2).sum())
+                  for c in cids]
+            out.append(cids[int(np.lexsort((np.arange(len(cids)),
+                                            d2))[0])])
+        return out
+
+    want = {}
+    for qi in range(5):
+        probed = lists_of(micro[qi], 2)
+        scored = []
+        for ci in range(24):
+            if ci == qi:
+                continue
+            cl = lists_of(micro[ci], 1)[0]
+            if cl not in probed:
+                continue
+            res_c = micro[ci] - cents[cl - 1]
+            qres = micro[qi] - cents[cl - 1]
+            codes = codes_of(res_c)
+            adc = sum(int(((qres[(s - 1) * d_sub:s * d_sub]
+                            - np.array(cb[(s, codes[s - 1])])) ** 2)
+                          .sum()) for s in range(1, m + 1))
+            scored.append((adc, ci))
+        for rank, (d, ci) in enumerate(sorted(scored)[:3], start=1):
+            want[(qi, ci)] = (d, rank)
+
+    q = spark.createDataFrame(rows[:5],
+                              "query_id int, embedding array<double>")
+    got = {(r.query_id, r.corpus_id): (r.adc_dist, r.rank)
+           for r in S.ivf_pq_residual_topk(q, df, cb, coarse, k=3,
+                                           nprobe=2).collect()}
+    assert got == want
+
+
 def test_ivf_pq_topk_matches_bruteforce_composition(spark):
     """IVF-ADC equals the brute-force composition exactly: coarse
     assignment by integer full-dim argmin (ties → lowest centroid),

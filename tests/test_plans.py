@@ -645,6 +645,9 @@ def test_registry_wide_plan_hygiene(spark):
                                # heavy-hitter vocabulary (global_row_number)
         "zone_map_skipping",   # |buckets|-row offset frame ×2 layouts
                                # (layout.zone_map_stats via global_row_number)
+        "mixture_allocation",  # n_sources-row apportionment frame: the
+                               # largest-remainder rank/leftover windows run
+                               # AFTER the per-source aggregation
     }
     utils = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils
     offenders = {}
