@@ -417,6 +417,33 @@ def pq_encode(df: DataFrame, codebook: dict,
                      packed.alias("pq_packed"))
 
 
+def pq_distortion(df: DataFrame, codebook: dict,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector PQ RECONSTRUCTION ERROR: exact integer d² between the
+    vector and its codebook reconstruction — which is Σ over subspaces
+    of the min centroid distance (the encode argmin's own objective), so
+    it falls out of the same expression the encoder evaluates. This is
+    the OTHER codebook-quality axis next to recall: distortion is what
+    k-means training directly minimizes, recall is what search cares
+    about; a deployment tracks both (codebooks rot as the corpus
+    drifts). Pure map, codebook inlined; returns (``id_col``, pq_d2)."""
+    m, _k, d_sub = _pq_shape(codebook)
+    v = _micro(F.col(vec_col))
+    total = F.lit(0).cast("long")
+    for s in range(1, m + 1):
+        sub = F.slice(v, (s - 1) * d_sub + 1, d_sub)
+        cands = []
+        for cid in _sub_cids(codebook, s):
+            lit = F.array(*[F.lit(x) for x in codebook[(s, cid)]])
+            d2 = F.aggregate(
+                F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            cands.append(d2)
+        total = total + F.array_min(F.array(*cands))
+    return df.select(F.col(id_col), total.alias("pq_d2"))
+
+
 def pq_adc_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
                 k: int = 3, query_id: str = "query_id",
                 corpus_id: str = "corpus_id",

@@ -1528,6 +1528,108 @@ def pinned_incremental_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.pinned_incremental_split(prior_split, comp, new)
 
 
+@register("split_leakage_report", f"""
+WITH RECURSIVE {_DUCK_MINHASH_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+          UNION SELECT id_b, id_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+hsplit AS (SELECT doc_id,
+       CASE WHEN {_DUCK_H32} % 100 < 80 THEN 'train'
+            WHEN {_DUCK_H32} % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+  FROM documents),
+gsplit AS (SELECT doc_id,
+       CASE WHEN hv % 100 < 80 THEN 'train'
+            WHEN hv % 100 < 90 THEN 'valid' ELSE 'test' END AS split
+  FROM (SELECT d.doc_id,
+               CAST('0x' || substr(md5('split:' || CAST(
+                    CAST(coalesce(c.component, d.doc_id) AS BIGINT)
+                    AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)),
+m AS (
+  SELECT 'per_doc' AS policy,
+    (SELECT count(*) FROM mh_pairs) AS n_pairs,
+    (SELECT count(*) FROM mh_pairs p
+      JOIN hsplit a ON p.id_a = a.doc_id
+      JOIN hsplit b ON p.id_b = b.doc_id
+      WHERE a.split <> b.split) AS n_cross
+  UNION ALL
+  SELECT 'group_aware',
+    (SELECT count(*) FROM mh_pairs),
+    (SELECT count(*) FROM mh_pairs p
+      JOIN gsplit a ON p.id_a = a.doc_id
+      JOIN gsplit b ON p.id_b = b.doc_id
+      WHERE a.split <> b.split))
+SELECT policy, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_cross AS BIGINT) AS n_cross_split,
+       CASE WHEN n_pairs > 0
+            THEN CAST(n_cross * 1000000 // n_pairs AS BIGINT)
+       END AS leakage_ppm
+FROM m
+""")
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEAKAGE AUDIT behind the split family: for each split policy,
+    how many near-dup candidate pairs END UP WITH THEIR TWO SIDES IN
+    DIFFERENT SPLITS — i.e. how many training documents have a
+    paraphrase in the eval set. The per-doc hash split leaks (each dup
+    pair lands across splits with probability 2·p·(1−p) summed over
+    splits); the group-aware split leaks EXACTLY ZERO by construction
+    (components never span splits) — and this report turns that
+    by-construction claim into a measured, oracle-pinned number an eval
+    owner can monitor as the corpus grows. Plan: one LSH pair pass
+    (materialized, reused by both policy rows), split assignment is a
+    pure map / broadcast key join, the audit joins are answer-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = materialize(dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, shingle_n=3))
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    h_doc = T.md5_prefix_hash(F.col("doc_id").cast("string"),
+                              "split:") % 100
+    hsplit = docs.select("doc_id",
+                         F.when(h_doc < 80, "train")
+                         .when(h_doc < 90, "valid").otherwise("test")
+                         .alias("split"))
+    comp = dedup_ops.connected_components_star(pairs)
+    h_grp = T.md5_prefix_hash(F.col("group_key").cast("string"),
+                              "split:") % 100
+    gsplit = (docs.join(
+        F.broadcast(comp.withColumnRenamed("id", "doc_id")),
+        "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component", F.col("doc_id")).cast("long")
+                .alias("group_key"))
+        .select("doc_id",
+                F.when(h_grp < 80, "train").when(h_grp < 90, "valid")
+                .otherwise("test").alias("split")))
+    rows = []
+    for policy, split_df in (("per_doc", hsplit),
+                             ("group_aware", gsplit)):
+        crossed = (pairs
+                   .join(split_df.select(F.col("doc_id").alias("id_a"),
+                                         F.col("split").alias("__sa")),
+                         "id_a")
+                   .join(split_df.select(F.col("doc_id").alias("id_b"),
+                                         F.col("split").alias("__sb")),
+                         "id_b")
+                   .filter(F.col("__sa") != F.col("__sb"))
+                   .agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_cross_split"))
+                   .crossJoin(F.broadcast(n_pairs)))
+        rows.append(crossed.select(
+            F.lit(policy).alias("policy"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "n_cross_split",
+            F.when(F.col("n_pairs") > 0,
+                   F.expr("n_cross_split * 1000000 div n_pairs"))
+            .alias("leakage_ppm")))
+    return rows[0].unionByName(rows[1])
+
+
 @register("dedup_components_star", _DUCK_COMPONENTS_SQL)
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate groups via alternating large-star/small-star rewrites
@@ -5743,6 +5845,78 @@ def ann_pq_subspace_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_n").cast("long").alias("exact_n"),
             F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
             .alias("recall_ppm")))
+    return rows[0].unionByName(rows[1])
+
+
+@register("pq_distortion_report", f"""
+WITH e AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+ FROM embeddings),
+subs AS (SELECT unnest(range(1, 5)) AS sub),
+cents_l AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+cd_l AS (
+  SELECT corpus_id, sub,
+         min(list_sum(list_transform(range(1, 17),
+           i -> (vs[i] - cs[i]) * (vs[i] - cs[i])))) AS d2
+  FROM (SELECT e.vec_id AS corpus_id, subs.sub, ce.cid,
+               list_slice(e.v, (sub - 1) * 16 + 1, sub * 16) AS vs,
+               list_slice(ce.cv, (sub - 1) * 16 + 1, sub * 16) AS cs
+        FROM e, subs, cents_l ce)
+  GROUP BY corpus_id, sub),
+pv_l AS (SELECT corpus_id, sum(d2) AS pq_d2 FROM cd_l GROUP BY corpus_id),
+{",".join(_duck_sub_lloyd(s) for s in range(1, 5))},
+cents_sub AS ({" UNION ALL ".join(f"SELECT * FROM s{s}cents"
+                                  for s in range(1, 5))}),
+cd_s AS (
+  SELECT corpus_id, sub,
+         min(list_sum(list_transform(range(1, 17),
+           i -> (vs[i] - cv[i]) * (vs[i] - cv[i])))) AS d2
+  FROM (SELECT e.vec_id AS corpus_id, cs.sub, cs.cv,
+               list_slice(e.v, (cs.sub - 1) * 16 + 1, cs.sub * 16) AS vs
+        FROM e, cents_sub cs)
+  GROUP BY corpus_id, sub),
+pv_s AS (SELECT corpus_id, sum(d2) AS pq_d2 FROM cd_s GROUP BY corpus_id),
+m AS (
+  SELECT 'lowest_id' AS codebook, count(*) AS n_vectors,
+         CAST(sum(pq_d2) // count(*) AS BIGINT) AS mean_d2,
+         CAST(max(pq_d2) AS BIGINT) AS max_d2
+  FROM pv_l
+  UNION ALL
+  SELECT 'subspace_trained', count(*),
+         CAST(sum(pq_d2) // count(*) AS BIGINT),
+         CAST(max(pq_d2) AS BIGINT)
+  FROM pv_s)
+SELECT codebook, CAST(n_vectors AS BIGINT) AS n_vectors, mean_d2, max_d2
+FROM m
+""")
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ RECONSTRUCTION DISTORTION per codebook (similarity.
+    pq_distortion): mean and max exact-integer d² between each corpus
+    vector and its codebook reconstruction, for the lowest-id seed
+    codebook vs the per-subspace k-means codebook — the quantity the
+    training directly minimizes, next to `ann_pq_subspace_recall`'s
+    search-quality axis. A deployment tracks distortion over time: a
+    rising mean is the signal the codebook has rotted as the corpus
+    drifted and needs retraining. Plan: the distortion is the encoder's
+    own per-subspace argmin objective, so it is ONE pure-map pass per
+    codebook + a one-row aggregate; the trained codebook adds the m
+    bounded Lloyd runs. All-BIGINT exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    cb_l = sim_ops.pq_codebook(c, m=4, k_centroids=8)
+    cb_s = sim_ops.pq_codebook_subspace_trained(c, m=4, k_centroids=8,
+                                                iterations=2)
+    rows = []
+    for name, cb in (("lowest_id", cb_l), ("subspace_trained", cb_s)):
+        d = sim_ops.pq_distortion(c, cb, id_col="corpus_id")
+        rows.append(d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.expr("sum(pq_d2) div count(1)").alias("mean_d2"),
+            F.max("pq_d2").cast("long").alias("max_d2"))
+            .select(F.lit(name).alias("codebook"), "n_vectors",
+                    "mean_d2", "max_d2"))
     return rows[0].unionByName(rows[1])
 
 
