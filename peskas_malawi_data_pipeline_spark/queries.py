@@ -6368,6 +6368,105 @@ def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(pairs_dir).select("id_a", "id_b").distinct()
 
 
+@register("streaming_pinned_split", REGISTRY["pinned_incremental_split"][1])
+def streaming_pinned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PINNED SPLIT as a continuously-maintained streaming artifact —
+    the production shape of eval-set stability: documents land in
+    micro-batches; the persisted state is the band index, the component
+    snapshot, and the SPLIT snapshot; each batch sketches only its
+    increment, band-joins it against the index
+    (dedup.incremental_lsh_pairs), updates components incrementally, and
+    re-emits the split snapshot with pins honored
+    (dedup.pinned_incremental_split) — previously assigned docs never
+    move, conflicts stay sticky. The corpus is staged as TWO landing
+    files drained in a pinned order (old slice, then the ``doc_id % 7``
+    increment — modification times force the FileStreamSource order), so
+    the final snapshot must equal the BATCH pinned-split replay exactly:
+    batch 1 sees an empty prior (all-new docs take the group hash rule —
+    which IS the batch group split of the old corpus), batch 2 is the
+    increment with batch 1's snapshot as prior. The oracle is therefore
+    pinned_incremental_split's own two-closure SQL, verbatim — the
+    strongest available evidence the streaming path adds no semantics.
+    Snapshots are versioned per batch (write v{{n}}, read latest), so a
+    foreachBatch replay overwrites its own version idempotently and
+    never reads a file it is concurrently replacing."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import ingest_stream as st
+
+    work = tempfile.mkdtemp(prefix="peskas_stream_pinsplit_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    docs = _t(spark, sf_dir, "documents")
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = os.path.join(work, name + "_tmp")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(landing, name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    import time as _time
+    t0 = _time.time() - 10_000
+    stage(docs.filter(F.col("doc_id") % 7 != 0), "0_old.parquet", t0)
+    stage(docs.filter(F.col("doc_id") % 7 == 0), "1_new.parquet",
+          t0 + 5_000)
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(landing))
+
+    index_dir = os.path.join(work, "bands")
+    comp_dir = os.path.join(work, "components")
+    split_dir = os.path.join(work, "split")
+
+    def latest(base: str):
+        if not os.path.exists(base):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(base)
+                    if d.startswith("v"))
+        return os.path.join(base, f"v{vs[-1]}") if vs else None
+
+    def step(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        new_bands = materialize(dedup_ops.minhash_bands(
+            batch_df, num_hashes=8, band_size=2, shingle_n=3))
+        index = (s.read.parquet(index_dir) if os.path.exists(index_dir)
+                 else new_bands.limit(0))
+        pairs = dedup_ops.incremental_lsh_pairs(new_bands, index,
+                                                max_bucket=1000)
+        pc = latest(comp_dir)
+        prior_comp = (s.read.parquet(pc) if pc else
+                      s.createDataFrame([], "id long, component long"))
+        comp = dedup_ops.incremental_components(prior_comp, pairs)
+        ps = latest(split_dir)
+        prior_split = (s.read.parquet(ps) if ps else s.createDataFrame(
+            [], "doc_id long, group_key long, split string, "
+                "pin_conflict boolean"))
+        out = dedup_ops.pinned_incremental_split(
+            prior_split, comp, batch_df.select("doc_id"))
+        comp.write.mode("overwrite").parquet(
+            os.path.join(comp_dir, f"v{batch_id}"))
+        out.write.mode("overwrite").parquet(
+            os.path.join(split_dir, f"v{batch_id}"))
+        new_bands.write.mode("append").parquet(index_dir)
+
+    with st.stream_state_partitions(spark, 4):
+        q = (stream.writeStream.foreachBatch(step)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.read.parquet(latest(split_dir)).select(
+        "doc_id", "group_key", "split", "pin_conflict")
+
+
 @register("streaming_incremental_rollup", """
 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
