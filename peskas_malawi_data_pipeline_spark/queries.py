@@ -5920,6 +5920,89 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+@register("ivf_list_stats", f"""
+WITH e AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+ FROM embeddings),
+cents_l AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+c0 AS (SELECT cid, cv FROM cents_l),
+a1 AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (v[i] - cv[i]) * (v[i] - cv[i]))), c0.cid) AS rn
+    FROM e, c0) WHERE rn = 1),
+m1 AS (SELECT a1.cid, t.i AS dim,
+              CAST(sum(v[t.i + 1]) // count(*) AS BIGINT) AS m
+       FROM a1 JOIN e USING (vec_id), UNNEST(range(0, 64)) AS t(i)
+       GROUP BY a1.cid, t.i),
+cents_t AS (SELECT row_number() OVER (ORDER BY cid) AS cid, cv FROM (
+    SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid)),
+al AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (v[i] - cv[i]) * (v[i] - cv[i]))), c.cid) AS rn
+    FROM e, cents_l c) WHERE rn = 1),
+at AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (v[i] - cv[i]) * (v[i] - cv[i]))), c.cid) AS rn
+    FROM e, cents_t c) WHERE rn = 1),
+m AS (
+  SELECT 'lowest_id' AS coarse, count(*) AS n_lists,
+         sum(c) AS n_vectors, max(c) AS max_list
+  FROM (SELECT cid, count(*) AS c FROM al GROUP BY cid)
+  UNION ALL
+  SELECT 'kmeans_trained', count(*), sum(c), max(c)
+  FROM (SELECT cid, count(*) AS c FROM at GROUP BY cid))
+SELECT coarse, CAST(n_lists AS BIGINT) AS n_lists,
+       CAST(max_list AS BIGINT) AS max_list,
+       CAST(max_list * n_lists * 1000000 // n_vectors AS BIGINT)
+         AS imbalance_ppm
+FROM m
+""")
+def ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list BALANCE per coarse quantizer — lowest-id seeds
+    vs one k-means update: non-empty list count, hottest list size, and
+    imbalance (hottest list ÷ perfectly-balanced share, ppm; 10⁶ =
+    perfectly balanced). This is the candidate-volume diagnostic behind
+    the IVF recall/cost trade `ann_pq_recall` measures: probing a hot
+    list scans its whole population, so the 99th-percentile query cost
+    tracks max_list, not the mean — and a trained quantizer that
+    TIGHTENS cells (better recall per candidate) can also concentrate
+    mass (worse tail cost). Plan: each assignment is a pure map
+    (centroids inline), one narrow groupBy per variant, answer-sized
+    output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse_l = sim_ops.ivf_coarse_centroids(
+        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        n_centroids=8)
+    cents_t_raw = sim_ops.kmeans_fit_centroids(emb, id_col="vec_id",
+                                               k=8, iterations=2)
+    coarse_t = {i: cents_t_raw[c]
+                for i, c in enumerate(sorted(cents_t_raw), start=1)}
+    rows = []
+    for name, coarse in (("lowest_id", coarse_l),
+                         ("kmeans_trained", coarse_t)):
+        assigned = emb.select(
+            sim_ops.kmeans_assign_expr(coarse, F.col("embedding"))
+            .alias("cid"))
+        lists = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("c"))
+        rows.append(lists.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.max("c").cast("long").alias("max_list"),
+            F.sum("c").alias("__n"))
+            .select(F.lit(name).alias("coarse"), "n_lists", "max_list",
+                    F.expr("CAST(max_list * n_lists * 1000000 div __n "
+                           "AS BIGINT)").alias("imbalance_ppm")))
+    return rows[0].unionByName(rows[1])
+
+
 # Symbol-noise injection so every Gopher rule branch is exercised on the
 # symbol-free harness corpus: every 5th doc gets a run of '#' marks, every
 # 5th+1 a run of '...' — deterministic, same expression in both engines.
