@@ -337,8 +337,15 @@ def _fit_local(rows: list[tuple[str, int]], k: int) -> list:
 
 
 def _encode_lengths_local(word_list: list[str], merges) -> list:
+    """``(word, n_subwords)`` rows — the length projection of
+    :func:`_encode_segments_local` (kept as the counts-path entry so the
+    two encoders can never drift)."""
+    return [(w, len(s)) for w, s in _encode_segments_local(word_list, merges)]
+
+
+def _encode_segments_local(word_list: list[str], merges) -> list:
     """Driver-side sequential encode of a distinct-word vocabulary:
-    ``(word, n_subwords)`` rows after applying ``merges`` IN ORDER with
+    ``(word, [subword symbols])`` rows after applying ``merges`` IN ORDER with
     non-overlapping left-to-right replacement — byte-for-byte the
     semantics of the chained-replace path, reproduced in symbol-list
     space (so no marker/sentinel machinery is needed: list adjacency IS
@@ -382,7 +389,7 @@ def _encode_lengths_local(word_list: list[str], merges) -> list:
             for i in range(len(out) - 1):
                 where[(out[i], out[i + 1])].add(wid)
             words[wid] = out
-    return [(word_list[wid], len(s)) for wid, s in words.items()]
+    return [(word_list[wid], s) for wid, s in words.items()]
 
 
 def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
@@ -460,3 +467,83 @@ def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
                  F.sum("n_sub").cast("long").alias("n_subwords")))
+
+
+# document-boundary marker id used by sequence packing (packing.py
+# appends it after every document's ids) — reserved: no symbol maps to 0.
+BOUNDARY_ID = 0
+
+
+def token_id_map(merges) -> dict[str, int]:
+    """Deterministic subword-symbol → token-id assignment for a learned
+    merge sequence: merge rank ``r``'s ``new_symbol`` gets id ``r`` (if
+    two merges ever produce the same symbol string — possible, e.g.
+    ``(a,bc)`` and ``(ab,c)`` both yielding ``abc`` — the MIN rank wins,
+    replayable in SQL as ``min(rank) GROUP BY new_symbol``); a single
+    base character ``c`` gets id ``k + codepoint(c)`` (``k`` = number of
+    merges, codepoint ≥ 1, so base ids never collide with merge ids and
+    id 0 stays reserved for :data:`BOUNDARY_ID`). Merged symbols are
+    always ≥ 2 chars (a merge concatenates two non-empty symbols), so
+    the two ranges partition the symbol space with no ambiguity. No
+    corpus statistics enter the rule — the id of a symbol is a pure
+    function of the merge table, so any engine (or the DuckDB oracle)
+    reproduces it exactly."""
+    merges = list(merges)
+    ids: dict[str, int] = {}
+    for rank, (_pair, new_symbol) in enumerate(merges, start=1):
+        ids.setdefault(new_symbol, rank)
+    return ids
+
+
+def bpe_encode_ids(df: DataFrame, merges, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   local_vocab_limit: int = DEFAULT_LOCAL_VOCAB_LIMIT
+                   ) -> DataFrame:
+    """Encode each document to its BPE token-ID sequence — the step that
+    turns a token BUDGET into an actual training example. Returns
+    ``(id_col, token_ids array<long>, n_tokens long)`` with ids per
+    :func:`token_id_map` (word order preserved; words emptied by marker
+    sanitization drop out exactly as in :func:`bpe_apply_counts`;
+    documents with no surviving words are absent — same inner-join
+    contract as the counts path).
+
+    Plan shape (the ``local`` strategy of :func:`bpe_apply_counts`,
+    which is the production path for any driver-sized vocabulary): the
+    merge machinery runs ONCE over the DISTINCT-WORD vocabulary on the
+    driver (:func:`_encode_segments_local` — O(total symbols + merge
+    applications), independent of ``k`` for merges that never fire),
+    and the corpus pays one ``posexplode`` + one BROADCAST join against
+    the word → id-array map + one per-doc sort-free reassembly
+    (``array_sort`` on (pos, ids) structs inside the aggregate — no
+    window, no second shuffle). The corpus is shuffled once, on
+    ``id_col``, moving exactly the output's ids. A vocabulary over
+    ``local_vocab_limit`` raises rather than silently collecting — at
+    that size encode lengths via the ``chained`` strategy of
+    :func:`bpe_apply_counts` or shard the vocabulary first."""
+    merges = list(merges)
+    k = len(merges)
+    words = materialize(
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+        .distinct())
+    n_vocab = words.count()
+    if n_vocab > local_vocab_limit:
+        raise ValueError(
+            f"bpe_encode_ids: vocabulary has {n_vocab} distinct words, "
+            f"over local_vocab_limit={local_vocab_limit}; raise the limit "
+            f"or pre-shard the vocabulary")
+    rank_of = token_id_map(merges)
+    rows = [(w, [rank_of[s] if len(s) > 1 else k + ord(s) for s in syms])
+            for w, syms in _encode_segments_local(
+                [r["w"] for r in words.collect()], merges)]
+    wl = F.broadcast(df.sparkSession.createDataFrame(
+        rows, "w string, ids array<long>"))
+    tok = df.select(F.col(id_col),
+                    F.posexplode(T.tokens(F.col(text_col)))
+                    .alias("pos", "w"))
+    assembled = F.flatten(F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("ids")))),
+        lambda s: s["ids"]))
+    return (tok.join(wl, "w")
+            .groupBy(id_col)
+            .agg(assembled.alias("token_ids"))
+            .withColumn("n_tokens", F.size("token_ids").cast("long")))

@@ -64,7 +64,8 @@ def last_cap_drops() -> dict[str, dict]:
 
 
 def _capped_barrier(df: DataFrame, partition_cols: Sequence[str],
-                    cap: int | None, site: str) -> DataFrame:
+                    cap: int | None, site: str,
+                    weight_col: str | None = None) -> DataFrame:
     """Materialize a derived index, dropping rows in over-``cap`` buckets
     of ``partition_cols`` — with the drop count OBSERVED, not silent.
 
@@ -76,11 +77,18 @@ def _capped_barrier(df: DataFrame, partition_cols: Sequence[str],
     materialized index keeps hot-bucket rows (filtered after the barrier,
     from materialized blocks); index storage is O(corpus bands) either
     way, so this trades nothing for the audit.
+
+    ``weight_col``: bucket size as Σ weight instead of a row count — how
+    a COMPACTED index row standing for a whole historical bucket
+    (:func:`compact_band_index`) keeps the cap triggering at exactly the
+    original cardinality.
     """
     if cap is None:
         return _index_barrier(df)
     w = Window.partitionBy(*partition_cols)
-    flagged = df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+    size = (F.sum(F.col(weight_col)).over(w) if weight_col
+            else F.count(F.lit(1)).over(w))
+    flagged = df.withColumn("__bucket_n", size)
     obs = Observation(f"cap:{site}:{next(_CAP_SEQ)}")
     flagged = flagged.observe(
         obs,
@@ -201,7 +209,8 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
 
 def incremental_lsh_pairs(new_bands: DataFrame, index_bands: DataFrame,
                           id_col: str = "doc_id",
-                          max_bucket: int | None = 1000) -> DataFrame:
+                          max_bucket: int | None = 1000,
+                          weight_col: str | None = None) -> DataFrame:
     """Candidate pairs for an INCREMENTAL batch against a persisted band
     index: every pair touches at least one new doc (new↔index and
     new↔new); settled index↔index pairs are never recomputed.
@@ -211,11 +220,22 @@ def incremental_lsh_pairs(new_bands: DataFrame, index_bands: DataFrame,
     only its own docs and band-joins the union — cost O(increment), not
     O(corpus). ``max_bucket`` caps hot buckets over the union, so the
     result equals a full-corpus run restricted to pairs involving new
-    docs."""
+    docs.
+
+    ``weight_col``: set when ``index_bands`` is a COMPACTED index
+    (:func:`compact_band_index`) whose rows carry a bucket-cardinality
+    weight — the cap then counts Σ weight, so compaction never changes
+    which buckets the cap suppresses. New-batch rows weigh 1; an index
+    without the column gets weight 1 per row (uncompacted)."""
+    if weight_col is not None:
+        if weight_col not in index_bands.columns:
+            index_bands = index_bands.withColumn(
+                weight_col, F.lit(1).cast("long"))
+        new_bands = new_bands.withColumn(weight_col, F.lit(1).cast("long"))
     u = (index_bands.withColumn("__new", F.lit(0))
          .unionByName(new_bands.withColumn("__new", F.lit(1))))
     u = _capped_barrier(u, ("band_id", "band_key"), max_bucket,
-                        "incremental_lsh_pairs")
+                        "incremental_lsh_pairs", weight_col=weight_col)
     left = u.filter(F.col("__new") == 1).select(
         "band_id", "band_key", F.col(id_col).alias("__ia"))
     right = u.select("band_id", "band_key", F.col(id_col).alias("__ib"))
@@ -224,6 +244,62 @@ def incremental_lsh_pairs(new_bands: DataFrame, index_bands: DataFrame,
             .select(F.least("__ia", "__ib").alias("id_a"),
                     F.greatest("__ia", "__ib").alias("id_b"))
             .distinct())
+
+
+def compact_band_index(index: DataFrame, id_col: str = "doc_id",
+                       weight_col: str = "band_weight") -> DataFrame:
+    """RETENTION for the persisted LSH band index: collapse every
+    (band_id, band_key) bucket to ONE row — the min-id member as the
+    bucket REPRESENTATIVE, plus the bucket's cardinality as
+    ``weight_col``. The streaming/incremental dedup state otherwise
+    grows without bound (every batch appends its bands); compaction
+    bounds it at one row per DISTINCT bucket while preserving all
+    future results exactly:
+
+    - **Connectivity**: every member of an under-cap bucket was, when it
+      landed, band-joined against all earlier members
+      (:func:`incremental_lsh_pairs` — bucket size only grows, so it was
+      under the cap then too), hence the bucket's members are already
+      pairwise CONNECTED in the component snapshot. A future doc
+      colliding with the bucket pairs with the representative and merges
+      into the one component all members share — identical final
+      components, fewer (redundant) pairs. Pinned by a two-run replay
+      test and by the `dedup_state_compaction` oracle checksum.
+    - **Cap semantics**: the carried weight makes
+      ``incremental_lsh_pairs(..., weight_col=...)`` count the bucket at
+      its ORIGINAL cardinality, so a hot bucket the cap suppressed stays
+      suppressed after compacting to one row (without the weight, a
+      10⁶-row bucket would compact to 1 and silently start emitting
+      pairs the uncompacted run never would).
+
+    Idempotent (re-compacting a compacted index is a no-op: weights
+    re-sum to themselves), and safe to interleave with appends — compact
+    the (compacted ∪ new bands) union between batches. Plan: ONE
+    groupBy shuffle on uniform (band_id, band_key) hash keys over the
+    index (never the corpus); output ≤ input rows by construction."""
+    w = (F.col(weight_col).cast("long")
+         if weight_col in index.columns else F.lit(1).cast("long"))
+    return (index.withColumn("__w", w)
+            .groupBy("band_id", "band_key")
+            .agg(F.min(id_col).alias(id_col),
+                 F.sum("__w").cast("long").alias(weight_col)))
+
+
+def split_pair_store(pairs: DataFrame, watermark_batch: int,
+                     batch_col: str = "batch_id"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """RETENTION for the accumulated pair store: split into (active,
+    archive) at a batch watermark. Pairs are consumed exactly once — the
+    micro-batch that discovers them feeds them to
+    :func:`incremental_components`; afterwards the component snapshot IS
+    the result and old pairs are pure audit trail. Archiving batches
+    ``< watermark_batch`` keeps the active store O(recent batches) while
+    the archive partition preserves the full provenance. Returns
+    ``(active, archived)`` — two filters over one scan (write archive
+    under e.g. ``pairs/archive/`` and truncate-and-load the active
+    store)."""
+    return (pairs.filter(F.col(batch_col) >= watermark_batch),
+            pairs.filter(F.col(batch_col) < watermark_batch))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -1093,7 +1169,19 @@ def pinned_incremental_split(prior_split: DataFrame, components: DataFrame,
                  .select(F.col(doc_id),
                          F.coalesce("component", F.col(doc_id))
                          .cast("long").alias("group_key")))
-    touched = new_keyed.select("group_key").distinct()
+    # touched = components containing a new doc PLUS components whose old
+    # membership changed vs the prior snapshot (group_key moved). In
+    # contract the second set is a subset of the first (components only
+    # change through increment pairs), but an out-of-contract snapshot
+    # that merged old docs via pairs not involving any new doc would
+    # otherwise slip past the pin logic and silently break the
+    # "one component, one split unless flagged" guarantee.
+    touched = (new_keyed.select("group_key")
+               .unionByName(old_keyed
+                            .filter(F.col("group_key")
+                                    != F.col("__prior_gk"))
+                            .select("group_key"))
+               .distinct())
     # pins only for increment-touched components: min prior group key's
     # split wins; the flag = (any member already flagged) OR (>1
     # distinct prior split — this merge created the conflict just now).
@@ -1148,8 +1236,14 @@ def fused_near_dup(corpus: DataFrame, edges: dict[str, DataFrame],
     mods = sorted(edges)
     tagged = None
     for m in mods:
-        part = edges[m].select(F.col("id_a"), F.col("id_b"),
-                               F.lit(m).alias("__mod"))
+        # normalize to distinct undirected (least, greatest) pairs per
+        # modality: a caller emitting both orientations or duplicate rows
+        # would otherwise inflate the n_edges_* provenance counts
+        part = (edges[m]
+                .select(F.least("id_a", "id_b").alias("id_a"),
+                        F.greatest("id_a", "id_b").alias("id_b"),
+                        F.lit(m).alias("__mod"))
+                .distinct())
         tagged = part if tagged is None else tagged.unionByName(part)
     if tagged is None:
         raise ValueError("fused_near_dup: no edge frames")
@@ -1161,7 +1255,12 @@ def fused_near_dup(corpus: DataFrame, edges: dict[str, DataFrame],
                    id_col, "left")
              .select(F.col(id_col),
                      F.coalesce("component", F.col(id_col)).cast("long")
-                     .alias("group_key"), richness.alias("__rich")))
+                     .alias("group_key"),
+                     # NULL richness (e.g. length(NULL) text) would make
+                     # the max_by struct comparison NULL-order-dependent;
+                     # a -1 sentinel ranks NULL below every real value
+                     F.coalesce(richness.cast("long"), F.lit(-1))
+                     .alias("__rich")))
     # survivor argmax over DUP MEMBERS only (answer-sized): max richness,
     # ties → lowest id via the lexicographic (rich, -id) struct max
     members = keyed.join(

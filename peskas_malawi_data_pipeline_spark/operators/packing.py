@@ -99,6 +99,70 @@ def pack_greedy_sequential(df: DataFrame, token_col: str,
     return sharded.groupBy("shard").applyInPandas(pack, schema)
 
 
+def pack_sequences(encoded: DataFrame, ids_col: str = "token_ids",
+                   id_col: str = "doc_id", seq_len: int = 2048,
+                   n_shards: int = 8, boundary_id: int = 0) -> DataFrame:
+    """Materialize fixed-length TRAINING SEQUENCES from per-document
+    token-id arrays (``bpe.bpe_encode_ids`` output): per shard, documents
+    are laid back-to-back in ``id_col`` order with a ``boundary_id``
+    marker appended after each document, and the id stream is cut every
+    ``seq_len`` tokens — concat-and-chunk on IDS, the layout an LLM
+    trainer actually loads. Documents may straddle a cut (their ids split
+    across two sequences); the final sequence of each shard is emitted
+    unpadded (``n_tokens < seq_len`` — pad or drop is the trainer's
+    policy, not the pipeline's). Returns one row per sequence:
+    ``(shard, seq_id, input_ids array<long>, n_tokens)``; within a
+    shard, sequence ``seq_id`` covers stream positions
+    ``[seq_id·seq_len, (seq_id+1)·seq_len)`` contiguously.
+
+    Scale shape: two shuffles total, both moving ≈ the output's own
+    bytes (which is the floor — the materialized sequences ARE that
+    data): the per-shard window for running offsets, then a groupBy
+    (shard, seq_id) whose input is one FRAGMENT per (document,
+    sequence-it-touches) pair — ≈ n_docs + n_sequences rows, each
+    carrying only the id slice that lands in that sequence (never the
+    whole document per sequence). Fragment reassembly is an
+    ``array_sort`` over the few fragments of one sequence (answer-sized
+    per group), not a window. No Python, no driver loop; shards are
+    independent units exactly as in the other packers, so 100 TB runs
+    as ``n_shards`` ≈ cluster-cores independent streams."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1 (got {seq_len})")
+    base = encoded.select(
+        id_col,
+        F.concat(F.col(ids_col).cast("array<long>"),
+                 F.array(F.lit(boundary_id).cast("long"))).alias("__ids"))
+    sharded = _with_shard(base, id_col, n_shards)
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    g = (sharded
+         .withColumn("__n", F.size("__ids").cast("long"))
+         .withColumn("__start",
+                     F.coalesce(F.sum("__n").over(w), F.lit(0)))
+         .withColumn("__end", F.col("__start") + F.col("__n")))
+    # one row per (doc, sequence it touches): __n >= 1 always (the
+    # boundary marker), so __end > __start and the sequence range is
+    # never empty
+    frag = g.select(
+        "shard", "__ids", "__start", "__end",
+        F.explode(F.sequence(F.expr(f"__start div {seq_len}"),
+                             F.expr(f"(__end - 1) div {seq_len}")))
+        .alias("seq_id"))
+    lo = F.greatest(F.col("__start"), F.col("seq_id") * seq_len)
+    hi = F.least(F.col("__end"), (F.col("seq_id") + 1) * seq_len)
+    piece = F.slice(F.col("__ids"),
+                    (lo - F.col("__start") + 1).cast("int"),
+                    (hi - lo).cast("int"))
+    frags = frag.select(
+        "shard", "seq_id",
+        F.struct(lo.alias("o"), piece.alias("p")).alias("__f"))
+    return (frags.groupBy("shard", "seq_id")
+            .agg(F.flatten(F.transform(F.array_sort(F.collect_list("__f")),
+                                       lambda s: s["p"]))
+                 .alias("input_ids"))
+            .withColumn("n_tokens", F.size("input_ids").cast("long")))
+
+
 def bin_utilization(packed: DataFrame, target: int = 2048) -> DataFrame:
     """Per-bin fill statistics for a boundary-respecting packing: token sum,
     document count, and utilization in exact integer micro-units

@@ -78,6 +78,73 @@ def weighted_systematic_sample(df: DataFrame, weight_col: str, n: int,
             .select(*df.columns, F.col("__key").alias("sample_key")))
 
 
+def token_budget_prefix_draw(df: DataFrame, targets: DataFrame,
+                             tokens_col: str = "n_tokens",
+                             source_col: str = "source",
+                             id_col: str = "doc_id",
+                             n_shards: int = 8) -> DataFrame:
+    """EXECUTE a mixture allocation: per source, take
+    ``target div available`` FULL EPOCHS of the source plus a
+    deterministic md5-ordered token-PREFIX covering the remainder
+    ``target % available`` — the physical draw for
+    :func:`mixture_allocation`'s targets. The prefix is systematic on
+    the token number line (cut at the remainder), so the drawn token
+    total provably lands within ONE DOCUMENT of the target:
+    ``0 ≤ drawn − target < tokens(last drawn doc)``, exactly 0 when the
+    remainder is 0 — the bound `mixture_draw_stats` pins per source.
+
+    ``targets``: (source, available_tokens, target_tokens) — the
+    allocation output; answer-sized, broadcast. Returns one row per
+    corpus document: (source, id, tokens, full_epochs, in_fraction) —
+    a doc's multiplicity in the mix is ``full_epochs +
+    int(in_fraction)``. Docs with NULL token counts never enter the
+    fraction (NULL comparison) and add nothing to any sum — identical
+    semantics in any engine.
+
+    Scale shape: same TWO-LEVEL prefix sum as
+    :func:`weighted_systematic_sample`, partitioned by (source, shard):
+    per-shard cumulative sums shuffle once on the compound key, the
+    (n_sources·n_shards)-row offset table broadcasts back, and no
+    row-scale data ever crosses a single-partition window. The global
+    order within a source is (shard, key, id) — deterministic and
+    engine-portable."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    key = TX.md5_prefix_hash(F.col(id_col).cast("string"), seed="mixdraw:")
+    base = (df.withColumn("__key", key)
+            .withColumn("__shard", (F.col("__key") % n_shards).cast("int")))
+    w_local = (Window.partitionBy(source_col, "__shard")
+               .orderBy("__key", id_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    base = base.withColumn("__local_cum", F.sum(tokens_col).over(w_local))
+    totals = materialize(base.groupBy(source_col, "__shard")
+                         .agg(F.sum(tokens_col).alias("__shard_w")))
+    w_off = (Window.partitionBy(source_col).orderBy("__shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        source_col, "__shard",
+        F.coalesce(F.sum("__shard_w").over(w_off), F.lit(0))
+        .alias("__shard_off"))
+    tgt = targets.select(
+        F.col(source_col), F.col("available_tokens"),
+        F.col("target_tokens"),
+        F.when(F.col("available_tokens") > 0,
+               F.expr("target_tokens div available_tokens"))
+        .otherwise(F.lit(0)).cast("long").alias("full_epochs"),
+        F.when(F.col("available_tokens") > 0,
+               F.expr("target_tokens % available_tokens"))
+        .otherwise(F.lit(0)).cast("long").alias("__rem"))
+    g = (base.join(F.broadcast(offsets), [source_col, "__shard"])
+         .join(F.broadcast(tgt), source_col)
+         .withColumn("__ci", F.col("__shard_off") + F.col("__local_cum"))
+         .withColumn("__ce", F.col("__ci") - F.col(tokens_col)))
+    return g.select(
+        source_col, id_col, F.col(tokens_col),
+        "full_epochs",
+        (F.col("__ce") < F.col("__rem")).alias("in_fraction"),
+        F.col("__key").alias("sample_key"))
+
+
 def mixture_allocation(df: DataFrame, weights: dict[str, int],
                        total_budget: int, source_col: str = "source",
                        tokens_col: str = "n_tokens") -> DataFrame:

@@ -321,7 +321,11 @@ def pq_codebook_subspace_trained(corpus: DataFrame,
     Lloyd runs, each (iterations−1) k·d_sub partial-sum shuffles + two
     bounded collects; the corpus is scanned per run but never
     shuffled."""
-    dim = len(corpus.select(F.col(vec_col)).limit(1).collect()[0][0])
+    probe = corpus.select(F.col(vec_col)).limit(1).collect()
+    if not probe or probe[0][0] is None:
+        raise ValueError("pq_codebook_subspace_trained: empty corpus or "
+                         "NULL first vector")
+    dim = len(probe[0][0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m

@@ -2227,3 +2227,186 @@ def test_prefix_jaccard_pairs_survives_int32_ppm_overflow(spark):
     out = dedup.prefix_jaccard_pairs(df, threshold=0.8).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
     assert out[0].n_union > 2148               # the overflow regime
+
+
+def _reference_encode_ids(text, merges):
+    """Pure-Python reference: whitespace tokens (lower+trim), sequential
+    greedy merge application per word, ids per bpe.token_id_map —
+    merged symbol -> min rank, base char -> k + codepoint."""
+    k = len(merges)
+    rank_of = {}
+    for rank, (_pair, new) in enumerate(merges, start=1):
+        rank_of.setdefault(new, rank)
+    ids = []
+    for word in text.lower().strip().split():
+        syms = [c for c in word if c != "\x1f"]
+        if not syms:
+            continue
+        for pair, new in merges:
+            a, b = pair.split(" ", 1)
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(new); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        ids.extend(rank_of[s] if len(s) > 1 else k + ord(s) for s in syms)
+    return ids
+
+
+def test_bpe_encode_ids_matches_reference(spark):
+    """bpe_encode_ids: per-doc token-ID sequences equal a pure-Python
+    sequential reference encoder, on the textbook corpus AND on seeded
+    random corpora whose learned merges include composite-symbol pairs
+    (ids from real merge sequences, not hand-picked ones); doc order
+    inside the array matches word order; empty-after-sanitize words drop
+    out; ids are exactly {merge ranks} ∪ {k+codepoint} with 0 reserved."""
+    import random
+
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    corpora = [
+        ["low low low lower lower newest newest newest widest widest",
+         "low lowest", "xy ax axy"],
+    ]
+    rng = random.Random(97)
+    for _ in range(2):
+        corpora.append(
+            [" ".join("".join(rng.choice("abcd")
+                              for _ in range(rng.randint(1, 7)))
+                      for _ in range(rng.randint(1, 12)))
+             for _ in range(20)])
+    for texts in corpora:
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "doc_id int, text string")
+        merges = [(r.pair, r.new_symbol)
+                  for r in bpe.bpe_fit(df, k=10).orderBy("merge_rank")
+                  .collect()]
+        got = {r.doc_id: (list(r.token_ids), r.n_tokens)
+               for r in bpe.bpe_encode_ids(df, merges).collect()}
+        want = {i: _reference_encode_ids(t, merges)
+                for i, t in enumerate(texts)}
+        want = {i: (ids, len(ids)) for i, ids in want.items() if ids}
+        assert got == want
+        k = len(merges)
+        for ids, _n in got.values():
+            assert all(x != 0 for x in ids)          # 0 reserved
+            for x in ids:
+                assert (1 <= x <= k) or x > k        # rank or base range
+
+
+def test_bpe_encode_ids_consistent_with_counts(spark):
+    """The id path and the counts path are the same encode: per doc,
+    len(token_ids) == n_subwords from bpe_apply_counts (both strategies),
+    so budget numbers and materialized examples can never drift."""
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(0, "low lower low"), (1, "abc a"), (2, "lowlow"),
+         (3, "\x1f\x1f"), (4, "  ")],
+        "doc_id int, text string")
+    merges = [("l o", "lo"), ("lo w", "low")]
+    ids = {r.doc_id: r.n_tokens
+           for r in bpe.bpe_encode_ids(df, merges).collect()}
+    counts = {r.doc_id: r.n_subwords
+              for r in bpe.bpe_apply_counts(df, merges).collect()}
+    assert ids == counts                      # doc 3/4 absent from both
+
+
+def test_bpe_encode_ids_vocab_limit_raises(spark):
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id int, text string")
+    import pytest
+    with pytest.raises(ValueError, match="local_vocab_limit"):
+        bpe.bpe_encode_ids(df, [("a b", "ab")], local_vocab_limit=2)
+
+
+def test_compact_band_index_replay_equivalence(spark):
+    """Two-run replay: a 3-batch incremental dedup chain (bands → pairs →
+    components → pinned split) with the band index COMPACTED between
+    batches produces byte-identical final components and split snapshots
+    to the never-compacted run, with strictly fewer index rows; weight
+    conservation holds; compaction is idempotent."""
+    from peskas_malawi_data_pipeline_spark.operators import dedup as D
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta",
+        "one two three four five six", "one two three four five",
+        "quick brown fox jumps over dog", "quick brown fox jumps over",
+        "unique standalone document text here now",
+    ]
+    rows = [(i * 10 + j, t + f" tail{j}")
+            for i, t in enumerate(texts) for j in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [df.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+
+    def run(compact: bool):
+        index = None
+        comp = spark.createDataFrame([], "id long, component long")
+        split = spark.createDataFrame(
+            [], "doc_id long, group_key long, split string,"
+                " pin_conflict boolean")
+        n_index_rows = 0
+        for b in batches:
+            nb = D.minhash_bands(b, num_hashes=8, band_size=2, shingle_n=3)
+            idx = index if index is not None else nb.limit(0)
+            pairs = D.incremental_lsh_pairs(
+                nb, idx, max_bucket=1000,
+                weight_col="band_weight" if compact else None)
+            comp = D.incremental_components(comp, pairs)
+            split = D.pinned_incremental_split(split, comp,
+                                               b.select("doc_id"))
+            comp = spark.createDataFrame(comp.collect(),
+                                         "id long, component long")
+            split = spark.createDataFrame(
+                split.collect(), "doc_id long, group_key long,"
+                                 " split string, pin_conflict boolean")
+            merged = (idx.drop("band_weight").unionByName(nb)
+                      if "band_weight" in idx.columns
+                      else idx.unionByName(nb))
+            if compact:
+                merged = D.compact_band_index(merged)
+            index = spark.createDataFrame(merged.collect(), merged.schema)
+            n_index_rows = index.count()
+        return (set(map(tuple, comp.collect())),
+                set(map(tuple, split.collect())), n_index_rows)
+
+    comp_a, split_a, rows_a = run(compact=False)
+    comp_b, split_b, rows_b = run(compact=True)
+    assert comp_a == comp_b
+    assert split_a == split_b
+    assert rows_b < rows_a          # retention actually shrank the state
+
+
+def test_compact_band_index_preserves_cap_suppression(spark):
+    """A bucket the cap suppressed keeps being suppressed after
+    compaction: the carried weight makes the weight-aware join see the
+    ORIGINAL cardinality, so compacting a hot bucket to one row never
+    resurrects its pairs; an unweighted join over the same compacted
+    index WOULD emit them (the bug the weight exists to prevent)."""
+    from peskas_malawi_data_pipeline_spark.operators import dedup as D
+
+    # synthetic band index: one hot bucket with 5 members (cap 4)
+    idx = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(5)] + [(90, 1, "cold")],
+        "doc_id long, band_id int, band_key string")
+    new = spark.createDataFrame([(100, 0, "hot"), (101, 1, "cold")],
+                                "doc_id long, band_id int,"
+                                " band_key string")
+    full = D.incremental_lsh_pairs(new, idx, max_bucket=4)
+    assert {tuple(r) for r in full.collect()} == {(90, 101)}
+
+    compacted = D.compact_band_index(idx)
+    got = D.incremental_lsh_pairs(new, compacted, max_bucket=4,
+                                  weight_col="band_weight")
+    assert {tuple(r) for r in got.collect()} == {(90, 101)}
+    # sanity: dropping the weight resurrects the suppressed bucket
+    unweighted = D.incremental_lsh_pairs(
+        new, compacted.drop("band_weight"), max_bucket=4)
+    assert (0, 100) in {tuple(r) for r in unweighted.collect()}
+    # idempotence: re-compacting the compacted index is a no-op
+    again = D.compact_band_index(compacted)
+    assert sorted(map(tuple, again.collect())) \
+        == sorted(map(tuple, compacted.collect()))

@@ -148,3 +148,125 @@ def test_mixture_allocation_largest_remainder(spark):
         S.mixture_allocation(df, {"a": 1, "zz": 1}, 100).collect()
     with pytest.raises(ValueError, match="positive"):
         S.mixture_allocation(df, {"a": 0}, 100)
+
+
+def _seq_docs(spark, id_arrays):
+    return spark.createDataFrame(
+        [(i, ids) for i, ids in enumerate(id_arrays)],
+        "doc_id long, token_ids array<long>")
+
+
+def test_pack_sequences_reconstructs_stream(spark):
+    """pack_sequences: concatenating each shard's sequences in seq_id
+    order reproduces exactly the shard's document id arrays laid
+    back-to-back (doc_id order) with a boundary 0 after each doc; all
+    sequences are full except possibly the shard's last; seq_ids are
+    contiguous from 0."""
+    import hashlib
+
+    from peskas_malawi_data_pipeline_spark.operators import packing as P
+
+    arrays = [[i * 10 + j + 1 for j in range(i % 7 + 1)] for i in range(25)]
+    df = _seq_docs(spark, arrays)
+    L = 8
+    out = P.pack_sequences(df, ids_col="token_ids", id_col="doc_id",
+                           seq_len=L, n_shards=3).collect()
+
+    def shard(i):
+        return int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:8],
+                   16) % 3
+
+    streams = {}
+    for i, ids in enumerate(arrays):          # doc_id order == range order
+        streams.setdefault(shard(i), []).extend(list(ids) + [0])
+
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.seq_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(streams)
+    for s, rows in by_shard.items():
+        assert [r.seq_id for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r.n_tokens == L == len(r.input_ids)
+        assert 1 <= rows[-1].n_tokens <= L
+        flat = [x for r in rows for x in r.input_ids]
+        assert flat == streams[s]
+
+
+def test_pack_sequences_boundaries_and_layout_independence(spark):
+    """Boundary-count conservation (Σ boundary ids per shard == docs in
+    the shard), straddling docs split across consecutive sequences, and
+    the output is independent of input partition layout."""
+    from peskas_malawi_data_pipeline_spark.operators import packing as P
+
+    arrays = [[7] * 13, [8] * 3, [9] * 21, [1], [2, 3]]
+    df = _seq_docs(spark, arrays)
+    a = {(r.shard, r.seq_id): list(r.input_ids)
+         for r in P.pack_sequences(df, seq_len=5, n_shards=2).collect()}
+    b = {(r.shard, r.seq_id): list(r.input_ids)
+         for r in P.pack_sequences(df.repartition(7), seq_len=5,
+                                   n_shards=2).collect()}
+    assert a == b
+    n_boundaries = sum(v.count(0) for v in a.values())
+    assert n_boundaries == len(arrays)
+    # a 21-id doc with seq_len=5 must straddle >= 4 sequences
+    assert len(a) >= 5
+
+
+def test_pack_sequences_seq_len_guard(spark):
+    import pytest
+
+    from peskas_malawi_data_pipeline_spark.operators import packing as P
+
+    df = _seq_docs(spark, [[1, 2]])
+    with pytest.raises(ValueError, match="seq_len"):
+        P.pack_sequences(df, seq_len=0)
+
+
+def test_token_budget_prefix_draw_within_one_doc(spark):
+    """token_budget_prefix_draw: per source, full_epochs + fraction
+    prefix land the drawn token total in [target, target + last drawn
+    doc), exactly on target when the remainder is 0; deterministic and
+    partition-layout independent; NULL-token docs never enter the
+    fraction."""
+    from pyspark.sql import functions as F
+
+    from peskas_malawi_data_pipeline_spark.operators import sampling as S
+
+    rows = ([("a", i, 10 + (i % 5)) for i in range(40)]
+            + [("b", 100 + i, 50) for i in range(10)]
+            + [("c", 200, 30)]
+            + [("d", 300, None)])          # NULL tokens: excluded
+    df = spark.createDataFrame(rows, "source string, doc_id long,"
+                                     " n_tokens long")
+    targets = spark.createDataFrame(
+        [("a", 480, 700),     # epochs=1, rem=220
+         ("b", 500, 500),     # rem=0 -> exact
+         ("c", 30, 10),       # epochs=0, rem=10 -> one doc drawn
+         ("d", 0, 0)],        # empty source
+        "source string, available_tokens long, target_tokens long")
+    out = S.token_budget_prefix_draw(df, targets)
+    rowsets = out.collect()
+    per_src = {}
+    for r in rowsets:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        avail = {"a": 480, "b": 500, "c": 30, "d": 0}[src]
+        target = {"a": 700, "b": 500, "c": 10, "d": 0}[src]
+        epochs = rs[0].full_epochs
+        assert all(r.full_epochs == epochs for r in rs)
+        frac = [r for r in rs if r.in_fraction]
+        drawn = epochs * avail + sum(r.n_tokens for r in frac)
+        assert drawn >= target
+        if drawn != target:
+            # overshoot strictly under the heaviest drawn doc
+            assert drawn - target < max(r.n_tokens for r in frac)
+        if src == "b":
+            assert not frac and drawn == 500
+        if src == "d":
+            assert epochs == 0 and not frac
+    # layout independence
+    again = {(r.source, r.doc_id, r.in_fraction)
+             for r in S.token_budget_prefix_draw(
+                 df.repartition(11), targets).collect()}
+    assert again == {(r.source, r.doc_id, r.in_fraction) for r in rowsets}
