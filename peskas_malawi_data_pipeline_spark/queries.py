@@ -7512,7 +7512,8 @@ def _duck_bpe_sql(k: int, apply: bool = False) -> str:
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
-def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int) -> str:
+def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int,
+                      extra_ctes: str = "", sel: str | None = None) -> str:
     """Oracle for BPE token-ID encoding + sequence packing: on top of the
     shared k-round CTE chain it (1) assigns ids per
     ``bpe.token_id_map`` — merged symbol → min merge rank, single char →
@@ -7522,9 +7523,19 @@ def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int) -> str:
     of ``packing.pack_sequences``, and (4) reports per (shard, seq_id)
     the token count, boundary count, and a position-weighted checksum
     Σ(pos_in_seq·id) that pins EVERY id at EVERY position of every
-    packed sequence."""
+    packed sequence.
+
+    ``extra_ctes``/``sel``: optional additional CTEs (comma-terminated)
+    inserted after the fit chain, and the name of a (doc_id) CTE
+    restricting which documents get ENCODED AND PACKED — the merge fit
+    always runs on the full corpus (the tokenizer is trained once on
+    everything, then applied to the drawn mix)."""
     m = "chr(31)"
     parts = _duck_bpe_parts(k)
+    if extra_ctes:
+        parts.append(extra_ctes.rstrip().rstrip(",") + ",")
+    doc_filter = (f" WHERE doc_id IN (SELECT doc_id FROM {sel})"
+                  if sel else "")
     ranks = " UNION ALL ".join(
         f"SELECT {r} AS merge_rank, "
         f"replace(replace(pair, ' '||{m}, ''), {m}, '') AS new_symbol "
@@ -7547,7 +7558,7 @@ def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int) -> str:
         "FROM wid GROUP BY w),",
         "dtok AS (SELECT doc_id, CAST(u.i AS INT) AS pos, "
         "t[CAST(u.i AS INT)] AS w "
-        "FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),",
+        f"FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i){doc_filter}),",
         "denc AS (SELECT d.doc_id, "
         "flatten(list(wl.ids ORDER BY d.pos)) || [CAST(0 AS BIGINT)] "
         "AS ids FROM dtok d JOIN wl USING (w) GROUP BY d.doc_id),",
@@ -7633,6 +7644,93 @@ def packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               for r in bpe_ops.bpe_fit(docs, k=5)
               .orderBy("merge_rank").collect()]
     enc = bpe_ops.bpe_encode_ids(docs, merges)
+    packed = pack_ops.pack_sequences(enc, ids_col="token_ids",
+                                     id_col="doc_id", seq_len=64,
+                                     n_shards=8,
+                                     boundary_id=bpe_ops.BOUNDARY_ID)
+    ids = F.col("input_ids")
+    pos = F.sequence(F.lit(1).cast("long"), F.size(ids).cast("long"))
+    checksum = F.when(
+        F.size(ids) > 0,
+        F.aggregate(F.zip_with(ids, pos, lambda x, i: x * i),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+    ).otherwise(F.lit(0))
+    return packed.select(
+        "shard", F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == 0)).cast("long")
+        .alias("n_boundary"),
+        checksum.cast("long").alias("checksum"))
+
+
+_DUCK_MIX_SEL_CTES = f"""
+msrc AS (SELECT source, doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS w
+         FROM documents),
+mavail AS (SELECT source, CAST(sum(w) AS BIGINT) AS available_tokens
+           FROM msrc GROUP BY source),
+mwt AS (SELECT source, available_tokens,
+               CAST({_duck_mix_weight_case()} AS BIGINT) AS wgt
+        FROM mavail),
+mq AS (SELECT source, available_tokens,
+              CAST({_MIX_BUDGET} * wgt // {sum(_MIX_WEIGHTS.values())}
+                   AS BIGINT) AS quota,
+              ({_MIX_BUDGET} * wgt) % {sum(_MIX_WEIGHTS.values())} AS rm
+       FROM mwt),
+mr AS (SELECT source, available_tokens, quota,
+              row_number() OVER (ORDER BY rm DESC, source) AS rk,
+              {_MIX_BUDGET} - sum(quota) OVER () AS leftover
+       FROM mq),
+mtgt AS (SELECT source, available_tokens,
+                CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                     AS BIGINT) AS target_tokens
+         FROM mr),
+mbase AS (SELECT source, doc_id, w,
+  CAST('0x' || substr(md5('mixdraw:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       AS BIGINT) AS key
+  FROM msrc),
+mcum AS (SELECT source, doc_id, w,
+         sum(w) OVER (PARTITION BY source ORDER BY key % 8, key, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS ci
+         FROM mbase),
+msel AS (SELECT c.doc_id FROM mcum c JOIN mtgt g USING (source)
+         WHERE c.ci - c.w < CASE WHEN g.available_tokens > 0
+               THEN g.target_tokens % g.available_tokens ELSE 0 END)"""
+
+
+@register("mixture_pack_pipeline",
+          _duck_bpe_ids_sql(5, seq_len=64, n_shards=8,
+                            extra_ctes=_DUCK_MIX_SEL_CTES, sel="msel"))
+def mixture_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END-TO-END: Hamilton mixture targets
+    (`mixture_allocation`) → physical per-source token-prefix draw
+    (`token_budget_prefix_draw`, the fraction arm — full-epoch repeats
+    are a loader-side multiplicity, never materialized twice) → BPE
+    token-ID encoding of the DRAWN docs under merges fit on the FULL
+    corpus (the tokenizer is trained once on everything, then applied to
+    the mix) → fixed-length sequence packing — reported as the same
+    per-sequence (n_tokens, n_boundary, Σ pos·id checksum) stats as
+    `packed_sequence_stats`, so the oracle pins every id at every
+    position OF THE MIXED DRAW. This is the composition the three
+    operators individually promised; one query makes it executable.
+    Plan: allocation aggregates once; the draw is the two-level sharded
+    prefix sum; encode is the broadcast word→ids join over drawn docs
+    only; packing moves fragment slices. Oracle: the shared unrolled
+    fit chain + the mixture/draw CTEs + the ids/packing chain filtered
+    to the drawn doc set."""
+    from .operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select("source", "doc_id",
+                       T.token_count(F.col("text")).cast("long")
+                       .alias("n_tokens"))
+    alloc = materialize(samp_ops.mixture_allocation(
+        meta, _MIX_WEIGHTS, _MIX_BUDGET).drop("oversample_ppm"))
+    draw = samp_ops.token_budget_prefix_draw(meta, alloc)
+    sel = draw.filter(F.col("in_fraction")).select("doc_id")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    enc = bpe_ops.bpe_encode_ids(docs.join(sel, "doc_id"), merges)
     packed = pack_ops.pack_sequences(enc, ids_col="token_ids",
                                      id_col="doc_id", seq_len=64,
                                      n_shards=8,

@@ -2410,3 +2410,20 @@ def test_compact_band_index_preserves_cap_suppression(spark):
     again = D.compact_band_index(compacted)
     assert sorted(map(tuple, again.collect())) \
         == sorted(map(tuple, compacted.collect()))
+
+
+def test_split_pair_store_watermark(spark):
+    """split_pair_store: active/archive partition at the batch watermark —
+    disjoint, exhaustive, and the active side keeps exactly the batches
+    the incremental pipeline may still replay."""
+    from peskas_malawi_data_pipeline_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 1), (3, 4, 2), (4, 5, 3)],
+        "id_a long, id_b long, batch_id long")
+    active, archived = D.split_pair_store(pairs, watermark_batch=2)
+    act = {tuple(r) for r in active.collect()}
+    arc = {tuple(r) for r in archived.collect()}
+    assert act == {(3, 4, 2), (4, 5, 3)}
+    assert arc == {(1, 2, 0), (2, 3, 1)}
+    assert act | arc == {tuple(r) for r in pairs.collect()}
