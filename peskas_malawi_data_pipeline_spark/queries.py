@@ -6850,7 +6850,12 @@ def streaming_pinned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     strongest available evidence the streaming path adds no semantics.
     Snapshots are versioned per batch (write v{{n}}, read latest), so a
     foreachBatch replay overwrites its own version idempotently and
-    never reads a file it is concurrently replacing."""
+    never reads a file it is concurrently replacing. The band index is
+    COMPACTED every batch (dedup.compact_band_index: one row per bucket
+    + carried cardinality weight, versioned like the snapshots) — the
+    state a batch reads is bounded by DISTINCT buckets, not by corpus
+    history, and the oracle equality doubles as the compaction
+    invariance proof (same SQL, uncompacted relational closure)."""
     import glob
     import os
     import shutil
@@ -6899,10 +6904,12 @@ def streaming_pinned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = batch_df.sparkSession
         new_bands = materialize(dedup_ops.minhash_bands(
             batch_df, num_hashes=8, band_size=2, shingle_n=3))
-        index = (s.read.parquet(index_dir) if os.path.exists(index_dir)
-                 else new_bands.limit(0))
-        pairs = dedup_ops.incremental_lsh_pairs(new_bands, index,
-                                                max_bucket=1000)
+        pi = latest(index_dir)
+        index = (s.read.parquet(pi) if pi else s.createDataFrame(
+            [], "doc_id long, band_id int, band_key string, "
+                "band_weight long"))
+        pairs = dedup_ops.incremental_lsh_pairs(
+            new_bands, index, max_bucket=1000, weight_col="band_weight")
         pc = latest(comp_dir)
         prior_comp = (s.read.parquet(pc) if pc else
                       s.createDataFrame([], "id long, component long"))
@@ -6917,7 +6924,15 @@ def streaming_pinned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(comp_dir, f"v{batch_id}"))
         out.write.mode("overwrite").parquet(
             os.path.join(split_dir, f"v{batch_id}"))
-        new_bands.write.mode("append").parquet(index_dir)
+        # per-batch retention: the persisted index stays one row per
+        # DISTINCT bucket (weight carries the true cardinality for the
+        # hot-bucket cap) — versioned like the snapshots, so a replayed
+        # batch rewrites its own version instead of double-appending
+        dedup_ops.compact_band_index(
+            index.unionByName(new_bands.withColumn(
+                "band_weight", F.lit(1).cast("long")))) \
+            .write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"v{batch_id}"))
 
     with st.stream_state_partitions(spark, 4):
         q = (stream.writeStream.foreachBatch(step)
