@@ -495,6 +495,40 @@ def token_id_map(merges) -> dict[str, int]:
     return ids
 
 
+def bpe_vocab_table(df: DataFrame, merges,
+                    text_col: str = "text") -> DataFrame:
+    """The EXPORTABLE vocabulary artifact for a learned merge table:
+    one row per assignable token id — ``(token_id, symbol, kind)`` with
+    kind ∈ {boundary, merge, base} — i.e. the id space
+    :func:`token_id_map` defines, materialized as data a trainer or a
+    detokenizer loads. ``boundary`` is the reserved id 0 (NULL symbol);
+    ``merge`` rows are the distinct ``new_symbol`` strings at their MIN
+    rank (a duplicate later rank is never assigned); ``base`` rows are
+    the distinct single characters the corpus vocabulary actually
+    contains, at ``k + codepoint``. Base ids are computed DRIVER-side
+    with Python ``ord`` (the alphabet is tiny) — exact for astral-plane
+    characters too, where JVM ``ascii()`` would return a surrogate unit.
+    Plan: one corpus pass for the distinct-character set (explode over
+    distinct words), everything else is merge-table-sized."""
+    merges = list(merges)
+    k = len(merges)
+    rank_of = token_id_map(merges)
+    rows = [(0, None, "boundary")]
+    rows += [(rank, sym, "merge")
+             for sym, rank in sorted(rank_of.items(),
+                                     key=lambda kv: kv[1])]
+    clean = F.regexp_replace(F.col("w"), MARKER, "")
+    chars = (df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+             .distinct()
+             .select(F.explode(F.filter(F.split(clean, "(?!^)"),
+                                        lambda c: c != ""))
+                     .alias("c"))
+             .distinct())
+    rows += [(k + ord(r["c"]), r["c"], "base") for r in chars.collect()]
+    return df.sparkSession.createDataFrame(
+        rows, "token_id long, symbol string, kind string")
+
+
 def bpe_encode_ids(df: DataFrame, merges, id_col: str = "doc_id",
                    text_col: str = "text",
                    local_vocab_limit: int = DEFAULT_LOCAL_VOCAB_LIMIT

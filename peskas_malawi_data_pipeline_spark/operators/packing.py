@@ -101,7 +101,8 @@ def pack_greedy_sequential(df: DataFrame, token_col: str,
 
 def pack_sequences(encoded: DataFrame, ids_col: str = "token_ids",
                    id_col: str = "doc_id", seq_len: int = 2048,
-                   n_shards: int = 8, boundary_id: int = 0) -> DataFrame:
+                   n_shards: int = 8, boundary_id: int = 0,
+                   with_spans: bool = False) -> DataFrame:
     """Materialize fixed-length TRAINING SEQUENCES from per-document
     token-id arrays (``bpe.bpe_encode_ids`` output): per shard, documents
     are laid back-to-back in ``id_col`` order with a ``boundary_id``
@@ -114,6 +115,17 @@ def pack_sequences(encoded: DataFrame, ids_col: str = "token_ids",
     ``(shard, seq_id, input_ids array<long>, n_tokens)``; within a
     shard, sequence ``seq_id`` covers stream positions
     ``[seq_id·seq_len, (seq_id+1)·seq_len)`` contiguously.
+
+    ``with_spans=True`` additionally emits ``doc_spans
+    array<struct<doc_id, off, len>>`` — which document owns which slice
+    of the sequence (0-based ``off`` within the sequence; each span
+    INCLUDES the document's trailing boundary token when it falls in
+    this sequence). This is the attention/loss-mask provenance a trainer
+    needs to avoid cross-document attention or to mask per-doc loss;
+    spans are ordered by ``off`` and their lengths sum exactly to
+    ``n_tokens`` (pinned by the `packed_span_stats` oracle). Zero extra
+    shuffles: the span is carried on the SAME fragment row the ids
+    already ride.
 
     Scale shape: two shuffles total, both moving ≈ the output's own
     bytes (which is the floor — the materialized sequences ARE that
@@ -144,7 +156,7 @@ def pack_sequences(encoded: DataFrame, ids_col: str = "token_ids",
     # boundary marker), so __end > __start and the sequence range is
     # never empty
     frag = g.select(
-        "shard", "__ids", "__start", "__end",
+        id_col, "shard", "__ids", "__start", "__end",
         F.explode(F.sequence(F.expr(f"__start div {seq_len}"),
                              F.expr(f"(__end - 1) div {seq_len}")))
         .alias("seq_id"))
@@ -153,14 +165,31 @@ def pack_sequences(encoded: DataFrame, ids_col: str = "token_ids",
     piece = F.slice(F.col("__ids"),
                     (lo - F.col("__start") + 1).cast("int"),
                     (hi - lo).cast("int"))
+    if not with_spans:
+        frags = frag.select(
+            "shard", "seq_id",
+            F.struct(lo.alias("o"), piece.alias("p")).alias("__f"))
+        return (frags.groupBy("shard", "seq_id")
+                .agg(F.flatten(F.transform(
+                    F.array_sort(F.collect_list("__f")), lambda s: s["p"]))
+                    .alias("input_ids"))
+                .withColumn("n_tokens", F.size("input_ids").cast("long")))
+    span = F.struct(
+        F.col(id_col).alias("doc_id"),
+        (lo - F.col("seq_id") * seq_len).cast("long").alias("off"),
+        (hi - lo).cast("long").alias("len"))
     frags = frag.select(
         "shard", "seq_id",
-        F.struct(lo.alias("o"), piece.alias("p")).alias("__f"))
-    return (frags.groupBy("shard", "seq_id")
-            .agg(F.flatten(F.transform(F.array_sort(F.collect_list("__f")),
-                                       lambda s: s["p"]))
-                 .alias("input_ids"))
-            .withColumn("n_tokens", F.size("input_ids").cast("long")))
+        F.struct(lo.alias("o"), piece.alias("p"), span.alias("s"))
+        .alias("__f"))
+    agg = frags.groupBy("shard", "seq_id").agg(
+        F.array_sort(F.collect_list("__f")).alias("__fs"))
+    return (agg.select(
+        "shard", "seq_id",
+        F.flatten(F.transform(F.col("__fs"), lambda s: s["p"]))
+        .alias("input_ids"),
+        F.transform(F.col("__fs"), lambda s: s["s"]).alias("doc_spans"))
+        .withColumn("n_tokens", F.size("input_ids").cast("long")))
 
 
 def bin_utilization(packed: DataFrame, target: int = 2048) -> DataFrame:

@@ -7581,12 +7581,12 @@ def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int,
         f"CAST(CAST('0x' || substr(md5('shard:' || "
         f"CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {n_shards} AS INT) "
         f"AS shard FROM denc),",
-        "off AS (SELECT shard, ids, n, coalesce(sum(n) OVER ("
+        "off AS (SELECT doc_id, shard, ids, n, coalesce(sum(n) OVER ("
         "PARTITION BY shard ORDER BY doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt "
         "FROM sh),",
-        "ts AS (SELECT shard, strt + CAST(u.i AS BIGINT) - 1 AS gpos, "
-        "ids[CAST(u.i AS INT)] AS tid "
+        "ts AS (SELECT doc_id, shard, strt + CAST(u.i AS BIGINT) - 1 "
+        "AS gpos, ids[CAST(u.i AS INT)] AS tid "
         "FROM off, UNNEST(range(1, n + 1)) AS u(i))",
     ]
     tail = (
@@ -7597,6 +7597,28 @@ def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int,
         f"CAST(sum((gpos % {seq_len} + 1) * tid) AS BIGINT) AS checksum "
         f"FROM ts GROUP BY shard, seq_id")
     return "\n".join(parts) + tail
+
+
+def _duck_span_stats_sql(k: int, seq_len: int, n_shards: int) -> str:
+    """Span-provenance tail over the same fit/encode/pack chain: each
+    document's tokens inside one sequence are CONTIGUOUS (stream layout),
+    so the per-(shard, seq, doc) group of the token stream IS the doc
+    span — (min position-in-seq, count) — and a Σ md5-hash over
+    (doc, off, len) pins every span triple exactly."""
+    base = _duck_bpe_ids_sql(k, seq_len, n_shards)
+    body = base.rsplit("\nSELECT shard,", 1)[0]
+    return body + f""",
+span AS (SELECT shard, CAST(gpos // {seq_len} AS BIGINT) AS seq_id,
+                doc_id, CAST(min(gpos % {seq_len}) AS BIGINT) AS off,
+                CAST(count(*) AS BIGINT) AS len
+         FROM ts GROUP BY shard, gpos // {seq_len}, doc_id)
+SELECT shard, seq_id,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(len) AS BIGINT) AS span_tokens,
+  CAST(sum(CAST('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR)
+      || ':' || CAST(off AS VARCHAR) || ':' || CAST(len AS VARCHAR)),
+      1, 10) AS BIGINT)) AS BIGINT) AS span_checksum
+FROM span GROUP BY shard, seq_id"""
 
 
 @register("bpe_fit_merges", _duck_bpe_sql(5))
@@ -7633,6 +7655,52 @@ def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
               for r in bpe_ops.bpe_fit(docs, k=5)
               .orderBy("merge_rank").collect()]
     return bpe_ops.bpe_apply_counts(docs, merges)
+
+
+def _duck_bpe_vocab_sql(k: int) -> str:
+    """Vocabulary-export oracle: the merge ranks (min per distinct
+    new_symbol), the corpus's distinct base characters at k+codepoint,
+    and the reserved boundary id 0."""
+    m = "chr(31)"
+    parts = _duck_bpe_parts(k)
+    ranks = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, "
+        f"replace(replace(pair, ' '||{m}, ''), {m}, '') AS new_symbol "
+        f"FROM top{r}" for r in range(1, k + 1))
+    parts += [
+        f"mrk AS (SELECT new_symbol, min(merge_rank) AS mn "
+        f"FROM ({ranks}) GROUP BY new_symbol),",
+        f"chars AS (SELECT DISTINCT unnest(string_split("
+        f"replace(w, {m}, ''), '')) AS c FROM wc "
+        f"WHERE length(replace(w, {m}, '')) > 0)",
+    ]
+    tail = (
+        f"\nSELECT CAST(0 AS BIGINT) AS token_id, "
+        f"CAST(NULL AS VARCHAR) AS symbol, 'boundary' AS kind"
+        f"\nUNION ALL SELECT CAST(mn AS BIGINT), new_symbol, 'merge' "
+        f"FROM mrk"
+        f"\nUNION ALL SELECT CAST({k} + unicode(c) AS BIGINT), c, 'base' "
+        f"FROM chars")
+    return "\n".join(parts) + tail
+
+
+@register("bpe_vocab_export", _duck_bpe_vocab_sql(5))
+def bpe_vocab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ARTIFACT as data (bpe.bpe_vocab_table): one row per
+    assignable token id — boundary 0, each distinct merged symbol at its
+    min rank, each corpus base character at k+codepoint — the table a
+    trainer's detokenizer or an embedding-matrix initializer loads. With
+    `bpe_fit_merges` (the merges) and `packed_sequence_stats` (the
+    packed ids) this closes the tokenizer loop: fit → export → encode →
+    pack, every stage oracle-paired. Plan: one corpus pass for the
+    distinct-character alphabet; merge rows are merge-table-sized."""
+    from .operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    return bpe_ops.bpe_vocab_table(docs, merges)
 
 
 @register("packed_sequence_stats", _duck_bpe_ids_sql(5, seq_len=64,
@@ -7676,6 +7744,48 @@ def packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(ids, lambda x: x == 0)).cast("long")
         .alias("n_boundary"),
         checksum.cast("long").alias("checksum"))
+
+
+@register("packed_span_stats", _duck_span_stats_sql(5, seq_len=64,
+                                                    n_shards=8))
+def packed_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT-SPAN provenance of the packed sequences
+    (`packing.pack_sequences(with_spans=True)`): which document owns
+    which slice of each training sequence — the mask a trainer needs to
+    block cross-document attention or compute per-doc loss. Per
+    sequence: span count, span-length sum (== n_tokens — coverage is
+    exact and gap-free by construction), and a Σ md5-hash over every
+    (doc_id, off, len) triple, so the oracle pins each span's identity,
+    position, and extent. Spans ride the SAME fragment rows the ids
+    already travel on — zero extra shuffles over `packed_sequence_stats`.
+    Oracle: documents' tokens within a sequence are contiguous, so the
+    per-(shard, seq, doc) group of the replayed token stream IS the
+    span."""
+    from .operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    enc = bpe_ops.bpe_encode_ids(docs, merges)
+    packed = pack_ops.pack_sequences(enc, ids_col="token_ids",
+                                     id_col="doc_id", seq_len=64,
+                                     n_shards=8,
+                                     boundary_id=bpe_ops.BOUNDARY_ID,
+                                     with_spans=True)
+    spans = F.col("doc_spans")
+    span_tokens = F.aggregate(spans, F.lit(0).cast("long"),
+                              lambda a, s: a + s["len"])
+    h = F.transform(spans, lambda s: T.md5_prefix_hash(
+        F.concat(s["doc_id"].cast("string"), F.lit(":"),
+                 s["off"].cast("string"), F.lit(":"),
+                 s["len"].cast("string")), seed="sp:", hex_chars=10))
+    checksum = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    return packed.select(
+        "shard", F.col("seq_id").cast("long").alias("seq_id"),
+        F.size(spans).cast("long").alias("n_spans"),
+        span_tokens.alias("span_tokens"),
+        checksum.alias("span_checksum"))
 
 
 _DUCK_MIX_SEL_CTES = f"""

@@ -270,3 +270,37 @@ def test_token_budget_prefix_draw_within_one_doc(spark):
              for r in S.token_budget_prefix_draw(
                  df.repartition(11), targets).collect()}
     assert again == {(r.source, r.doc_id, r.in_fraction) for r in rowsets}
+
+
+def test_pack_sequences_spans_cover_exactly(spark):
+    """with_spans=True: spans are off-ordered, gap-free, cover each
+    sequence exactly (Σ len == n_tokens, offsets chain), every span's
+    slice of input_ids belongs to its doc (boundary included), and a
+    straddling doc appears as spans in consecutive sequences."""
+    from peskas_malawi_data_pipeline_spark.operators import packing as P
+
+    arrays = [[i * 100 + j + 1 for j in range(n)]
+              for i, n in enumerate([3, 12, 1, 7, 9])]
+    df = _seq_docs(spark, arrays)
+    out = P.pack_sequences(df, seq_len=5, n_shards=2,
+                           with_spans=True).collect()
+    by_doc_seqs = {}
+    for r in out:
+        pos = 0
+        for s in r.doc_spans:
+            assert s.off == pos            # gap-free chaining
+            pos += s.len
+            by_doc_seqs.setdefault(s.doc_id, []).append(
+                (r.shard, r.seq_id, s.off, s.len))
+            # the span's ids are the doc's own ids (or its boundary 0)
+            piece = list(r.input_ids[s.off:s.off + s.len])
+            ok = [x for x in piece if x != 0]
+            assert all(x in arrays[s.doc_id] for x in ok), (s, piece)
+        assert pos == r.n_tokens == len(r.input_ids)
+    # every doc's spans total its ids + one boundary
+    for d, spans in by_doc_seqs.items():
+        assert sum(l for *_ , l in spans) == len(arrays[d]) + 1
+        seqs = sorted(sid for _sh, sid, _o, _l in spans)
+        assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))
+    # the 12-id doc with seq_len=5 must straddle >= 2 sequences
+    assert len(by_doc_seqs[1]) >= 2
