@@ -60,13 +60,28 @@ def pack_concat_chunks(df: DataFrame, token_col: str, id_col: str = "doc_id",
 
 def pack_greedy_sequential(df: DataFrame, token_col: str,
                            id_col: str = "doc_id", target: int = 2048,
-                           n_shards: int = 8) -> DataFrame:
+                           n_shards: int = 8,
+                           order: str = "id") -> DataFrame:
     """Greedy boundary-respecting packing (documents never split): per
-    shard, in ``id_col`` order, append to the current bin unless the
-    document would overflow ``target`` — then open a new bin. An oversized
-    document (> target tokens) occupies a bin alone. Returns one row per
-    document: (id, n_tokens, shard, bin_id).
-    """
+    shard, walk the documents in order, append to the current bin unless
+    the document would overflow ``target`` — then open a new bin. An
+    oversized document (> target tokens) occupies a bin alone. Returns
+    one row per document: (id, n_tokens, shard, bin_id).
+
+    ``order``: ``"id"`` (default — arrival/id order, the streaming-
+    friendly policy) or ``"tokens_desc"`` (big documents walked first;
+    needs the shard's length distribution up front, so batch-only).
+    NOTE the classic first-fit-DECREASING win does NOT transfer to this
+    SINGLE-open-bin sequential greedy: with one open bin, descending
+    order strands each bin's tail capacity that only later small docs
+    could have filled — measured WORSE on the harness corpus (152694 vs
+    129681 ppm waste at sf0.1; `pack_policy_waste` pins both numbers).
+    The FFD advantage requires keeping multiple bins open (a different,
+    memory-heavier packer); this knob exists so that trade is measured,
+    not assumed. Ties → lowest id; both orders are deterministic
+    functions of (ids, token counts)."""
+    if order not in ("id", "tokens_desc"):
+        raise ValueError(f"order must be 'id' or 'tokens_desc' ({order!r})")
     # the id column keeps ITS OWN type (uuid-string ids are exactly what
     # the md5-on-string sharding exists for; hardcoding long here would
     # crash the Arrow conversion for them while pack_concat_chunks accepts
@@ -79,7 +94,13 @@ def pack_greedy_sequential(df: DataFrame, token_col: str,
     ])
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        if order == "tokens_desc":
+            pdf = pdf.sort_values([token_col, id_col],
+                                  ascending=[False, True],
+                                  kind="mergesort").reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values(id_col,
+                                  kind="mergesort").reset_index(drop=True)
         bins, bin_id, fill = [], 0, 0
         first = True
         for tok in pdf[token_col].astype("int64"):

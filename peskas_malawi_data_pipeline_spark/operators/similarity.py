@@ -545,6 +545,28 @@ def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
     (small) probe side broadcast — the corpus partitioning is never
     touched — and the final per-query window top-k over candidate rows.
     Returns (query_id, corpus_id, adc_dist, rank)."""
+    scored = ivf_pq_candidates(queries, corpus, codebook, coarse, nprobe,
+                               query_id, corpus_id, vec_col)
+    w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
+    return (scored.drop("probe_rank")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_pq_candidates(queries: DataFrame, corpus: DataFrame,
+                      codebook: dict, coarse: dict[int, list[int]],
+                      nprobe: int = 2, query_id: str = "query_id",
+                      corpus_id: str = "corpus_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """The CANDIDATE stage of :func:`ivf_pq_topk`, exposed so a tuning
+    sweep can pay the corpus code/assign pass ONCE at the widest
+    ``nprobe`` and derive every narrower setting by filtering: returns
+    (query_id, corpus_id, adc_dist, probe_rank), where ``probe_rank`` is
+    the 1-based position of the candidate's inverted list in the query's
+    nearest-list order — a corpus row belongs to exactly one list, so
+    ``filter(probe_rank <= p)`` IS the nprobe=p candidate set, with no
+    duplicates and no recomputation. Plan identical to the topk's
+    candidate stage (one corpus map pass, broadcast probe join)."""
     m, _kc, d_sub = _pq_shape(codebook)
     cv = _micro(F.col(vec_col))
     # list id AND codes from one projection — the corpus is read once and
@@ -556,7 +578,8 @@ def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
     qv = _micro(F.col(vec_col))
     probes = queries.select(
         F.col(query_id), qv.alias("__qv"),
-        F.explode(_coarse_assign(qv, coarse, nprobe)).alias("__list"))
+        F.posexplode(_coarse_assign(qv, coarse, nprobe))
+        .alias("__pr", "__list"))
     cand = coded.join(F.broadcast(probes), "__list") \
         .filter(F.col(query_id) != F.col(corpus_id))
     cb_lit = F.array(*[
@@ -572,10 +595,8 @@ def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
         total = total + F.aggregate(
             F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
-    scored = cand.select(query_id, corpus_id, total.alias("adc_dist"))
-    w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return cand.select(query_id, corpus_id, total.alias("adc_dist"),
+                       (F.col("__pr") + 1).cast("int").alias("probe_rank"))
 
 
 def _coarse_lit(coarse: dict[int, list[int]]) -> Column:
@@ -866,6 +887,40 @@ def brute_force_l2_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     scored = (c.join(F.broadcast(q), F.col(query_id) != F.col(corpus_id))
               .select(query_id, corpus_id, d2.alias("l2_d2")))
+    w = Window.partitionBy(query_id).orderBy("l2_d2", corpus_id)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def exact_rerank(cands: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 k: int = 3, query_id: str = "query_id",
+                 corpus_id: str = "corpus_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Second stage of TWO-STAGE retrieval: re-score an ANN candidate
+    SHORTLIST (``cands``: (query_id, corpus_id) from e.g.
+    :func:`ivf_pq_topk` with k' > k) by the EXACT integer-micro squared
+    L2 and keep the top ``k`` per query — the standard
+    shortlist-then-rerank shape that buys back compression recall at the
+    cost of k' exact distances per query instead of |corpus|. Same
+    distance/tie contract as :func:`brute_force_l2_topk` (exact BIGINTs,
+    ties → lowest corpus id), so reranked results are directly
+    comparable to the exact baseline. Returns (query_id, corpus_id,
+    l2_d2, rank).
+
+    Plan: the shortlist is answer-sized (|queries|·k') — BROADCAST it
+    into one pure-map pass over the corpus (the corpus never shuffles,
+    exactly like the baseline scorer), then broadcast the small query
+    side onto the surviving rows; one per-query window top-k over k'
+    candidates."""
+    c = corpus.select(F.col(corpus_id), _micro(F.col(vec_col)).alias("__cv"))
+    q = queries.select(F.col(query_id), _micro(F.col(vec_col)).alias("__qv"))
+    short = (c.join(F.broadcast(cands.select(query_id, corpus_id)),
+                    corpus_id)
+             .join(F.broadcast(q), query_id))
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = short.select(query_id, corpus_id, d2.alias("l2_d2"))
     w = Window.partitionBy(query_id).orderBy("l2_d2", corpus_id)
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

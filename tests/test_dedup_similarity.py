@@ -2427,3 +2427,41 @@ def test_split_pair_store_watermark(spark):
     assert act == {(3, 4, 2), (4, 5, 3)}
     assert arc == {(1, 2, 0), (2, 3, 1)}
     assert act | arc == {tuple(r) for r in pairs.collect()}
+
+
+def test_exact_rerank_matches_bruteforce_on_shortlist(spark):
+    """exact_rerank == brute_force_l2_topk restricted to the shortlist:
+    same integer-micro distances, same lowest-id tie-break; a k' = corpus
+    shortlist reproduces the exact baseline verbatim."""
+    import random
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = {(r.query_id, r.rank): (r.corpus_id, r.l2_d2)
+             for r in S.brute_force_l2_topk(q, c, k=3).collect()}
+
+    # full-corpus shortlist (minus self-pairs) -> rerank == exact baseline
+    full = (q.select("query_id").crossJoin(c.select("corpus_id"))
+            .filter(F.col("query_id") != F.col("corpus_id")))
+    got = {(r.query_id, r.rank): (r.corpus_id, r.l2_d2)
+           for r in S.exact_rerank(full, q, c, k=3).collect()}
+    assert got == exact
+
+    # a REAL shortlist: rerank returns its top-3 by exact distance, a
+    # subset of the shortlist, ranks contiguous from 1
+    short = S.brute_force_l2_topk(q, c, k=6).select("query_id", "corpus_id")
+    short_set = {(r.query_id, r.corpus_id) for r in short.collect()}
+    rr = S.exact_rerank(short, q, c, k=3).collect()
+    by_q = {}
+    for r in rr:
+        assert (r.query_id, r.corpus_id) in short_set
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3]
