@@ -5883,6 +5883,27 @@ def _ann_n_queries(emb: DataFrame, sf_dir: str) -> int:
                      lambda: int(min(200, max(20, emb.count() // 10))))
 
 
+def _exact_l2_baseline(spark: SparkSession, q: DataFrame, c: DataFrame,
+                       sf_dir: str) -> DataFrame:
+    """The exact integer-L2 top-3 baseline (materialized, __hit-tagged)
+    shared by every PQ/IVF recall harness — memoized per (sf_dir,
+    session): five harnesses otherwise recompute the identical
+    |queries|·|corpus| exact scan per execution. The memo stores the
+    MATERIALIZED (localCheckpoint-backed) frame together with its
+    session and rebuilds when the session changed (checkpoint blocks
+    die with their session; `reset_ann_artifact_memo()` also
+    clears)."""
+    key = (sf_dir, "exact_l2_hit", 3)
+    ent = _ANN_ARTIFACTS.get(key)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    df = materialize(
+        sim_ops.brute_force_l2_topk(q, c, k=3)
+        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    _ANN_ARTIFACTS[key] = (spark, df)
+    return df
+
+
 def _trained_full_centroids(emb: DataFrame, sf_dir: str) -> dict:
     """Full-vector k-means centroids (k=8, iterations=2) over the
     embeddings table — the shared trained artifact behind the
@@ -5917,9 +5938,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _ann_n_queries(emb, sf_dir)).select(
         F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    exact = materialize(
-        sim_ops.brute_force_l2_topk(q, c, k=3)
-        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact = _exact_l2_baseline(spark, q, c, sf_dir)
     exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
     cb_l = _ann_memo((sf_dir, "cb_l", 4, 8),
                      lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
@@ -5980,9 +5999,7 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _ann_n_queries(emb, sf_dir)).select(
         F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    exact = materialize(
-        sim_ops.brute_force_l2_topk(q, c, k=3)
-        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact = _exact_l2_baseline(spark, q, c, sf_dir)
     exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
     cb_l = _ann_memo((sf_dir, "cb_l", 4, 8),
                      lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
@@ -6073,9 +6090,7 @@ def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _ann_n_queries(emb, sf_dir)).select(
         F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    exact = materialize(
-        sim_ops.brute_force_l2_topk(q, c, k=3)
-        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact = _exact_l2_baseline(spark, q, c, sf_dir)
     exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
     cb_l = _ann_memo((sf_dir, "cb_l", 4, 8),
                      lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
@@ -6310,9 +6325,7 @@ def ann_ivf_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _ann_n_queries(emb, sf_dir)).select(
         F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    exact = materialize(
-        sim_ops.brute_force_l2_topk(q, c, k=3)
-        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact = _exact_l2_baseline(spark, q, c, sf_dir)
     exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
     coarse_l = _ann_memo((sf_dir, "coarse_l", 8),
                          lambda: sim_ops.ivf_coarse_centroids(
@@ -6359,9 +6372,7 @@ def ann_pq_subspace_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _ann_n_queries(emb, sf_dir)).select(
         F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    exact = materialize(
-        sim_ops.brute_force_l2_topk(q, c, k=3)
-        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact = _exact_l2_baseline(spark, q, c, sf_dir)
     exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
     cb_l = _ann_memo((sf_dir, "cb_l", 4, 8),
                      lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
