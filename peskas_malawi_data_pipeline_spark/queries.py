@@ -1297,6 +1297,58 @@ def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp_ops.mixture_allocation(docs, _MIX_WEIGHTS, _MIX_BUDGET)
 
 
+@register("streaming_mixture_allocation", REGISTRY["mixture_allocation"][1])
+def streaming_mixture_allocation(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Mixture targets KEPT CURRENT as data lands: documents stream in
+    three micro-batches; each batch's per-source token sums MERGE into a
+    versioned availability snapshot (streaming.run_available_now_merge —
+    state lives in the table, not a state store; the applied-batch
+    marker commits with the data for exactly-once under foreachBatch
+    replay), and the Hamilton apportionment re-derives the targets from
+    the answer-sized snapshot (sampling.mixture_allocation_from_totals)
+    — a mixture designer reads current targets between batches without
+    ever rescanning the corpus. Oracle: the batch `mixture_allocation`
+    SQL verbatim — token sums are order-independent, so the drained
+    snapshot must equal the batch aggregation exactly (the
+    streaming_pinned_split evidence pattern)."""
+    import os
+    import tempfile
+
+    from .core import io as io_ops
+    from .streaming import ingest_stream as st
+
+    work = tempfile.mkdtemp(prefix="peskas_stream_mix_")
+    landing = os.path.join(work, "landing")
+    # documents carry no timestamp column, so a plain parquet stage is
+    # safe (the INT96 sniff hazard is timestamp-specific)
+    _t(spark, sf_dir, "documents").repartition(3).write.parquet(landing)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(landing))
+    table = io_ops.VersionedParquetTable(os.path.join(work, "avail"))
+
+    def partial(b):
+        return (b.select("source",
+                         T.token_count(F.col("text")).cast("long")
+                         .alias("__t"))
+                .groupBy("source")
+                .agg(F.sum("__t").cast("long").alias("available_tokens")))
+
+    with st.stream_state_partitions(spark, 4):
+        st.run_available_now_merge(
+            stream, table, keys=["source"], partial_fn=partial,
+            merges={"available_tokens": "sum"},
+            checkpoint=os.path.join(work, "ckpt"))
+    avail = table.read(spark).select(
+        "source", F.col("available_tokens").cast("long")
+        .alias("available_tokens"))
+    return samp_ops.mixture_allocation_from_totals(
+        materialize(avail), _MIX_WEIGHTS, _MIX_BUDGET)
+
+
 @register("mixture_draw_stats", f"""
 WITH toks AS (SELECT source, doc_id,
                      CAST(len({_DUCK_TOKS}) AS BIGINT) AS w
