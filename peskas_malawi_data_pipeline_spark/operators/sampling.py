@@ -145,6 +145,32 @@ def token_budget_prefix_draw(df: DataFrame, targets: DataFrame,
         F.col("__key").alias("sample_key"))
 
 
+def expand_epochs(draw: DataFrame, id_col: str = "doc_id",
+                  source_col: str = "source",
+                  tokens_col: str = "n_tokens") -> DataFrame:
+    """Materialize the MULTIPLICITY of a :func:`token_budget_prefix_draw`
+    result: one output row per (document, epoch) — ``full_epochs``
+    copies of every source doc plus one more for fraction members — with
+    a 1-based ``epoch_idx`` so downstream shuffling/packing can key on
+    (doc, epoch) and two copies of a doc never collapse. This is the
+    physical form of "oversample_ppm > 10⁶": storage-frugal pipelines
+    keep the multiplicity as a column (the draw's contract) and let the
+    loader repeat; pipelines that SHUFFLE the mix globally (epoch
+    boundaries deliberately destroyed) expand first — this operator is
+    that step. Docs with multiplicity 0 (unselected, target-0 source)
+    drop out. Pure map: one ``explode(sequence(...))`` per row, no
+    shuffle; output size IS the mixture size, the floor for any
+    materialization."""
+    reps = (F.col("full_epochs")
+            + F.col("in_fraction").cast("long")).cast("long")
+    return (draw.withColumn("__reps", reps)
+            .filter(F.col("__reps") > 0)
+            .select(source_col, id_col, tokens_col,
+                    F.explode(F.sequence(F.lit(1).cast("long"),
+                                         F.col("__reps")))
+                    .alias("epoch_idx")))
+
+
 def mixture_allocation(df: DataFrame, weights: dict[str, int],
                        total_budget: int, source_col: str = "source",
                        tokens_col: str = "n_tokens") -> DataFrame:

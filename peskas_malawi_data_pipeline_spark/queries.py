@@ -1456,6 +1456,81 @@ def mixture_draw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("within_one_doc"))
 
 
+@register("mixture_expanded_stats", f"""
+WITH toks AS (SELECT source, doc_id,
+                     CAST(len({_DUCK_TOKS}) AS BIGINT) AS w
+              FROM documents),
+avail AS (SELECT source, CAST(sum(w) AS BIGINT) AS available_tokens
+          FROM toks GROUP BY source),
+wt AS (SELECT source, available_tokens,
+              CAST({_duck_mix_weight_case()} AS BIGINT) AS wgt
+       FROM avail),
+q AS (SELECT source, available_tokens,
+             CAST({_MIX_BUDGET} * wgt // {sum(_MIX_WEIGHTS.values())}
+                  AS BIGINT) AS quota,
+             ({_MIX_BUDGET} * wgt) % {sum(_MIX_WEIGHTS.values())} AS rm
+      FROM wt),
+r AS (SELECT source, available_tokens, quota,
+             row_number() OVER (ORDER BY rm DESC, source) AS rk,
+             {_MIX_BUDGET} - sum(quota) OVER () AS leftover
+      FROM q),
+t AS (SELECT source, available_tokens,
+             CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS target_tokens
+      FROM r),
+base AS (SELECT source, doc_id, w,
+  CAST('0x' || substr(md5('mixdraw:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       AS BIGINT) AS key
+  FROM toks),
+cum AS (SELECT source, doc_id, w,
+        sum(w) OVER (PARTITION BY source ORDER BY key % 8, key, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS ci
+        FROM base),
+ex AS (SELECT c.source, c.doc_id, c.w,
+              (CASE WHEN g.available_tokens > 0
+                    THEN g.target_tokens // g.available_tokens
+                    ELSE 0 END)
+              + (CASE WHEN c.ci - c.w <
+                      (CASE WHEN g.available_tokens > 0
+                            THEN g.target_tokens % g.available_tokens
+                            ELSE 0 END)
+                 THEN 1 ELSE 0 END) AS reps
+       FROM cum c JOIN t g USING (source))
+SELECT source,
+       CAST(sum(reps) AS BIGINT) AS expanded_docs,
+       CAST(count(CASE WHEN reps > 0 THEN 1 END) AS BIGINT)
+         AS distinct_docs,
+       CAST(sum(w * reps) AS BIGINT) AS expanded_tokens,
+       CAST(max(CASE WHEN reps > 0 THEN reps END) AS BIGINT) AS max_epoch
+FROM ex GROUP BY source HAVING sum(reps) > 0
+""")
+def mixture_expanded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture's physical MULTIPLICITY materialized
+    (sampling.expand_epochs): one row per (doc, epoch) — full-epoch
+    repeats plus the fraction copy — audited per source as expanded
+    row/token mass and the deepest epoch index. `mixture_draw_stats`
+    pins that the MULTISET totals hit the Hamilton targets; this query
+    pins the EXPANSION itself (the step a globally-shuffled training
+    mix runs), so expanded_tokens per source == full_epochs·available +
+    drawn_frac from the draw's own accounting. Pure map after the draw
+    (explode over a per-row epoch sequence); target-0 sources drop out
+    on both engines. Oracle: the allocation + prefix-draw chain with
+    reps aggregated arithmetically instead of exploded."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"))
+    alloc = materialize(samp_ops.mixture_allocation(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET).drop("oversample_ppm"))
+    draw = samp_ops.token_budget_prefix_draw(docs, alloc)
+    expanded = samp_ops.expand_epochs(draw)
+    return (expanded.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("expanded_docs"),
+                 F.countDistinct("doc_id").cast("long")
+                 .alias("distinct_docs"),
+                 F.sum("n_tokens").cast("long").alias("expanded_tokens"),
+                 F.max("epoch_idx").cast("long").alias("max_epoch")))
+
+
 @register("fingerprint_groups", """
 SELECT md5(regexp_replace(lower(trim(text)), '[\\s\\v]+', ' ', 'g')) AS fp,
        CAST(min(doc_id) AS BIGINT) AS keeper_id,
