@@ -496,7 +496,9 @@ def token_id_map(merges) -> dict[str, int]:
 
 
 def bpe_vocab_table(df: DataFrame, merges,
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    local_vocab_limit: int = DEFAULT_LOCAL_VOCAB_LIMIT
+                    ) -> DataFrame:
     """The EXPORTABLE vocabulary artifact for a learned merge table:
     one row per assignable token id — ``(token_id, symbol, kind)`` with
     kind ∈ {boundary, merge, base} — i.e. the id space
@@ -505,11 +507,17 @@ def bpe_vocab_table(df: DataFrame, merges,
     ``merge`` rows are the distinct ``new_symbol`` strings at their MIN
     rank (a duplicate later rank is never assigned); ``base`` rows are
     the distinct single characters the corpus vocabulary actually
-    contains, at ``k + codepoint``. Base ids are computed DRIVER-side
-    with Python ``ord`` (the alphabet is tiny) — exact for astral-plane
-    characters too, where JVM ``ascii()`` would return a surrogate unit.
-    Plan: one corpus pass for the distinct-character set (explode over
-    distinct words), everything else is merge-table-sized."""
+    contains, at ``k + codepoint``. The alphabet is extracted ENTIRELY
+    driver-side from the distinct-word collect (the same
+    ``local_vocab_limit``-gated collect :func:`bpe_encode_ids` already
+    pays): Python strings are codepoint sequences, so astral-plane
+    characters come out whole with exact ``ord`` ids — a JVM-side
+    zero-width ``split`` walks UTF-16 code units and cuts surrogate
+    pairs into lone halves (measured: even a surrogate-class lookbehind
+    doesn't stop it), which would drift the exported base ids from the
+    ids :func:`bpe_encode_ids` actually emits. Plan: one corpus pass
+    for the distinct-word set; everything else is driver-side over the
+    bounded vocabulary."""
     merges = list(merges)
     k = len(merges)
     rank_of = token_id_map(merges)
@@ -517,14 +525,18 @@ def bpe_vocab_table(df: DataFrame, merges,
     rows += [(rank, sym, "merge")
              for sym, rank in sorted(rank_of.items(),
                                      key=lambda kv: kv[1])]
-    clean = F.regexp_replace(F.col("w"), MARKER, "")
-    chars = (df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
-             .distinct()
-             .select(F.explode(F.filter(F.split(clean, "(?!^)"),
-                                        lambda c: c != ""))
-                     .alias("c"))
-             .distinct())
-    rows += [(k + ord(r["c"]), r["c"], "base") for r in chars.collect()]
+    words = materialize(
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+        .distinct())
+    n_vocab = words.count()
+    if n_vocab > local_vocab_limit:
+        raise ValueError(
+            f"bpe_vocab_table: vocabulary has {n_vocab} distinct words, "
+            f"over local_vocab_limit={local_vocab_limit}; raise the limit "
+            f"or pre-shard the vocabulary")
+    alphabet = sorted({ch for r in words.collect()
+                       for ch in r["w"].replace(MARKER, "")})
+    rows += [(k + ord(c), c, "base") for c in alphabet]
     return df.sparkSession.createDataFrame(
         rows, "token_id long, symbol string, kind string")
 

@@ -160,9 +160,17 @@ def expand_epochs(draw: DataFrame, id_col: str = "doc_id",
     that step. Docs with multiplicity 0 (unselected, target-0 source)
     drop out. Pure map: one ``explode(sequence(...))`` per row, no
     shuffle; output size IS the mixture size, the floor for any
-    materialization."""
+    materialization.
+
+    NULL-token docs: the draw emits ``in_fraction = NULL`` for a doc
+    whose token count is NULL (it never enters the prefix cut), but its
+    ``full_epochs`` is a per-SOURCE value and still applies — the
+    contract is "full_epochs copies of EVERY source doc", so the NULL
+    fraction coalesces to 0 rather than poisoning the sum (a NULL
+    ``__reps`` would silently drop the doc from ALL epochs)."""
     reps = (F.col("full_epochs")
-            + F.col("in_fraction").cast("long")).cast("long")
+            + F.coalesce(F.col("in_fraction").cast("long"),
+                         F.lit(0))).cast("long")
     return (draw.withColumn("__reps", reps)
             .filter(F.col("__reps") > 0)
             .select(source_col, id_col, tokens_col,

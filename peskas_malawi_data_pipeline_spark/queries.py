@@ -1249,10 +1249,14 @@ _MIX_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(16)}
 _MIX_BUDGET = 1_000_000
 
 
-def _duck_mix_weight_case() -> str:
+def _duck_weight_case(weights: dict[str, int]) -> str:
     arms = " ".join(f"WHEN '{s}' THEN {w}"
-                    for s, w in sorted(_MIX_WEIGHTS.items()))
+                    for s, w in sorted(weights.items()))
     return f"CASE source {arms} ELSE 0 END"
+
+
+def _duck_mix_weight_case() -> str:
+    return _duck_weight_case(_MIX_WEIGHTS)
 
 
 @register("mixture_allocation", f"""
@@ -6248,31 +6252,33 @@ def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
-def _duck_sub_lloyd(s: int) -> str:
-    """One subspace's Lloyd chain (seeds → assign → truncating means →
-    trained centroids, iterations=2 ⇒ one mean update) over the 16-dim
-    slice starting at offset (s−1)·16 — the SQL twin of
-    similarity.kmeans_fit_centroids on the sliced frame."""
+def _duck_sub_lloyd(s: int, k: int = 8, p: str = "s") -> str:
+    """One subspace's Lloyd chain (``k`` lowest-id seeds → assign →
+    truncating means → trained centroids, iterations=2 ⇒ one mean
+    update) over the 16-dim slice starting at offset (s−1)·16 — the SQL
+    twin of similarity.kmeans_fit_centroids on the sliced frame. ``p``
+    prefixes the CTE names so several capacities can coexist in one
+    oracle (the codebook-capacity sweep)."""
     off = (s - 1) * 16
     d2 = (f"list_sum(list_transform(range(1, 17), "
           f"i -> (v[{off} + i] - cq[i]) * (v[{off} + i] - cq[i])))")
-    return f"""s{s}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+    return f"""{p}{s}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
        list_transform(range(1, 17), i -> v[{off} + i]) AS cq
-  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-s{s}a1 AS (SELECT vec_id, cid FROM (
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})),
+{p}{s}a1 AS (SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {d2}, c.cid) AS rn
-    FROM e, s{s}c0 c) WHERE rn = 1),
-s{s}m1 AS (SELECT a.cid, t.i AS dim,
+    FROM e, {p}{s}c0 c) WHERE rn = 1),
+{p}{s}m1 AS (SELECT a.cid, t.i AS dim,
               CAST(sum(v[{off} + t.i + 1]) // count(*) AS BIGINT) AS m
-       FROM s{s}a1 a JOIN e USING (vec_id), UNNEST(range(0, 16)) AS t(i)
+       FROM {p}{s}a1 a JOIN e USING (vec_id), UNNEST(range(0, 16)) AS t(i)
        GROUP BY a.cid, t.i),
-s{s}c1 AS (SELECT cid, list(m ORDER BY dim) AS cq FROM s{s}m1
+{p}{s}c1 AS (SELECT cid, list(m ORDER BY dim) AS cq FROM {p}{s}m1
            GROUP BY cid),
-s{s}cents AS (SELECT {s} AS sub,
+{p}{s}cents AS (SELECT {s} AS sub,
                      row_number() OVER (ORDER BY cid) AS cid, cq AS cv
-              FROM s{s}c1)"""
+              FROM {p}{s}c1)"""
 
 
 _DUCK_ANN_PQ_SUB_SQL = f"""
@@ -7149,9 +7155,12 @@ def streaming_pinned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment with batch 1's snapshot as prior. The oracle is therefore
     pinned_incremental_split's own two-closure SQL, verbatim — the
     strongest available evidence the streaming path adds no semantics.
-    Snapshots are versioned per batch (write v{{n}}, read latest), so a
-    foreachBatch replay overwrites its own version idempotently and
-    never reads a file it is concurrently replacing. The band index is
+    Snapshots are versioned per batch (write v{{n}}, read the greatest
+    version STRICTLY BELOW n), so a foreachBatch replay is fully
+    idempotent: it reconstructs v{{n}} from v{{n-1}} without ever seeing
+    its own failed attempt's output — in particular the band index never
+    compacts its own v{{n}} back in (which would double-count
+    band_weight and silently trip the hot-bucket cap). The band index is
     COMPACTED every batch (dedup.compact_band_index: one row per bucket
     + carried cardinality weight, versioned like the snapshots) — the
     state a batch reads is bounded by DISTINCT buckets, not by corpus
@@ -7194,28 +7203,37 @@ def streaming_pinned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp_dir = os.path.join(work, "components")
     split_dir = os.path.join(work, "split")
 
-    def latest(base: str):
+    def latest(base: str, before: int | None = None):
         if not os.path.exists(base):
             return None
         vs = sorted(int(d[1:]) for d in os.listdir(base)
-                    if d.startswith("v"))
+                    if d.startswith("v")
+                    and (before is None or int(d[1:]) < before))
         return os.path.join(base, f"v{vs[-1]}") if vs else None
 
     def step(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
         new_bands = materialize(dedup_ops.minhash_bands(
             batch_df, num_hashes=8, band_size=2, shingle_n=3))
-        pi = latest(index_dir)
+        # replay idempotency: read the greatest version STRICTLY BELOW
+        # this batch id, so a replayed batch reconstructs v{batch_id}
+        # from v{batch_id-1} deterministically. Reading latest() here
+        # would let a replay see its own failed attempt's v{batch_id} —
+        # harmless for comp/split (overwrite absorbs it) but the index
+        # would compact (own output ∪ new_bands) and double-count
+        # band_weight, pushing under-cap buckets over max_bucket and
+        # silently suppressing candidate pairs.
+        pi = latest(index_dir, before=batch_id)
         index = (s.read.parquet(pi) if pi else s.createDataFrame(
             [], "doc_id long, band_id int, band_key string, "
                 "band_weight long"))
         pairs = dedup_ops.incremental_lsh_pairs(
             new_bands, index, max_bucket=1000, weight_col="band_weight")
-        pc = latest(comp_dir)
+        pc = latest(comp_dir, before=batch_id)
         prior_comp = (s.read.parquet(pc) if pc else
                       s.createDataFrame([], "id long, component long"))
         comp = dedup_ops.incremental_components(prior_comp, pairs)
-        ps = latest(split_dir)
+        ps = latest(split_dir, before=batch_id)
         prior_split = (s.read.parquet(ps) if ps else s.createDataFrame(
             [], "doc_id long, group_key long, split string, "
                 "pin_conflict boolean"))
@@ -7828,24 +7846,19 @@ def _duck_bpe_sql(k: int, apply: bool = False) -> str:
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
-def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int,
-                      extra_ctes: str = "", sel: str | None = None) -> str:
-    """Oracle for BPE token-ID encoding + sequence packing: on top of the
-    shared k-round CTE chain it (1) assigns ids per
-    ``bpe.token_id_map`` — merged symbol → min merge rank, single char →
-    ``k + unicode(char)`` — from the final vocabulary ``v{k}``, (2)
-    flattens each document's word-ordered id arrays with a trailing
-    boundary 0, (3) replays the md5 sharding + exclusive-prefix offsets
-    of ``packing.pack_sequences``, and (4) reports per (shard, seq_id)
-    the token count, boundary count, and a position-weighted checksum
-    Σ(pos_in_seq·id) that pins EVERY id at EVERY position of every
-    packed sequence.
+def _duck_bpe_denc_parts(k: int, extra_ctes: str = "",
+                         sel: str | None = None) -> list[str]:
+    """CTE chain for BPE token-ID encoding, ending at ``denc``
+    (doc_id, ids — each document's word-ordered token ids with the
+    trailing boundary 0 appended): the shared k-round fit chain, the
+    min-rank id map (``bpe.token_id_map``), and the per-doc flatten.
+    The packing oracles build their own sharding tails on top.
 
     ``extra_ctes``/``sel``: optional additional CTEs (comma-terminated)
     inserted after the fit chain, and the name of a (doc_id) CTE
-    restricting which documents get ENCODED AND PACKED — the merge fit
-    always runs on the full corpus (the tokenizer is trained once on
-    everything, then applied to the drawn mix)."""
+    restricting which documents get ENCODED — the merge fit always runs
+    on the full corpus (the tokenizer is trained once on everything,
+    then applied to the drawn mix)."""
     m = "chr(31)"
     parts = _duck_bpe_parts(k)
     if extra_ctes:
@@ -7878,6 +7891,38 @@ def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int,
         "denc AS (SELECT d.doc_id, "
         "flatten(list(wl.ids ORDER BY d.pos)) || [CAST(0 AS BIGINT)] "
         "AS ids FROM dtok d JOIN wl USING (w) GROUP BY d.doc_id),",
+    ]
+    return parts
+
+
+def _duck_pack_tail(seq_len: int) -> str:
+    """Final per-(shard, seq_id) stats SELECT over a ``ts`` (shard,
+    gpos, tid) token-stream CTE: token count, boundary count, and the
+    Σ(pos_in_seq·id) checksum that pins every id at every position."""
+    return (
+        f"\nSELECT shard, CAST(gpos // {seq_len} AS BIGINT) AS seq_id, "
+        f"CAST(count(*) AS BIGINT) AS n_tokens, "
+        f"CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_boundary, "
+        f"CAST(sum((gpos % {seq_len} + 1) * tid) AS BIGINT) AS checksum "
+        f"FROM ts GROUP BY shard, seq_id")
+
+
+def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int,
+                      extra_ctes: str = "", sel: str | None = None) -> str:
+    """Oracle for BPE token-ID encoding + sequence packing: on top of the
+    shared k-round CTE chain it (1) assigns ids per
+    ``bpe.token_id_map`` — merged symbol → min merge rank, single char →
+    ``k + unicode(char)`` — from the final vocabulary ``v{k}``, (2)
+    flattens each document's word-ordered id arrays with a trailing
+    boundary 0, (3) replays the md5 sharding + exclusive-prefix offsets
+    of ``packing.pack_sequences``, and (4) reports per (shard, seq_id)
+    the token count, boundary count, and a position-weighted checksum
+    Σ(pos_in_seq·id) that pins EVERY id at EVERY position of every
+    packed sequence. See :func:`_duck_bpe_denc_parts` for
+    ``extra_ctes``/``sel``."""
+    parts = _duck_bpe_denc_parts(k, extra_ctes, sel)
+    parts += [
         f"sh AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n, "
         f"CAST(CAST('0x' || substr(md5('shard:' || "
         f"CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {n_shards} AS INT) "
@@ -7890,14 +7935,7 @@ def _duck_bpe_ids_sql(k: int, seq_len: int, n_shards: int,
         "AS gpos, ids[CAST(u.i AS INT)] AS tid "
         "FROM off, UNNEST(range(1, n + 1)) AS u(i))",
     ]
-    tail = (
-        f"\nSELECT shard, CAST(gpos // {seq_len} AS BIGINT) AS seq_id, "
-        f"CAST(count(*) AS BIGINT) AS n_tokens, "
-        f"CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        f"AS n_boundary, "
-        f"CAST(sum((gpos % {seq_len} + 1) * tid) AS BIGINT) AS checksum "
-        f"FROM ts GROUP BY shard, seq_id")
-    return "\n".join(parts) + tail
+    return "\n".join(parts) + _duck_pack_tail(seq_len)
 
 
 def _duck_span_stats_sql(k: int, seq_len: int, n_shards: int) -> str:
@@ -8227,6 +8265,249 @@ def mixture_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = bpe_ops.bpe_encode_ids(docs.join(sel, "doc_id"), merges)
     packed = pack_ops.pack_sequences(enc, ids_col="token_ids",
                                      id_col="doc_id", seq_len=64,
+                                     n_shards=8,
+                                     boundary_id=bpe_ops.BOUNDARY_ID)
+    ids = F.col("input_ids")
+    pos = F.sequence(F.lit(1).cast("long"), F.size(ids).cast("long"))
+    checksum = F.when(
+        F.size(ids) > 0,
+        F.aggregate(F.zip_with(ids, pos, lambda x, i: x * i),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+    ).otherwise(F.lit(0))
+    return packed.select(
+        "shard", F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == 0)).cast("long")
+        .alias("n_boundary"),
+        checksum.cast("long").alias("checksum"))
+
+
+def _duck_packed_shuffle_sql(k: int, seq_len: int, n_shards: int,
+                             n_out: int) -> str:
+    """Training-order-shuffle oracle: the shared fit/encode/pack chain
+    up to the token stream, re-aggregated to one row per sequence, then
+    the md5-order global rank + round-robin assignment of
+    ``ranking.shuffle_shards`` over the sequence keys, fingerprinted per
+    output shard with md5 over the ','-joined pos-ordered key string —
+    one VARCHAR that pins every sequence's shard AND its exact position
+    (no integer-checksum overflow at any probe scale)."""
+    base = _duck_bpe_ids_sql(k, seq_len, n_shards)
+    body = base.rsplit("\nSELECT shard,", 1)[0]
+    return body + f""",
+seqs AS (SELECT shard, CAST(gpos // {seq_len} AS BIGINT) AS seq_id,
+                CAST(count(*) AS BIGINT) AS n_tokens
+         FROM ts GROUP BY shard, gpos // {seq_len}),
+sk AS (SELECT CAST(shard AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)
+         AS seq_key, n_tokens FROM seqs),
+hk AS (SELECT seq_key, n_tokens,
+              CAST('0x' || substr(md5('shufseq:' || seq_key), 1, 8)
+                   AS BIGINT) AS h
+       FROM sk),
+rk AS (SELECT seq_key, n_tokens,
+              row_number() OVER (ORDER BY h, seq_key) AS g
+       FROM hk),
+asn AS (SELECT seq_key, n_tokens, (g - 1) % {n_out} AS out_shard,
+               (g - 1) // {n_out} AS pos
+        FROM rk)
+SELECT CAST(out_shard AS BIGINT) AS out_shard,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       md5(string_agg(seq_key, ',' ORDER BY pos)) AS order_fp
+FROM asn GROUP BY out_shard"""
+
+
+@register("packed_shuffle_stats",
+          _duck_packed_shuffle_sql(5, seq_len=64, n_shards=8, n_out=4))
+def packed_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST step of the data-loading story: a deterministic
+    TRAINING-ORDER shuffle over the packed sequences. `pack_sequences`
+    emits sequences in doc-id-order streams per pack shard — a trainer
+    reading shard-by-shard sees source/time-correlated data.
+    `ranking.shuffle_shards` over the sequence keys (md5 order — a pure
+    function of the keys, identical across runs and engines) deals the
+    sequences round-robin into output shards, so every output shard is
+    an evenly-sized hash-stratified sample of the WHOLE packed corpus
+    and within-shard order is itself hash-random. Reported per output
+    shard: sequence count, token mass, and an md5 fingerprint of the
+    ','-joined pos-ordered key string — the oracle pins every
+    sequence's shard assignment and exact within-shard position. This
+    completes allocate → draw → encode → pack → SHUFFLE. Plan: the
+    shuffle ranks with the two-pass range-partition global row number
+    (no global window funnel); everything downstream of packing moves
+    one answer-sized row per SEQUENCE, never ids."""
+    from .operators import bpe as bpe_ops
+    from .operators import ranking as rank_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    enc = bpe_ops.bpe_encode_ids(docs, merges)
+    packed = pack_ops.pack_sequences(enc, ids_col="token_ids",
+                                     id_col="doc_id", seq_len=64,
+                                     n_shards=8,
+                                     boundary_id=bpe_ops.BOUNDARY_ID)
+    keyed = packed.select(
+        F.concat_ws(":", F.col("shard").cast("string"),
+                    F.col("seq_id").cast("string")).alias("seq_key"),
+        "n_tokens")
+    shuf = rank_ops.shuffle_shards(keyed, id_col="seq_key", n_shards=4,
+                                   seed="shufseq:")
+    order_fp = F.md5(F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"),
+                                                 F.col("seq_key")))),
+            lambda s: s["seq_key"]),
+        ","))
+    return (shuf.groupBy(F.col("shard").cast("long").alias("out_shard"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"),
+                 F.sum("n_tokens").cast("long").alias("tokens"),
+                 order_fp.alias("order_fp")))
+
+
+#: mixture design for the EPOCH-pack pipeline: a heavily over-weighted
+#: src0 against three peers, with the budget set DATA-DEPENDENTLY to
+#: 2× the weighted sources' availability (same rule in the oracle), so
+#: src0's target is ≈5× its supply — oversample_ppm ≈ 5·10⁶, i.e. 4–5
+#: FULL epochs plus a fraction — at EVERY scale factor. This is the
+#: case `expand_epochs` exists for: a source that must physically
+#: repeat.
+_EPOCH_MIX_WEIGHTS = {"src0": 5, "src1": 1, "src2": 1, "src3": 1}
+
+
+def _duck_epoch_pack_sql(k: int, seq_len: int, n_shards: int) -> str:
+    """Oracle for the epoch-expanded mixture pack: the Hamilton
+    allocation (budget = 2× the weighted sources' availability, as a
+    scalar subquery) → full_epochs + remainder per source → per-doc
+    multiplicity ``reps`` (prefix-cut fraction + full epochs) → one
+    (doc, epoch) row per rep with the compound ``pkey = doc_id ':'
+    epoch_idx`` → the shared encode chain (each doc encoded ONCE) joined
+    back to every epoch copy → sharding/offsets on the COMPOUND key —
+    exactly ``pack_sequences(id_col="pack_key")`` over
+    ``expand_epochs`` output."""
+    w_total = sum(_EPOCH_MIX_WEIGHTS.values())
+    srcs = ", ".join(f"'{s}'" for s in sorted(_EPOCH_MIX_WEIGHTS))
+    epoch_ctes = f"""
+msrc AS (SELECT source, doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS w
+         FROM documents),
+mavail AS (SELECT source, CAST(sum(w) AS BIGINT) AS available_tokens
+           FROM msrc GROUP BY source),
+mbud AS (SELECT CAST(2 * sum(available_tokens) AS BIGINT) AS b
+         FROM mavail WHERE source IN ({srcs})),
+mwt AS (SELECT source, available_tokens,
+               CAST({_duck_weight_case(_EPOCH_MIX_WEIGHTS)} AS BIGINT)
+                 AS wgt
+        FROM mavail),
+mq AS (SELECT source, available_tokens,
+              CAST((SELECT b FROM mbud) * wgt // {w_total}
+                   AS BIGINT) AS quota,
+              ((SELECT b FROM mbud) * wgt) % {w_total} AS rm
+       FROM mwt),
+mr AS (SELECT source, available_tokens, quota,
+              row_number() OVER (ORDER BY rm DESC, source) AS rk,
+              (SELECT b FROM mbud) - sum(quota) OVER () AS leftover
+       FROM mq),
+mtgt AS (SELECT source, available_tokens,
+                CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                     AS BIGINT) AS target_tokens
+         FROM mr),
+mful AS (SELECT source, available_tokens, target_tokens,
+                CASE WHEN available_tokens > 0
+                     THEN target_tokens // available_tokens
+                     ELSE 0 END AS full_epochs,
+                CASE WHEN available_tokens > 0
+                     THEN target_tokens % available_tokens
+                     ELSE 0 END AS rem
+         FROM mtgt),
+mbase AS (SELECT source, doc_id, w,
+  CAST('0x' || substr(md5('mixdraw:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       AS BIGINT) AS key
+  FROM msrc),
+mcum AS (SELECT source, doc_id, w,
+         sum(w) OVER (PARTITION BY source ORDER BY key % 8, key, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS ci
+         FROM mbase),
+mrep AS (SELECT c.doc_id,
+                g.full_epochs
+                + CASE WHEN c.ci - c.w < g.rem THEN 1 ELSE 0 END AS reps
+         FROM mcum c JOIN mful g USING (source)),
+mexp AS (SELECT doc_id,
+                CAST(doc_id AS VARCHAR) || ':' || CAST(u.e AS VARCHAR)
+                  AS pkey
+         FROM mrep, UNNEST(range(1, reps + 1)) AS u(e)
+         WHERE reps > 0),
+msel AS (SELECT DISTINCT doc_id FROM mexp)"""
+    parts = _duck_bpe_denc_parts(k, extra_ctes=epoch_ctes, sel="msel")
+    parts += [
+        f"sh AS (SELECT x.pkey, d.ids, CAST(len(d.ids) AS BIGINT) AS n, "
+        f"CAST(CAST('0x' || substr(md5('shard:' || x.pkey), 1, 8) "
+        f"AS BIGINT) % {n_shards} AS INT) AS shard "
+        f"FROM denc d JOIN mexp x USING (doc_id)),",
+        "off AS (SELECT pkey, shard, ids, n, coalesce(sum(n) OVER ("
+        "PARTITION BY shard ORDER BY pkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt "
+        "FROM sh),",
+        "ts AS (SELECT shard, strt + CAST(u.i AS BIGINT) - 1 "
+        "AS gpos, ids[CAST(u.i AS INT)] AS tid "
+        "FROM off, UNNEST(range(1, n + 1)) AS u(i))",
+    ]
+    return "\n".join(parts) + _duck_pack_tail(seq_len)
+
+
+@register("mixture_epoch_pack_pipeline",
+          _duck_epoch_pack_sql(5, seq_len=64, n_shards=8))
+def mixture_epoch_pack_pipeline(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """OVERSAMPLING made physically executable: the end-to-end mixture
+    pipeline over the EXPANDED (doc, epoch) stream. `_EPOCH_MIX_WEIGHTS`
+    over-weights src0 5:1 with a budget of 2× the weighted sources'
+    availability, so src0's Hamilton target is ≈5× its supply
+    (oversample_ppm ≈ 5·10⁶ — the case `mixture_pack_pipeline` leaves
+    to "loader-side multiplicity"). Here the multiplicity is
+    MATERIALIZED: allocation → prefix draw → `expand_epochs` (one row
+    per (doc, epoch)) → BPE ids (each doc encoded ONCE — the broadcast
+    word→ids join never repeats work for repeats) → joined to every
+    epoch copy under the compound key ``doc_id ':' epoch_idx`` (two
+    epochs of one doc never collide in the packer) →
+    `pack_sequences(id_col="pack_key")`. Reported as the per-sequence
+    (n_tokens, n_boundary, Σ pos·id checksum) stats, so the oracle pins
+    every id at every position of the epoch-expanded mix — including
+    that each copy carries its own trailing boundary. Plan: allocation
+    aggregates once (budget from an answer-sized collect); the draw is
+    the two-level sharded prefix sum; the epoch join moves only (doc,
+    epoch)-sized rows against the encoded frame; packing moves the
+    output's own bytes. The expanded stream is ~2.3× the weighted
+    slice of the corpus — the mixture size, the floor for any
+    materialization."""
+    from .operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select("source", "doc_id",
+                       T.token_count(F.col("text")).cast("long")
+                       .alias("n_tokens"))
+    avail = materialize(
+        meta.groupBy(F.col("source").alias("source"))
+        .agg(F.sum("n_tokens").cast("long").alias("available_tokens")))
+    wsum = (avail.filter(F.col("source").isin(*_EPOCH_MIX_WEIGHTS))
+            .agg(F.sum("available_tokens")).collect()[0][0])
+    budget = 2 * int(wsum)
+    alloc = materialize(samp_ops.mixture_allocation_from_totals(
+        avail, _EPOCH_MIX_WEIGHTS, budget).drop("oversample_ppm"))
+    draw = samp_ops.token_budget_prefix_draw(meta, alloc)
+    expanded = materialize(
+        samp_ops.expand_epochs(draw).select("doc_id", "epoch_idx"))
+    sel = expanded.select("doc_id").distinct()
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    enc = bpe_ops.bpe_encode_ids(docs.join(sel, "doc_id"), merges)
+    stream = (enc.join(expanded, "doc_id")
+              .select(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                  F.col("epoch_idx").cast("string"))
+                      .alias("pack_key"),
+                      "token_ids"))
+    packed = pack_ops.pack_sequences(stream, ids_col="token_ids",
+                                     id_col="pack_key", seq_len=64,
                                      n_shards=8,
                                      boundary_id=bpe_ops.BOUNDARY_ID)
     ids = F.col("input_ids")

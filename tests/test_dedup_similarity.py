@@ -2465,3 +2465,35 @@ def test_exact_rerank_matches_bruteforce_on_shortlist(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3]
+
+
+def test_bpe_vocab_table_astral_base_ids(spark):
+    """bpe_vocab_table: astral-plane characters (outside the BMP, two
+    UTF-16 units in the JVM) must come out as ONE base row at id
+    k + codepoint — never split into lone surrogates by the JVM-side
+    zero-width split. Pins the exported base ids against token_id_map /
+    bpe_encode_ids' driver-side ord() rule."""
+    from peskas_malawi_data_pipeline_spark.operators import bpe
+
+    astral = "\U0001D54A"          # MATHEMATICAL DOUBLE-STRUCK CAPITAL S
+    emoji = "\U0001F600"           # GRINNING FACE
+    df = spark.createDataFrame(
+        [(1, f"ab ab a{astral}b {emoji}{emoji} cd")],
+        "doc_id long, text string")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe.bpe_fit(df, k=2).orderBy("merge_rank")
+              .collect()]
+    k = len(merges)
+    vocab = bpe.bpe_vocab_table(df, merges).collect()
+    base = {r.symbol: r.token_id for r in vocab if r.kind == "base"}
+    # every base symbol is exactly one CODEPOINT (no lone surrogates)
+    assert all(len(s) == 1 for s in base), sorted(base)
+    assert base[astral] == k + ord(astral)
+    assert base[emoji] == k + ord(emoji)
+    # the exported ids agree with the encode path's id rule
+    rank_of = bpe.token_id_map(merges)
+    for r in vocab:
+        if r.kind == "merge":
+            assert rank_of[r.symbol] == r.token_id
+        elif r.kind == "boundary":
+            assert r.token_id == bpe.BOUNDARY_ID and r.symbol is None

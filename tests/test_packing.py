@@ -304,3 +304,30 @@ def test_pack_sequences_spans_cover_exactly(spark):
         assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))
     # the 12-id doc with seq_len=5 must straddle >= 2 sequences
     assert len(by_doc_seqs[1]) >= 2
+
+
+def test_expand_epochs_null_tokens_keep_full_epochs(spark):
+    """expand_epochs: a doc whose token count is NULL has in_fraction =
+    NULL from the draw (it never enters the prefix cut), but the
+    per-source full_epochs multiplicity still applies — the NULL must
+    coalesce to 0 extra copies, not poison the rep count and drop the
+    doc from every epoch."""
+    from peskas_malawi_data_pipeline_spark.operators import sampling as S
+
+    draw = spark.createDataFrame(
+        [("a", 1, 10, 2, True),     # 2 full epochs + fraction -> 3
+         ("a", 2, 10, 2, False),    # 2 full epochs            -> 2
+         ("a", 3, None, 2, None),   # NULL tokens: full epochs -> 2
+         ("b", 4, 5, 0, True),      # fraction only            -> 1
+         ("b", 5, 5, 0, None)],     # nothing                  -> 0
+        "source string, doc_id long, n_tokens long, full_epochs long,"
+        " in_fraction boolean")
+    out = S.expand_epochs(draw).collect()
+    reps = {}
+    for r in out:
+        reps.setdefault(r.doc_id, []).append(r.epoch_idx)
+    assert sorted(reps.get(1, [])) == [1, 2, 3]
+    assert sorted(reps.get(2, [])) == [1, 2]
+    assert sorted(reps.get(3, [])) == [1, 2]   # the ADVICE regression
+    assert sorted(reps.get(4, [])) == [1]
+    assert 5 not in reps

@@ -641,6 +641,9 @@ def test_registry_wide_plan_hygiene(spark):
         "ann_recall_at_k",   # same 8-row centroid numbering via ivf_topk
         "ntile_deciles",     # |buckets|-row offset frame (ranking.global_ntile)
         "corpus_shuffle",    # |buckets|-row offset frame (ranking.shuffle_shards)
+        "packed_shuffle_stats",  # same |buckets|-row offset frame — the
+                                 # shuffle ranks SEQUENCES (answer-sized)
+                                 # via shuffle_shards/global_row_number
         "token_rank_fluency",  # |buckets|-row offset frame over the ≤100-row
                                # heavy-hitter vocabulary (global_row_number)
         "zone_map_skipping",   # |buckets|-row offset frame ×2 layouts
