@@ -1435,6 +1435,14 @@ def mixture_draw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     alloc = materialize(samp_ops.mixture_allocation(
         docs, _MIX_WEIGHTS, _MIX_BUDGET).drop("oversample_ppm"))
     draw = samp_ops.token_budget_prefix_draw(docs, alloc)
+    return _mixture_draw_report(draw, alloc)
+
+
+def _mixture_draw_report(draw: DataFrame, alloc: DataFrame) -> DataFrame:
+    """Per-source audit of a token_budget_prefix_draw result against its
+    allocation: drawn fraction mass, the within-one-doc overshoot bound,
+    and the totals — shared by the whitespace-unit and subword-unit
+    draw queries."""
     frac_w = F.when(F.col("in_fraction"), F.col("n_tokens"))
     stats = (draw.groupBy("source")
              .agg(F.max("full_epochs").alias("full_epochs"),
@@ -6172,27 +6180,40 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
-_DUCK_ANN_RERANK_SQL = f"""
-{_DUCK_ANN_PROLOGUE},
-{_duck_adc_blocks("l", "cents_l")},
-short10 AS (SELECT query_id, corpus_id FROM (
+def _duck_rerank_blocks(x: str) -> str:
+    """Shortlist-and-exact-rerank CTEs for ADC variant ``x``: the
+    IVF-ADC top-10 shortlist from the variant's pruned candidates, each
+    member re-scored by exact integer L2 and cut to top-3 — the SQL
+    twin of similarity.exact_rerank over ivf_pq_topk(k=10)."""
+    return f"""short10_{x} AS (SELECT query_id, corpus_id FROM (
     SELECT query_id, corpus_id,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY adc, corpus_id) AS rn
-    FROM iadc_l) WHERE rn <= 10),
-rr AS (SELECT s.query_id, s.corpus_id,
+    FROM iadc_{x}) WHERE rn <= 10),
+rr_{x} AS (SELECT s.query_id, s.corpus_id,
               list_sum(list_transform(range(1, 65),
                 i -> (qm.qv[i] - e.v[i]) * (qm.qv[i] - e.v[i]))) AS d2
-       FROM short10 s
+       FROM short10_{x} s
        JOIN qm ON s.query_id = qm.query_id
        JOIN e ON s.corpus_id = e.vec_id),
-rrk AS (SELECT query_id, corpus_id FROM (
+rrk_{x} AS (SELECT query_id, corpus_id FROM (
     SELECT query_id, corpus_id,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY d2, corpus_id) AS rn
-    FROM rr) WHERE rn <= 3),
+    FROM rr_{x}) WHERE rn <= 3)"""
+
+
+_DUCK_ANN_RERANK_SQL = f"""
+{_DUCK_ANN_PROLOGUE},
+{_DUCK_ANN_TRAINED_CHAIN},
+{_duck_adc_blocks("l", "cents_l")},
+{_duck_adc_blocks("t", "cents_t")},
+{_duck_rerank_blocks("l")},
+{_duck_rerank_blocks("t")},
 m AS ({_duck_pq_recall_row("ivf_adc", "ivf_l")}
-  UNION ALL {_duck_pq_recall_row("ivf_adc_rerank10", "rrk")})
+  UNION ALL {_duck_pq_recall_row("ivf_adc_rerank10", "rrk_l")}
+  UNION ALL {_duck_pq_recall_row("ivf_adc_trained", "ivf_t")}
+  UNION ALL {_duck_pq_recall_row("ivf_adc_trained_rerank10", "rrk_t")})
 SELECT method, CAST(hits AS BIGINT) AS hits,
        CAST(approx_n AS BIGINT) AS approx_n,
        CAST(exact_n AS BIGINT) AS exact_n,
@@ -6214,9 +6235,15 @@ def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN-shortlist ordering (a true neighbor the coarse pruning or
     codes never shortlisted stays lost), so the gap that remains prices
     the shortlist itself — the number that tells a deployment whether
-    to spend on k', nprobe, or codebook quality next. Plan: shortlist
-    broadcast into one corpus map pass, per-query window over ≤ k'
-    rows; artifacts from the session memo."""
+    to spend on k', nprobe, or codebook quality next. Both coarse
+    quantizers are measured (lowest-id seed AND the k-means-trained
+    pair), so the query answers whether rerank and training STACK —
+    they attack different errors (rerank fixes within-shortlist ADC
+    ordering, training improves which vectors get shortlisted), so the
+    composition should beat either alone; the measured verdict lands
+    in SCALE.md. Plan: each shortlist broadcast into one corpus map
+    pass, per-query window over ≤ k' rows; artifacts from the session
+    memo."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _ann_n_queries(emb, sf_dir)).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -6228,15 +6255,22 @@ def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse_l = _ann_memo((sf_dir, "coarse_l", 8),
                          lambda: sim_ops.ivf_coarse_centroids(
                              c, n_centroids=8))
-    shortlist = materialize(
-        sim_ops.ivf_pq_topk(q, c, cb_l, coarse_l, k=10, nprobe=2)
-        .select("query_id", "corpus_id"))
+    cents_t = _trained_full_centroids(emb, sf_dir)
+    cb_t = sim_ops.pq_codebook_from_centroids(cents_t, m=4)
+    coarse_t = {i: cents_t[cid]
+                for i, cid in enumerate(sorted(cents_t), start=1)}
+    arms = []
+    for name, cb, coarse in (("ivf_adc", cb_l, coarse_l),
+                             ("ivf_adc_trained", cb_t, coarse_t)):
+        shortlist = materialize(
+            sim_ops.ivf_pq_topk(q, c, cb, coarse, k=10, nprobe=2)
+            .select("query_id", "corpus_id"))
+        arms.append((name, sim_ops.ivf_pq_topk(q, c, cb, coarse, k=3,
+                                               nprobe=2)))
+        arms.append((f"{name}_rerank10",
+                     sim_ops.exact_rerank(shortlist, q, c, k=3)))
     rows = []
-    for method, approx in (
-            ("ivf_adc", sim_ops.ivf_pq_topk(q, c, cb_l, coarse_l, k=3,
-                                            nprobe=2)),
-            ("ivf_adc_rerank10", sim_ops.exact_rerank(shortlist, q, c,
-                                                      k=3))):
+    for method, approx in arms:
         agg = (approx.select("query_id", "corpus_id")
                .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
                .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
@@ -6249,7 +6283,7 @@ def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_n").cast("long").alias("exact_n"),
             F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
             .alias("recall_ppm")))
-    return rows[0].unionByName(rows[1])
+    return reduce(lambda a, b: a.unionByName(b), rows)
 
 
 def _duck_sub_lloyd(s: int, k: int = 8, p: str = "s") -> str:
@@ -6529,6 +6563,125 @@ def ann_pq_subspace_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
             .alias("recall_ppm")))
     return rows[0].unionByName(rows[1])
+
+
+def _duck_cbsweep_sql(caps: tuple[int, ...]) -> str:
+    """Codebook-CAPACITY sweep oracle: one per-subspace-trained Lloyd
+    chain per capacity (``_duck_sub_lloyd`` with ``k`` seeds, CTE names
+    prefixed per capacity so all coexist in one WITH), then per capacity
+    the shared encode/ADC/top-3 blocks, the recall row against the
+    exact baseline, and the mean reconstruction distortion — the same
+    Σ-of-subspace-minima the encoder's argmin produces, so distortion
+    falls out of the code-assignment CTE for free."""
+    parts = [_DUCK_ANN_PROLOGUE]
+    rows = []
+    for cap in caps:
+        p = f"k{cap}x"
+        for s in range(1, 5):
+            parts.append(_duck_sub_lloyd(s, k=cap, p=p))
+        parts.append(
+            f"cents_{p} AS ({' UNION ALL '.join(f'SELECT * FROM {p}{s}cents' for s in range(1, 5))})")
+        parts.append(f"""cd_{p} AS (SELECT e.vec_id AS corpus_id, cs.sub, cs.cid,
+                list_sum(list_transform(range(1, 17),
+                  i -> (v[(cs.sub - 1) * 16 + i] - cv[i])
+                     * (v[(cs.sub - 1) * 16 + i] - cv[i]))) AS d2
+         FROM e, cents_{p} cs)""")
+        parts.append(f"""codes_{p} AS (SELECT corpus_id, sub, cid FROM (
+    SELECT corpus_id, sub, cid,
+           row_number() OVER (PARTITION BY corpus_id, sub
+                              ORDER BY d2, cid) AS rn
+    FROM cd_{p}) WHERE rn = 1)""")
+        parts.append(f"""adc_{p} AS (
+  SELECT query_id, corpus_id, sum(sd2) AS adc FROM (
+    SELECT qm.query_id, co.corpus_id,
+           list_sum(list_transform(range(1, 17),
+             i -> (qv[(co.sub - 1) * 16 + i] - ce.cv[i])
+                * (qv[(co.sub - 1) * 16 + i] - ce.cv[i]))) AS sd2
+    FROM qm, codes_{p} co
+    JOIN cents_{p} ce ON co.sub = ce.sub AND co.cid = ce.cid
+    WHERE qm.query_id <> co.corpus_id)
+  GROUP BY query_id, corpus_id)""")
+        parts.append(f"""pq_{p} AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, corpus_id) AS rn
+    FROM adc_{p}) WHERE rn <= 3)""")
+        parts.append(f"""dist_{p} AS (
+  SELECT CAST(sum(d2) // (SELECT count(*) FROM e) AS BIGINT) AS mean_d2
+  FROM (SELECT corpus_id, sub, min(d2) AS d2 FROM cd_{p}
+        GROUP BY corpus_id, sub))""")
+        rows.append(f"""SELECT {cap} AS k_centroids,
+  (SELECT count(*) FROM pq_{p}
+   JOIN exact USING (query_id, corpus_id)) AS hits,
+  (SELECT count(*) FROM pq_{p}) AS approx_n,
+  (SELECT count(*) FROM exact) AS exact_n,
+  (SELECT mean_d2 FROM dist_{p}) AS mean_d2""")
+    body = ",\n".join(parts)
+    union = "\n  UNION ALL ".join(rows)
+    return f"""{body},
+m AS ({union})
+SELECT CAST(k_centroids AS BIGINT) AS k_centroids,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(approx_n AS BIGINT) AS approx_n,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(hits * 1000000 // exact_n AS BIGINT) AS recall_ppm,
+       mean_d2
+FROM m"""
+
+
+_CB_SWEEP_CAPS = (8, 16, 32, 64)
+
+
+@register("ann_codebook_sweep", _duck_cbsweep_sql(_CB_SWEEP_CAPS))
+def ann_codebook_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEBOOK CAPACITY vs quality — the THIRD tuning axis after
+    banding (`lsh_quality_sweep`) and probe width (`ann_nprobe_sweep`):
+    recall@3 and mean reconstruction distortion for per-subspace-trained
+    PQ codebooks at k_centroids ∈ {8,16,32,64} and fixed m=4. The
+    nprobe sweep proved ADC error DOMINATES at toy capacity (recall
+    falls as probes widen); the textbook response is capacity — each
+    doubling of k_centroids squares nothing and costs only k·d_sub per
+    subspace in the table, while distortion (the quantity Lloyd
+    directly minimizes) must fall monotonically in k on the train set.
+    Whether RECALL follows, and where it saturates, is what a
+    deployment reads off this curve before spending on m or nprobe.
+    Plan: one bounded Lloyd run per (capacity, subspace), artifacts
+    memoized per sf_dir (shared with `pq_distortion_report` at k=8);
+    per capacity the corpus pays one pure-map encode whose argmin d² is
+    ALSO the distortion (one extra one-row aggregate), and scoring/
+    metrics run exactly as in `ann_pq_recall`. Oracle: four unrolled
+    per-capacity Lloyd chains + the shared ADC blocks, all exact
+    BIGINTs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ann_n_queries(emb, sf_dir)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = _exact_l2_baseline(spark, q, c, sf_dir)
+    exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
+    n_vec = c.count()
+    rows = []
+    for cap in _CB_SWEEP_CAPS:
+        cb = _ann_memo((sf_dir, "cb_sub", 4, cap, 2),
+                       lambda cap=cap: sim_ops.pq_codebook_subspace_trained(
+                           c, m=4, k_centroids=cap, iterations=2))
+        dist = (sim_ops.pq_distortion(c, cb, id_col="corpus_id")
+                .agg(F.expr(f"sum(pq_d2) div {n_vec}").alias("mean_d2")))
+        approx = sim_ops.pq_adc_topk(q, c, cb, k=3)
+        agg = (approx.select("query_id", "corpus_id")
+               .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                    F.count(F.lit(1)).alias("approx_n"))
+               .crossJoin(F.broadcast(exact_n))
+               .crossJoin(F.broadcast(dist)))
+        rows.append(agg.select(
+            F.lit(cap).cast("long").alias("k_centroids"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("approx_n").cast("long").alias("approx_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+            .alias("recall_ppm"),
+            F.col("mean_d2").cast("long").alias("mean_d2")))
+    return reduce(lambda a, b: a.unionByName(b), rows)
 
 
 @register("pq_distortion_report", f"""
@@ -8064,6 +8217,109 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str
                         F.expr("n_chars * 1000000 div n_subwords")))
 
 
+def _duck_subword_draw_sql(k: int) -> str:
+    """Subword-unit mixture-draw oracle: the shared k-round fit chain →
+    per-doc SUBWORD counts (the fertility report's dc CTE) → the exact
+    allocation + prefix-draw + per-source audit chain of
+    ``mixture_draw_stats``, with the subword count as the token
+    weight."""
+    parts = _duck_bpe_parts(k)
+    w_total = sum(_MIX_WEIGHTS.values())
+    parts += [
+        "dw AS (SELECT doc_id, unnest(t) AS w FROM toks),",
+        f"dc AS (SELECT dw.doc_id, "
+        f"CAST(sum(len(string_split(v{k}.syms, ' '))) AS BIGINT) AS w "
+        f"FROM dw JOIN v{k} USING (w) GROUP BY dw.doc_id),",
+        "msrc AS (SELECT d.source, c.doc_id, c.w "
+        "FROM dc c JOIN documents d USING (doc_id)),",
+        "avail AS (SELECT source, CAST(sum(w) AS BIGINT) "
+        "AS available_tokens FROM msrc GROUP BY source),",
+        f"wt AS (SELECT source, available_tokens, "
+        f"CAST({_duck_mix_weight_case()} AS BIGINT) AS wgt FROM avail),",
+        f"q AS (SELECT source, available_tokens, "
+        f"CAST({_MIX_BUDGET} * wgt // {w_total} AS BIGINT) AS quota, "
+        f"({_MIX_BUDGET} * wgt) % {w_total} AS rm FROM wt),",
+        f"r AS (SELECT source, available_tokens, quota, "
+        f"row_number() OVER (ORDER BY rm DESC, source) AS rk, "
+        f"{_MIX_BUDGET} - sum(quota) OVER () AS leftover FROM q),",
+        "t AS (SELECT source, available_tokens, "
+        "CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END "
+        "AS BIGINT) AS target_tokens FROM r),",
+        "mbase AS (SELECT source, doc_id, w, "
+        "CAST('0x' || substr(md5('mixdraw:' || CAST(doc_id AS VARCHAR)), "
+        "1, 8) AS BIGINT) AS key FROM msrc),",
+        "mcum AS (SELECT source, doc_id, w, "
+        "sum(w) OVER (PARTITION BY source ORDER BY key % 8, key, doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS ci FROM mbase),",
+        "j AS (SELECT c.source, c.w, c.ci - c.w AS ce, "
+        "t.available_tokens, t.target_tokens, "
+        "CASE WHEN t.available_tokens > 0 "
+        "THEN t.target_tokens // t.available_tokens ELSE 0 END "
+        "AS full_epochs, "
+        "CASE WHEN t.available_tokens > 0 "
+        "THEN t.target_tokens % t.available_tokens ELSE 0 END AS rem "
+        "FROM mcum c JOIN t USING (source)),",
+        "s AS (SELECT source, "
+        "CAST(max(available_tokens) AS BIGINT) AS available_tokens, "
+        "CAST(max(target_tokens) AS BIGINT) AS target_tokens, "
+        "CAST(max(full_epochs) AS BIGINT) AS full_epochs, "
+        "CAST(max(rem) AS BIGINT) AS frac_target, "
+        "CAST(coalesce(sum(CASE WHEN ce < rem THEN w END), 0) AS BIGINT) "
+        "AS drawn_frac_tokens, "
+        "CAST(count(CASE WHEN ce < rem THEN 1 END) AS BIGINT) "
+        "AS drawn_frac_docs, "
+        "CAST(max(CASE WHEN ce < rem THEN w END) AS BIGINT) "
+        "AS max_drawn_doc_tokens FROM j GROUP BY source)",
+    ]
+    tail = """
+SELECT source, available_tokens, target_tokens, full_epochs, frac_target,
+       drawn_frac_tokens, drawn_frac_docs, max_drawn_doc_tokens,
+       CAST(full_epochs * available_tokens + drawn_frac_tokens AS BIGINT)
+         AS drawn_total_tokens,
+       CAST(full_epochs * available_tokens + drawn_frac_tokens
+            - target_tokens AS BIGINT) AS overshoot,
+       (full_epochs * available_tokens + drawn_frac_tokens
+          = target_tokens)
+       OR (full_epochs * available_tokens + drawn_frac_tokens
+             - target_tokens < max_drawn_doc_tokens) AS within_one_doc
+FROM s"""
+    return "\n".join(parts) + tail
+
+
+@register("mixture_subword_draw_stats", _duck_subword_draw_sql(5))
+def mixture_subword_draw_stats(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """FERTILITY-WEIGHTED mixture draw: allocation and physical draw in
+    SUBWORD units. Training budgets are subword tokens, but
+    `mixture_draw_stats` budgets whitespace words — a source with
+    outlier fertility (subwords per word, the number
+    `tokenizer_fertility_report` measures) silently gets more or less
+    than its share of the ACTUAL training budget. Here the per-doc
+    token weight is `bpe_apply_counts`' n_subwords under the learned
+    merges, so Hamilton targets, epochs, and the prefix cut all operate
+    in the units the trainer consumes, and the within-one-doc overshoot
+    bound is re-pinned on the subword number line. Same report shape as
+    `mixture_draw_stats` — diffing the two IS the fertility correction.
+    Plan: the subword counts ride `bpe_apply_counts`' auto→local encode
+    (one distinct-word pass, broadcast word→len join); allocation
+    aggregates once; the draw is the two-level sharded prefix sum.
+    Oracle: the shared fit chain + the fertility dc CTE feeding the
+    exact allocation/draw/audit SQL of the whitespace variant."""
+    from .operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    sub = bpe_ops.bpe_apply_counts(docs, merges).select(
+        "doc_id", F.col("n_subwords").alias("n_tokens"))
+    meta = docs.select("source", "doc_id").join(sub, "doc_id")
+    alloc = materialize(samp_ops.mixture_allocation(
+        meta, _MIX_WEIGHTS, _MIX_BUDGET).drop("oversample_ppm"))
+    draw = samp_ops.token_budget_prefix_draw(meta, alloc)
+    return _mixture_draw_report(draw, alloc)
+
+
 def _duck_bpe_vocab_sql(k: int) -> str:
     """Vocabulary-export oracle: the merge ranks (min per distinct
     new_symbol), the corpus's distinct base characters at k+codepoint,
@@ -8363,6 +8619,60 @@ def packed_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"),
                  F.sum("n_tokens").cast("long").alias("tokens"),
                  order_fp.alias("order_fp")))
+
+
+@register("incremental_pack_stats", _duck_bpe_ids_sql(5, seq_len=64,
+                                                      n_shards=8))
+def incremental_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(INCREMENT) encode+pack — the daily-batch shape of the packing
+    stage (packing.pack_sequences_incremental): the corpus arrives as
+    two append-only batches split at the median doc id; each batch
+    encodes and packs ONLY its own documents, continuing every shard's
+    id stream from the persisted (stream_len, open-tail) state, and
+    emits only the sequences it completed. The final output (both
+    batches' completed sequences + the closing open tails) is reported
+    with the same per-sequence stats as `packed_sequence_stats`, and
+    the oracle is the FULL-corpus pack oracle VERBATIM — the strongest
+    available evidence that the incremental path adds no semantics
+    (same proof shape as streaming_pinned_split vs its batch twin).
+    Plan: per batch, one window + one fragment groupBy over the
+    INCREMENT only; the carried state is n_shards rows of ≤ seq_len
+    ids, broadcast — a daily append at 100 TB pays for its own bytes,
+    never a re-pack of history."""
+    from .operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    cutoff = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    state = pack_ops.empty_pack_state(spark)
+    parts = []
+    for batch in (docs.filter(F.col("doc_id") <= cutoff),
+                  docs.filter(F.col("doc_id") > cutoff)):
+        enc = bpe_ops.bpe_encode_ids(batch, merges)
+        comp, state = pack_ops.pack_sequences_incremental(
+            enc, state, ids_col="token_ids", id_col="doc_id",
+            seq_len=64, n_shards=8, boundary_id=bpe_ops.BOUNDARY_ID)
+        # the barrier IS the batch boundary: state must be concrete
+        # before the next batch reads it (foreachBatch semantics)
+        comp, state = materialize(comp), materialize(state)
+        parts.append(comp)
+    packed = (parts[0].unionByName(parts[1])
+              .unionByName(pack_ops.pack_state_tails(state, seq_len=64)))
+    ids = F.col("input_ids")
+    pos = F.sequence(F.lit(1).cast("long"), F.size(ids).cast("long"))
+    checksum = F.when(
+        F.size(ids) > 0,
+        F.aggregate(F.zip_with(ids, pos, lambda x, i: x * i),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+    ).otherwise(F.lit(0))
+    return packed.select(
+        "shard", F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == 0)).cast("long")
+        .alias("n_boundary"),
+        checksum.cast("long").alias("checksum"))
 
 
 #: mixture design for the EPOCH-pack pipeline: a heavily over-weighted

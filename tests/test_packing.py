@@ -331,3 +331,39 @@ def test_expand_epochs_null_tokens_keep_full_epochs(spark):
     assert sorted(reps.get(3, [])) == [1, 2]   # the ADVICE regression
     assert sorted(reps.get(4, [])) == [1]
     assert 5 not in reps
+
+
+def test_pack_sequences_incremental_equals_full_replay(spark):
+    """pack_sequences_incremental: under the append-only (monotone-id)
+    contract, the union of every batch's completed sequences plus the
+    final state's open tails is EXACTLY the full-corpus pack_sequences
+    output — and every completed sequence is exactly seq_len tokens.
+    Batch boundaries are uneven (one batch leaves some shards with no
+    new docs — their open tails must carry through unchanged)."""
+    arrays = [[i * 100 + j + 1 for j in range(n)]
+              for i, n in enumerate([3, 12, 1, 7, 9, 4, 2, 11, 6, 5])]
+    df = _seq_docs(spark, arrays)
+    full = {(r.shard, r.seq_id): (list(r.input_ids), r.n_tokens)
+            for r in P.pack_sequences(df, seq_len=5,
+                                      n_shards=3).collect()}
+
+    from peskas_malawi_data_pipeline_spark.core.barrier import materialize
+
+    state = P.empty_pack_state(spark)
+    got = {}
+    for lo, hi in ((0, 4), (4, 5), (5, 10)):   # batch 2 is a single doc
+        batch = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        comp, state = P.pack_sequences_incremental(
+            batch, state, seq_len=5, n_shards=3)
+        comp, state = materialize(comp), materialize(state)
+        for r in comp.collect():
+            assert r.n_tokens == 5          # completed == full windows only
+            key = (r.shard, r.seq_id)
+            assert key not in got           # never re-emitted
+            got[key] = (list(r.input_ids), r.n_tokens)
+    for r in P.pack_state_tails(state, seq_len=5).collect():
+        got[(r.shard, r.seq_id)] = (list(r.input_ids), r.n_tokens)
+    assert got == full
+    # state invariant: tail length == stream_len % seq_len
+    for r in state.collect():
+        assert len(r.tail_ids) == r.stream_len % 5
