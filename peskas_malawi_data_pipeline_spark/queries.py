@@ -1794,6 +1794,104 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+@register("quality_dedup_survivors", f"""
+WITH RECURSIVE {{MINHASH_CTES}},
+edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+          UNION SELECT id_b, id_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+qbase AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text,
+             '[\\.,;:!\\?"''\\(\\)\\[\\]\\{{\\}}]', '', 'g')) AS n_punct,
+         list_filter(string_split_regex(lower(trim(text)), '[\\s\\v]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(floor((0.4 * least(n / 500.0, 1.0)
+           + 0.3 * (1.0 - least((CASE WHEN n > 0
+               THEN CAST(n_punct AS DOUBLE) / n ELSE 0.0 END) * 5.0, 1.0))
+           + 0.3 * least((CASE WHEN len(t) > 0 THEN
+               CAST(len(list_filter(t, x -> x IN
+                   ('the','and','of','to','a','in','is')))
+                    AS DOUBLE) / len(t) ELSE 0.0 END) * 5.0, 1.0))
+           * 1000000) AS BIGINT) AS quality_micro
+  FROM qbase),
+g AS (SELECT d.doc_id,
+             CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_key,
+             q.quality_micro
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.id
+      JOIN q ON d.doc_id = q.doc_id),
+w AS (SELECT doc_id, group_key, quality_micro,
+             row_number() OVER (PARTITION BY group_key
+                                ORDER BY quality_micro DESC, doc_id)
+               AS rk
+      FROM g)
+SELECT doc_id, group_key, quality_micro, rk = 1 AS survivor
+FROM w
+""".replace("{MINHASH_CTES}", _DUCK_MINHASH_CTES))
+def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE canonical selection — the production dedup policy:
+    within each near-dup cluster keep the BEST document, not the lowest
+    id (a crawl's canonical copy is routinely the cleaner mirror, and
+    min-id keeps whichever landed first). MinHash/LSH pairs → connected
+    components → per-component argmax by the composite quality score
+    (`quality_scores`' exact micro-unit expression; ties break to the
+    lower doc_id so the choice is total). Per doc: its duplicate-group
+    key (singletons key to themselves), its quality, and whether it is
+    the group's survivor.
+
+    Scale shape: the quality score is a pure map over the corpus (one
+    Generate barrier, no shuffle); component membership is |duplicate
+    members| rows — answer-sized — so BOTH the membership join and the
+    winner re-join broadcast, and the argmax window runs over the tiny
+    member frame only, never the corpus. The corpus itself is never
+    shuffled: singletons are survivors by construction, members check
+    against the broadcast winner list."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, shingle_n=3)
+    comp = materialize(dedup_ops.connected_components_star(pairs))
+
+    def micro(col):
+        return F.floor(col * 1000000).cast("long")
+
+    pr, sr = T.punct_ratio(F.col("text")), T.stopword_ratio(F.col("text"))
+    packed = F.struct(pr.alias("pr"), sr.alias("sr"),
+                      F.least(F.length("text").cast("double") / 500.0,
+                              F.lit(1.0)).alias("lt"))
+    quality = (0.4 * F.col("s.lt")
+               + 0.3 * (1.0 - F.least(F.col("s.pr") * 5.0, F.lit(1.0)))
+               + 0.3 * F.least(F.col("s.sr") * 5.0, F.lit(1.0)))
+    scored = (docs.select("doc_id", F.explode(F.array(packed)).alias("s"))
+              .select("doc_id", micro(quality).alias("quality_micro")))
+    members = scored.join(
+        F.broadcast(comp.withColumnRenamed("id", "doc_id")), "doc_id")
+    win = Window.partitionBy("component").orderBy(
+        F.col("quality_micro").desc(), F.col("doc_id"))
+    winners = (members.withColumn("__rk", F.row_number().over(win))
+               .filter(F.col("__rk") == 1)
+               .select("doc_id", F.lit(True).alias("__win")))
+    return (scored
+            .join(F.broadcast(comp.withColumnRenamed("id", "doc_id")),
+                  "doc_id", "left")
+            .join(F.broadcast(winners), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("component"), F.col("doc_id"))
+                    .cast("long").alias("group_key"),
+                    "quality_micro",
+                    (F.col("component").isNull()
+                     | F.coalesce(F.col("__win"), F.lit(False)))
+                    .alias("survivor")))
+
+
 @register("group_aware_split", f"""
 WITH RECURSIVE {_DUCK_MINHASH_CTES},
 edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
@@ -8660,6 +8758,133 @@ def incremental_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(comp)
     packed = (parts[0].unionByName(parts[1])
               .unionByName(pack_ops.pack_state_tails(state, seq_len=64)))
+    ids = F.col("input_ids")
+    pos = F.sequence(F.lit(1).cast("long"), F.size(ids).cast("long"))
+    checksum = F.when(
+        F.size(ids) > 0,
+        F.aggregate(F.zip_with(ids, pos, lambda x, i: x * i),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+    ).otherwise(F.lit(0))
+    return packed.select(
+        "shard", F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == 0)).cast("long")
+        .alias("n_boundary"),
+        checksum.cast("long").alias("checksum"))
+
+
+@register("streaming_incremental_pack", _duck_bpe_ids_sql(5, seq_len=64,
+                                                          n_shards=8))
+def streaming_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE+PACK as a CONTINUOUS stream — the production loader-feed
+    shape: documents land in micro-batches (staged as three files split
+    at the doc-id tertiles and drained in id order, honoring
+    pack_sequences_incremental's append-only monotone-id contract); the
+    tokenizer is a FIXED up-front artifact (merges fit once, as a real
+    pipeline pins its tokenizer before any data flows); each batch
+    encodes ONLY its own documents and packs them as a continuation of
+    the persisted per-shard (stream_len, open-tail) state, emitting only
+    the sequences it completed. The final answer (all batches' completed
+    sequences + the closing open tails) is reported with the same
+    per-sequence stats as `packed_sequence_stats`, against the
+    FULL-corpus pack oracle VERBATIM — three independent proof layers
+    now share one SQL twin (batch `packed_sequence_stats`, two-batch
+    `incremental_pack_stats`, and this foreachBatch drain), so the
+    streaming path demonstrably adds no semantics.
+
+    Replay idempotency (the streaming_pinned_split discipline): state
+    and completed output are versioned per batch (write v{n}, read the
+    state version STRICTLY BELOW n), so a replayed batch re-derives its
+    completed set and state from v{n-1} and OVERWRITES its own v{n} —
+    a failed attempt's output is never read and never double-emitted.
+
+    Scale shape: per batch the increment pays one per-shard window +
+    one fragment groupBy over ITS OWN documents only; the carried state
+    is n_shards rows of < seq_len ids riding in as a broadcast — a
+    daily append at 100 TB pays for its own bytes, never a re-pack of
+    history, and completed sequences stream out as they fill."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import bpe as bpe_ops
+    from .streaming import ingest_stream as st
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    t1, t2 = (docs.agg(
+        F.percentile_approx("doc_id", 1.0 / 3, 10_000).alias("a"),
+        F.percentile_approx("doc_id", 2.0 / 3, 10_000).alias("b"))
+        .collect()[0])
+
+    work = tempfile.mkdtemp(prefix="peskas_stream_pack_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = os.path.join(work, name + "_tmp")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(landing, name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    import time as _time
+    t0 = _time.time() - 10_000
+    # monotone append order: every doc id in batch k sorts after every
+    # id in batch k-1 (the incremental packer's contract); mtimes force
+    # the FileStreamSource to drain them in that order
+    stage(docs.filter(F.col("doc_id") <= t1), "0_a.parquet", t0)
+    stage(docs.filter((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)),
+          "1_b.parquet", t0 + 4_000)
+    stage(docs.filter(F.col("doc_id") > t2), "2_c.parquet", t0 + 8_000)
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(landing))
+
+    state_dir = os.path.join(work, "state")
+    comp_dir = os.path.join(work, "completed")
+
+    def latest(base: str, before: int | None = None):
+        if not os.path.exists(base):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(base)
+                    if d.startswith("v")
+                    and (before is None or int(d[1:]) < before))
+        return os.path.join(base, f"v{vs[-1]}") if vs else None
+
+    def step(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        ps = latest(state_dir, before=batch_id)
+        state = (s.read.parquet(ps) if ps
+                 else pack_ops.empty_pack_state(s))
+        enc = bpe_ops.bpe_encode_ids(batch_df, merges)
+        comp, new_state = pack_ops.pack_sequences_incremental(
+            enc, state, ids_col="token_ids", id_col="doc_id",
+            seq_len=64, n_shards=8, boundary_id=bpe_ops.BOUNDARY_ID)
+        comp.write.mode("overwrite").parquet(
+            os.path.join(comp_dir, f"v{batch_id}"))
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}"))
+
+    with st.stream_state_partitions(spark, 4):
+        q = (stream.writeStream.foreachBatch(step)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    completed = spark.read.parquet(
+        *(os.path.join(comp_dir, d) for d in sorted(os.listdir(comp_dir))))
+    tails = pack_ops.pack_state_tails(
+        spark.read.parquet(latest(state_dir)), seq_len=64)
+    packed = completed.unionByName(tails)
     ids = F.col("input_ids")
     pos = F.sequence(F.lit(1).cast("long"), F.size(ids).cast("long"))
     checksum = F.when(

@@ -593,3 +593,61 @@ def test_streaming_near_dedup_arrival_order_invariant(spark, tmp_path):
     # at-least-once replay: a re-delivered batch re-appends its pairs AND
     # its bands; both are absorbed by set semantics
     assert run_stream(split + [split[1]]) == want
+
+
+def test_versioned_pack_state_replay_idempotent(spark, tmp_path):
+    """The streaming_incremental_pack persistence discipline: state and
+    completed output are versioned per batch and a batch reads the state
+    version STRICTLY BELOW its own id — so a crash-replayed batch
+    re-derives its output from v{n-1} and overwrites its own v{n}
+    instead of packing on top of its failed attempt's state (which would
+    shift every stream offset and duplicate completed sequences). The
+    replayed drain must equal the full-corpus batch pack exactly."""
+    import os
+
+    from peskas_malawi_data_pipeline_spark.operators import packing as P
+
+    arrays = [[i * 100 + j + 1 for j in range(n)]
+              for i, n in enumerate([4, 9, 2, 7, 3, 11, 5, 6])]
+    df = spark.createDataFrame(
+        [(i, ids) for i, ids in enumerate(arrays)],
+        "doc_id long, token_ids array<long>")
+    full = {(r.shard, r.seq_id): list(r.input_ids)
+            for r in P.pack_sequences(df, seq_len=5,
+                                      n_shards=3).collect()}
+
+    state_dir, comp_dir = str(tmp_path / "state"), str(tmp_path / "comp")
+
+    def latest(base, before=None):
+        if not os.path.exists(base):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(base)
+                    if d.startswith("v")
+                    and (before is None or int(d[1:]) < before))
+        return os.path.join(base, f"v{vs[-1]}") if vs else None
+
+    def step(batch_df, batch_id):
+        ps = latest(state_dir, before=batch_id)
+        state = (spark.read.parquet(ps) if ps
+                 else P.empty_pack_state(spark))
+        comp, new_state = P.pack_sequences_incremental(
+            batch_df, state, seq_len=5, n_shards=3)
+        comp.write.mode("overwrite").parquet(
+            os.path.join(comp_dir, f"v{batch_id}"))
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}"))
+
+    b0 = df.filter(F.col("doc_id") < 4)
+    b1 = df.filter(F.col("doc_id") >= 4)
+    step(b0, 0)
+    step(b1, 1)
+    step(b1, 1)   # crash replay: same batch re-delivered
+    completed = spark.read.parquet(
+        *(os.path.join(comp_dir, d) for d in sorted(os.listdir(comp_dir))))
+    tails = P.pack_state_tails(
+        spark.read.parquet(latest(state_dir)), seq_len=5)
+    got = {(r.shard, r.seq_id): list(r.input_ids)
+           for r in completed.unionByName(tails).collect()}
+    assert got == full
+    n_rows = completed.count() + tails.count()
+    assert n_rows == len(full)   # replay did not double-emit
