@@ -990,3 +990,100 @@ def semantic_dedup_survivors(df: DataFrame, centroids: DataFrame,
     dups = pairs.select(F.col("id_b").alias(id_col))
     return clustered.join(dups, id_col, "left_anti").select(
         id_col, "centroid_id")
+
+
+def ivf_pq_encode_corpus(corpus: DataFrame, codebook: dict,
+                         coarse: dict[int, list[int]],
+                         corpus_id: str = "corpus_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """The INDEX-BUILD pass of IVFADC, exposed as a materializable
+    artifact: one pure-map projection gives every corpus row its
+    inverted-list id AND its PQ codes — (``corpus_id``, ``list_id``,
+    ``pq_codes array<int>``). This is the expensive pass over the full
+    corpus; persist its output (parquet, partitioned by ``list_id`` at
+    scale) and every later search touches only these m-byte rows — the
+    raw vectors are never re-read. Identical expressions to
+    :func:`ivf_pq_candidates`' inline coding, so a persisted index and
+    an in-session search agree bit-for-bit."""
+    cv = _micro(F.col(vec_col))
+    return corpus.select(
+        F.col(corpus_id),
+        F.element_at(_coarse_assign(cv, coarse, 1), 1).alias("list_id"),
+        F.array(*_pq_code_columns(cv, codebook)).alias("pq_codes"))
+
+
+def codebook_to_table(spark, codebook: dict) -> DataFrame:
+    """PQ codebook as a persistable TABLE — (sub, cid, centroid
+    array<long>), m·k rows. With :func:`coarse_to_table` and
+    :func:`ivf_pq_encode_corpus` these three relations ARE the ANN
+    index: parquet round-trips them losslessly (exact integer micros,
+    no float re-derivation on load)."""
+    return spark.createDataFrame(
+        [(s, c, list(v)) for (s, c), v in sorted(codebook.items())],
+        "sub int, cid int, centroid array<long>")
+
+
+def codebook_from_table(table: DataFrame) -> dict[tuple[int, int], list[int]]:
+    """Load a persisted codebook table back into the driver-artifact
+    form every search operator takes. Bounded collect (m·k rows)."""
+    return {(r.sub, r.cid): [int(x) for x in r.centroid]
+            for r in table.collect()}
+
+
+def coarse_to_table(spark, coarse: dict[int, list[int]]) -> DataFrame:
+    """Coarse-quantizer centroids as a persistable TABLE — (cid,
+    centroid array<long>), n rows."""
+    return spark.createDataFrame(
+        [(c, list(v)) for c, v in sorted(coarse.items())],
+        "cid int, centroid array<long>")
+
+
+def coarse_from_table(table: DataFrame) -> dict[int, list[int]]:
+    """Load a persisted coarse-centroid table back into driver form.
+    Bounded collect (n_centroids rows)."""
+    return {r.cid: [int(x) for x in r.centroid] for r in table.collect()}
+
+
+def ivf_pq_search_coded(queries: DataFrame, coded: DataFrame,
+                        codebook: dict, coarse: dict[int, list[int]],
+                        k: int = 3, nprobe: int = 2,
+                        query_id: str = "query_id",
+                        corpus_id: str = "corpus_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """IVFADC SEARCH over a PERSISTED index — the serve path of the
+    build/serve split: ``coded`` is :func:`ivf_pq_encode_corpus` output
+    read back from storage, and the corpus embeddings are NOWHERE in
+    this plan — per query it reads |corpus|·nprobe/n_centroids rows of
+    m-byte codes, the IO shape that makes 100 TB ANN serveable. Queries
+    compute their probe lists and per-(sub, cid) distance rows map-side
+    (codebook/centroids inline as literals after the bounded artifact
+    load); the only join is the list-id equi-join with the probe side
+    broadcast; ADC is m element_at lookups per candidate. Results are
+    bit-identical to :func:`ivf_pq_topk` over the same artifacts (the
+    ``ann_index_persisted`` registry query shares the in-session twin's
+    oracle verbatim)."""
+    m, _kc, d_sub = _pq_shape(codebook)
+    qv = _micro(F.col(vec_col))
+    probes = queries.select(
+        F.col(query_id), qv.alias("__qv"),
+        F.posexplode(_coarse_assign(qv, coarse, nprobe))
+        .alias("__pr", "list_id"))
+    cand = coded.join(F.broadcast(probes), "list_id") \
+        .filter(F.col(query_id) != F.col(corpus_id))
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x) for x in codebook[(s, c)]])
+            for c in _sub_cids(codebook, s)])
+        for s in range(1, m + 1)])
+    total = F.lit(0).cast("long")
+    for s in range(1, m + 1):
+        cvec = F.element_at(F.element_at(cb_lit, s),
+                            F.element_at(F.col("pq_codes"), s))
+        sub = F.slice(F.col("__qv"), (s - 1) * d_sub + 1, d_sub)
+        total = total + F.aggregate(
+            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = cand.select(query_id, corpus_id, total.alias("adc_dist"))
+    w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

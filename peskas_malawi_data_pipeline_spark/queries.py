@@ -2930,6 +2930,54 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register("ann_index_persisted", REGISTRY["ann_ivf_pq_topk"][1])
+def ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index as a PERSISTED ARTIFACT — the build/serve split
+    every production vector store runs on: the expensive corpus pass
+    (`similarity.ivf_pq_encode_corpus` — one pure-map projection giving
+    each row its inverted list and its PQ codes) plus the two bounded
+    artifact tables (`codebook_to_table`, `coarse_to_table`) are WRITTEN
+    to parquet; the serve path then answers queries from FRESH READS of
+    those three relations only (`similarity.ivf_pq_search_coded`) — the
+    raw embeddings never appear in the search plan. The oracle is
+    `ann_ivf_pq_topk`'s SQL verbatim: a parquet round-trip of the index
+    must be invisible in the results, bit-for-bit (exact integer micros
+    survive storage; a float index would not round-trip).
+
+    Scale shape: build is one map pass over the corpus (partition the
+    coded output by list_id at scale); serve reads
+    |corpus|·nprobe/n_centroids rows of m-byte codes per query batch —
+    the 100 TB corpus is touched once at build, never at query time."""
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    cb = sim_ops.pq_codebook(c, m=4, k_centroids=8)
+    coarse = sim_ops.ivf_coarse_centroids(c, n_centroids=8)
+
+    work = tempfile.mkdtemp(prefix="peskas_ann_index_")
+    sim_ops.ivf_pq_encode_corpus(c, cb, coarse) \
+        .write.mode("overwrite").parquet(os.path.join(work, "coded"))
+    sim_ops.codebook_to_table(spark, cb) \
+        .write.mode("overwrite").parquet(os.path.join(work, "codebook"))
+    sim_ops.coarse_to_table(spark, coarse) \
+        .write.mode("overwrite").parquet(os.path.join(work, "coarse"))
+
+    # serve path: everything below comes off disk — no live artifacts
+    cb2 = sim_ops.codebook_from_table(
+        spark.read.parquet(os.path.join(work, "codebook")))
+    coarse2 = sim_ops.coarse_from_table(
+        spark.read.parquet(os.path.join(work, "coarse")))
+    coded = spark.read.parquet(os.path.join(work, "coded"))
+    out = sim_ops.ivf_pq_search_coded(q, coded, cb2, coarse2,
+                                      k=3, nprobe=2)
+    return out.select("query_id", "corpus_id", "adc_dist",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register("ann_pq_adc_topk", f"""
 WITH {_DUCK_PQ_CTES},
 q AS (SELECT vec_id AS query_id,

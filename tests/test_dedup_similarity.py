@@ -2497,3 +2497,49 @@ def test_bpe_vocab_table_astral_base_ids(spark):
             assert rank_of[r.symbol] == r.token_id
         elif r.kind == "boundary":
             assert r.token_id == bpe.BOUNDARY_ID and r.symbol is None
+
+
+def test_ivf_pq_index_persist_roundtrip(spark, tmp_path):
+    """The persisted ANN index is lossless and sufficient: codebook and
+    coarse tables round-trip dict -> table -> parquet -> dict exactly,
+    and ivf_pq_search_coded over the written ivf_pq_encode_corpus output
+    returns bit-identically what ivf_pq_topk computes in-session from
+    the raw vectors — the serve path never touching an embedding."""
+    import numpy as np
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    vecs = rng.uniform(-1, 1, size=(40, dim)).round(3)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "corpus_id int, embedding array<double>")
+    q = spark.createDataFrame(rows[:6],
+                              "query_id int, embedding array<double>")
+    cb = S.pq_codebook(df, m=4, k_centroids=3)
+    coarse = S.ivf_coarse_centroids(df, n_centroids=4)
+
+    base = str(tmp_path)
+    S.ivf_pq_encode_corpus(df, cb, coarse).write.parquet(base + "/coded")
+    S.codebook_to_table(spark, cb).write.parquet(base + "/cb")
+    S.coarse_to_table(spark, coarse).write.parquet(base + "/coarse")
+
+    cb2 = S.codebook_from_table(spark.read.parquet(base + "/cb"))
+    coarse2 = S.coarse_from_table(spark.read.parquet(base + "/coarse"))
+    assert cb2 == cb
+    assert coarse2 == coarse
+
+    live = {(r.query_id, r.corpus_id): (r.adc_dist, r.rank)
+            for r in S.ivf_pq_topk(q, df, cb, coarse,
+                                   k=3, nprobe=2).collect()}
+    served = {(r.query_id, r.corpus_id): (r.adc_dist, r.rank)
+              for r in S.ivf_pq_search_coded(
+                  q, spark.read.parquet(base + "/coded"), cb2, coarse2,
+                  k=3, nprobe=2).collect()}
+    assert served == live
+    # the serve plan's corpus side is the coded parquet — the raw-vector
+    # frame (and its embedding column) appears only via the query side
+    plan = S.ivf_pq_search_coded(
+        q, spark.read.parquet(base + "/coded"), cb2, coarse2,
+        k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "coded" in plan and "pq_codes" in plan
