@@ -557,7 +557,8 @@ def ivf_pq_candidates(queries: DataFrame, corpus: DataFrame,
                       codebook: dict, coarse: dict[int, list[int]],
                       nprobe: int = 2, query_id: str = "query_id",
                       corpus_id: str = "corpus_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      keep_cols: Sequence[str] = ()) -> DataFrame:
     """The CANDIDATE stage of :func:`ivf_pq_topk`, exposed so a tuning
     sweep can pay the corpus code/assign pass ONCE at the widest
     ``nprobe`` and derive every narrower setting by filtering: returns
@@ -566,7 +567,11 @@ def ivf_pq_candidates(queries: DataFrame, corpus: DataFrame,
     nearest-list order — a corpus row belongs to exactly one list, so
     ``filter(probe_rank <= p)`` IS the nprobe=p candidate set, with no
     duplicates and no recomputation. Plan identical to the topk's
-    candidate stage (one corpus map pass, broadcast probe join)."""
+    candidate stage (one corpus map pass, broadcast probe join).
+    ``keep_cols`` rides extra corpus columns through the coded
+    projection onto the candidate rows (production puts filterable
+    attributes IN the index — the filtered-search shape) at zero extra
+    shuffles."""
     m, _kc, d_sub = _pq_shape(codebook)
     cv = _micro(F.col(vec_col))
     # list id AND codes from one projection — the corpus is read once and
@@ -574,7 +579,8 @@ def ivf_pq_candidates(queries: DataFrame, corpus: DataFrame,
     coded = corpus.select(
         F.col(corpus_id),
         F.element_at(_coarse_assign(cv, coarse, 1), 1).alias("__list"),
-        F.array(*_pq_code_columns(cv, codebook)).alias("pq_codes"))
+        F.array(*_pq_code_columns(cv, codebook)).alias("pq_codes"),
+        *[F.col(k) for k in keep_cols])
     qv = _micro(F.col(vec_col))
     probes = queries.select(
         F.col(query_id), qv.alias("__qv"),
@@ -596,7 +602,8 @@ def ivf_pq_candidates(queries: DataFrame, corpus: DataFrame,
             F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
     return cand.select(query_id, corpus_id, total.alias("adc_dist"),
-                       (F.col("__pr") + 1).cast("int").alias("probe_rank"))
+                       (F.col("__pr") + 1).cast("int").alias("probe_rank"),
+                       *[F.col(k) for k in keep_cols])
 
 
 def _coarse_lit(coarse: dict[int, list[int]]) -> Column:
@@ -870,7 +877,8 @@ def kmeans_centroids(df: DataFrame, assignment: DataFrame,
 def brute_force_l2_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
                         query_id: str = "query_id",
                         corpus_id: str = "corpus_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        match_cols: Sequence[str] = ()) -> DataFrame:
     """EXACT squared-L2 top-``k`` over integer-micro components — the
     exact baseline the PQ/ADC family approximates (ADC estimates THIS
     distance through codes, so recall must be measured against it, not
@@ -879,13 +887,24 @@ def brute_force_l2_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
     (small) query side, pure-map distances over the corpus — the corpus
     partitioning is never touched — one per-query window top-k. Ties →
     lowest corpus id; self-pairs excluded. Returns (query_id,
-    corpus_id, l2_d2, rank)."""
-    q = queries.select(F.col(query_id), _micro(F.col(vec_col)).alias("__qv"))
-    c = corpus.select(F.col(corpus_id), _micro(F.col(vec_col)).alias("__cv"))
+    corpus_id, l2_d2, rank).
+
+    ``match_cols`` names columns present in BOTH frames that must be
+    EQUAL for a corpus row to be eligible (the filtered-search exact
+    baseline: top-k among the query's own tenant/category only) — the
+    equality rides the same broadcast join, so the filter costs
+    nothing extra."""
+    q = queries.select(F.col(query_id), _micro(F.col(vec_col)).alias("__qv"),
+                       *[F.col(m).alias(f"__q_{m}") for m in match_cols])
+    c = corpus.select(F.col(corpus_id), _micro(F.col(vec_col)).alias("__cv"),
+                      *[F.col(m) for m in match_cols])
+    cond = F.col(query_id) != F.col(corpus_id)
+    for m in match_cols:
+        cond = cond & (F.col(m) == F.col(f"__q_{m}"))
     d2 = F.aggregate(
         F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
-    scored = (c.join(F.broadcast(q), F.col(query_id) != F.col(corpus_id))
+    scored = (c.join(F.broadcast(q), cond)
               .select(query_id, corpus_id, d2.alias("l2_d2")))
     w = Window.partitionBy(query_id).orderBy("l2_d2", corpus_id)
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -6432,6 +6432,167 @@ def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
+@register("ann_filtered_topk", f"""
+WITH {_DUCK_PQ_CTES},
+lab AS (SELECT vec_id AS corpus_id, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < {_DUCK_ANN_NQ}),
+ex AS (SELECT query_id, corpus_id FROM (
+         SELECT q.query_id, c.corpus_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> (qv[i] - v[i]) * (qv[i] - v[i]))), c.corpus_id)
+                  AS rn
+         FROM q JOIN c ON c.corpus_id <> q.query_id
+         JOIN lab ON lab.corpus_id = c.corpus_id
+                 AND lab.label = q.qlabel)
+       WHERE rn <= 3),
+fa AS (SELECT c.corpus_id, cents.cid,
+              list_sum(list_transform(range(1, 65),
+                i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS fd2
+       FROM c, cents),
+ca AS (SELECT corpus_id, cid AS list_id FROM (
+         SELECT corpus_id, cid,
+                row_number() OVER (PARTITION BY corpus_id
+                                   ORDER BY fd2, cid) AS rn
+         FROM fa) WHERE rn = 1),
+qf AS (SELECT q.query_id, cents.cid,
+              list_sum(list_transform(range(1, 65),
+                i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS fd2
+       FROM q, cents),
+qa AS (SELECT query_id, cid AS list_id FROM (
+         SELECT query_id, cid,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY fd2, cid) AS rn
+         FROM qf) WHERE rn <= 2),
+qd AS (SELECT query_id, sub, cid,
+         list_sum(list_transform(range(1, 17),
+           i -> (qv[(sub-1)*16 + i] - cv[(sub-1)*16 + i])
+              * (qv[(sub-1)*16 + i] - cv[(sub-1)*16 + i]))) AS d2
+       FROM q, subs, cents),
+cand AS (SELECT qa.query_id, ca.corpus_id
+         FROM ca JOIN qa USING (list_id)
+         WHERE qa.query_id <> ca.corpus_id),
+adc AS (SELECT cand.query_id, cand.corpus_id,
+               CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+        FROM cand
+        JOIN codes ON codes.corpus_id = cand.corpus_id
+        JOIN qd ON qd.query_id = cand.query_id
+               AND qd.sub = codes.sub AND qd.cid = codes.cid
+        GROUP BY cand.query_id, cand.corpus_id),
+adcl AS (SELECT a.query_id, a.corpus_id, a.adc_dist,
+                lab.label, q.qlabel
+         FROM adc a
+         JOIN lab ON lab.corpus_id = a.corpus_id
+         JOIN q ON q.query_id = a.query_id),
+pre AS (SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist, corpus_id) AS rn
+          FROM adcl WHERE label = qlabel) WHERE rn <= 3),
+p10 AS (SELECT query_id, corpus_id, label, qlabel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, corpus_id) AS rn
+        FROM adcl),
+post AS (SELECT query_id, corpus_id FROM (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rn) AS rk
+           FROM p10 WHERE rn <= 10 AND label = qlabel) WHERE rk <= 3),
+exn AS (SELECT CAST(count(*) AS BIGINT) AS exact_n FROM ex)
+SELECT 'pre_filter' AS method,
+       CAST((SELECT count(*) FROM pre JOIN ex
+             USING (query_id, corpus_id)) AS BIGINT) AS hits,
+       CAST((SELECT count(*) FROM pre) AS BIGINT) AS approx_n,
+       exact_n,
+       CAST((SELECT count(*) FROM pre JOIN ex
+             USING (query_id, corpus_id)) * 1000000 // exact_n
+            AS BIGINT) AS recall_ppm
+FROM exn
+UNION ALL
+SELECT 'post_filter',
+       CAST((SELECT count(*) FROM post JOIN ex
+             USING (query_id, corpus_id)) AS BIGINT),
+       CAST((SELECT count(*) FROM post) AS BIGINT),
+       exact_n,
+       CAST((SELECT count(*) FROM post JOIN ex
+             USING (query_id, corpus_id)) * 1000000 // exact_n
+            AS BIGINT)
+FROM exn
+""")
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the hybrid predicate+ANN shape every
+    production store must answer ("nearest neighbors WHERE tenant = X"):
+    top-3 same-`label` neighbors per query, measured BOTH ways against
+    the exact label-filtered integer-L2 baseline
+    (`similarity.brute_force_l2_topk(match_cols=['label'])`):
+
+    - **pre_filter** — the label predicate applied to the IVF-ADC
+      candidate stream BEFORE ranking (the attribute rides IN the index
+      via `ivf_pq_candidates(keep_cols=['label'])` — production puts
+      filterable columns in the postings): every returned row satisfies
+      the filter, and ranking happens among eligible rows only.
+    - **post_filter** — the textbook trap: unfiltered ADC top-10, THEN
+      the filter, cut to 3. When a query's label is rare in its probed
+      lists, the shortlist fills with ineligible rows and the arm
+      returns FEWER than 3 results (visible as approx_n < 3·|queries|)
+      and loses recall it can never buy back.
+
+    Scale shape: identical to `ivf_pq_topk` — one corpus map pass
+    (codes + list + label in the same projection), broadcast probe
+    join; the label filter adds zero shuffles in the pre arm. The
+    exact baseline's label equi-join bounds ITS cost to
+    |q|·|corpus|/|labels| distance rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nq = _ann_n_queries(emb, sf_dir)
+    q = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding",
+                   "label")
+    exact = materialize(
+        sim_ops.brute_force_l2_topk(q, c, k=3, match_cols=["label"])
+        .select("query_id", "corpus_id").withColumn("__hit", F.lit(1)))
+    exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
+    cb = _ann_memo((sf_dir, "cb_l", 4, 8),
+                   lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
+    coarse = _ann_memo((sf_dir, "coarse_l", 8),
+                       lambda: sim_ops.ivf_coarse_centroids(
+                           c, n_centroids=8))
+    cand = sim_ops.ivf_pq_candidates(
+        q.select("query_id", "embedding"), c, cb, coarse, nprobe=2,
+        keep_cols=["label"])
+    qlab = q.select("query_id", F.col("label").alias("__qlabel"))
+    cand = materialize(cand.join(F.broadcast(qlab), "query_id"))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "corpus_id")
+    pre = (cand.filter(F.col("label") == F.col("__qlabel"))
+           .withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= 3))
+    post = (cand.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") <= 10)
+                    & (F.col("label") == F.col("__qlabel")))
+            .withColumn("__rk", F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__rn")))
+            .filter(F.col("__rk") <= 3))
+    rows = []
+    for method, arm in (("pre_filter", pre), ("post_filter", post)):
+        agg = (arm.select("query_id", "corpus_id")
+               .join(F.broadcast(exact), ["query_id", "corpus_id"],
+                     "left")
+               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                    F.count(F.lit(1)).alias("approx_n"))
+               .crossJoin(F.broadcast(exact_n)))
+        rows.append(agg.select(
+            F.lit(method).alias("method"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("approx_n").cast("long").alias("approx_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+            .alias("recall_ppm")))
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
 def _duck_sub_lloyd(s: int, k: int = 8, p: str = "s") -> str:
     """One subspace's Lloyd chain (``k`` lowest-id seeds → assign →
     truncating means → trained centroids, iterations=2 ⇒ one mean
