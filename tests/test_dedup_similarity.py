@@ -2543,3 +2543,35 @@ def test_ivf_pq_index_persist_roundtrip(spark, tmp_path):
         q, spark.read.parquet(base + "/coded"), cb2, coarse2,
         k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     assert "coded" in plan and "pq_codes" in plan
+
+
+def test_brute_force_l2_topk_match_cols(spark):
+    """match_cols restricts eligibility to equal-attribute corpus rows —
+    the filtered-search exact baseline: results equal brute force over
+    each query's own label slice, and never contain a cross-label row."""
+    import numpy as np
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = rng.uniform(-1, 1, size=(24, 4)).round(3)
+    rows = [(int(i), [float(x) for x in v], int(i % 3))
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "corpus_id int, embedding array<double>, label int")
+    q = spark.createDataFrame(
+        rows[:5], "query_id int, embedding array<double>, label int")
+    got = {(r.query_id, r.corpus_id): r.rank
+           for r in S.brute_force_l2_topk(q, df, k=2,
+                                          match_cols=["label"]).collect()}
+    lab = {i: i % 3 for i in range(24)}
+    for (qi, ci) in got:
+        assert lab[qi] == lab[ci]
+    # per-query slice replay: exact integer-L2 over same-label rows only
+    micro = np.floor(vecs * 1e6).astype("int64")
+    for qi in range(5):
+        elig = [ci for ci in range(24) if ci != qi and lab[ci] == lab[qi]]
+        d = sorted((int(((micro[qi] - micro[ci]) ** 2).sum()), ci)
+                   for ci in elig)[:2]
+        expect = {(qi, ci): rk + 1 for rk, (_d, ci) in enumerate(d)}
+        assert {k: v for k, v in got.items() if k[0] == qi} == expect
