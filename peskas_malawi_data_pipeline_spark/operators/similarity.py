@@ -1106,3 +1106,51 @@ def ivf_pq_search_coded(queries: DataFrame, coded: DataFrame,
     w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def dim_energy_permutation(corpus: DataFrame,
+                           vec_col: str = "embedding",
+                           m: int = 4) -> list[int]:
+    """ENERGY-BALANCED dimension permutation for PQ — the deterministic
+    OPQ-lite layout step: per-dimension total squared micro energy
+    (one posexplode partial agg, dim-bounded result), dims ranked by
+    energy descending (ties → lower dim index) and SNAKE-dealt into the
+    ``m`` subspaces (1,2,…,m,m,…,2,1,…) so every subspace carries a
+    near-equal energy share — natural slicing hands whole
+    high-variance blocks to one subspace, whose k centroids then
+    quantize most of the corpus's spread alone while low-energy
+    subspaces waste codes. Within a subspace dims keep ascending
+    original order (canonical). Returns the permutation as 0-based
+    ORIGINAL positions in output order: permuted[j] = vec[perm[j]].
+
+    Exact squared L2 is permutation-invariant, so the exact baseline
+    never moves — only ADC quality does; the ``ann_dim_permute_recall``
+    registry query measures the effect. Σx² stays in BIGINT at any
+    corpus size a probe reaches (micros ≤ ~1e6 ⇒ 1e12/row/dim)."""
+    en = (corpus.select(F.posexplode(_micro(F.col(vec_col)))
+                        .alias("__d", "__x"))
+          .groupBy("__d")
+          .agg(F.sum(F.col("__x") * F.col("__x")).alias("__en"))
+          .collect())
+    if not en:
+        raise ValueError("dim_energy_permutation: empty corpus")
+    if len(en) % m != 0:
+        raise ValueError(f"dim {len(en)} not divisible by m={m}")
+    ranked = sorted(en, key=lambda r: (-r["__en"], r["__d"]))
+    groups: list[list[int]] = [[] for _ in range(m)]
+    for idx, r in enumerate(ranked):
+        rnd, pos = divmod(idx, m)
+        sub = pos if rnd % 2 == 0 else m - 1 - pos
+        groups[sub].append(r["__d"])
+    return [d for g in groups for d in sorted(g)]
+
+
+def apply_dim_permutation(df: DataFrame, perm: Sequence[int],
+                          vec_col: str = "embedding") -> DataFrame:
+    """Reorder a vector column by a 0-based position permutation (pure
+    map — ``element_at`` per output slot, no shuffle). Composes with
+    the whole PQ family: train/encode/search on the permuted frame,
+    exact-L2 baselines are invariant."""
+    return df.withColumn(
+        vec_col,
+        F.array(*[F.element_at(F.col(vec_col), p + 1) for p in perm]))

@@ -6647,27 +6647,30 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
-def _duck_sub_lloyd(s: int, k: int = 8, p: str = "s") -> str:
+def _duck_sub_lloyd(s: int, k: int = 8, p: str = "s",
+                    src: str = "e") -> str:
     """One subspace's Lloyd chain (``k`` lowest-id seeds → assign →
     truncating means → trained centroids, iterations=2 ⇒ one mean
     update) over the 16-dim slice starting at offset (s−1)·16 — the SQL
     twin of similarity.kmeans_fit_centroids on the sliced frame. ``p``
     prefixes the CTE names so several capacities can coexist in one
-    oracle (the codebook-capacity sweep)."""
+    oracle (the codebook-capacity sweep); ``src`` names the (vec_id, v)
+    frame to train on (the dim-permutation sweep trains one chain on
+    the natural frame and one on the permuted frame)."""
     off = (s - 1) * 16
     d2 = (f"list_sum(list_transform(range(1, 17), "
           f"i -> (v[{off} + i] - cq[i]) * (v[{off} + i] - cq[i])))")
     return f"""{p}{s}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
        list_transform(range(1, 17), i -> v[{off} + i]) AS cq
-  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})),
+  FROM (SELECT * FROM {src} ORDER BY vec_id LIMIT {k})),
 {p}{s}a1 AS (SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
+    SELECT {src}.vec_id, c.cid,
+           row_number() OVER (PARTITION BY {src}.vec_id
                               ORDER BY {d2}, c.cid) AS rn
-    FROM e, {p}{s}c0 c) WHERE rn = 1),
+    FROM {src}, {p}{s}c0 c) WHERE rn = 1),
 {p}{s}m1 AS (SELECT a.cid, t.i AS dim,
               CAST(sum(v[{off} + t.i + 1]) // count(*) AS BIGINT) AS m
-       FROM {p}{s}a1 a JOIN e USING (vec_id), UNNEST(range(0, 16)) AS t(i)
+       FROM {p}{s}a1 a JOIN {src} USING (vec_id), UNNEST(range(0, 16)) AS t(i)
        GROUP BY a.cid, t.i),
 {p}{s}c1 AS (SELECT cid, list(m ORDER BY dim) AS cq FROM {p}{s}m1
            GROUP BY cid),
@@ -6923,6 +6926,162 @@ def ann_pq_subspace_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_n").cast("long").alias("exact_n"),
             F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
             .alias("recall_ppm")))
+    return rows[0].unionByName(rows[1])
+
+
+def _duck_permute_arm(p: str, src: str, qsrc: str) -> str:
+    """Encode + ADC + top-3 + distortion CTEs for one dim-permutation
+    arm: trained subspace centroids ``cents_{p}`` (from the per-slice
+    Lloyd chains) code the ``src`` frame; queries come from ``qsrc``;
+    ``dist_{p}`` is the summed reconstruction distortion of the chosen
+    codes (the encoder argmin's own objective)."""
+    return f"""cents_{p} AS ({" UNION ALL ".join(f"SELECT * FROM {p}{s}cents"
+                                                 for s in range(1, 5))}),
+cd_{p} AS (SELECT {src}.vec_id AS corpus_id, cs.sub, cs.cid,
+                list_sum(list_transform(range(1, 17),
+                  i -> (v[(cs.sub - 1) * 16 + i] - cv[i])
+                     * (v[(cs.sub - 1) * 16 + i] - cv[i]))) AS d2
+         FROM {src}, cents_{p} cs),
+codes_{p} AS (SELECT corpus_id, sub, cid FROM (
+    SELECT corpus_id, sub, cid,
+           row_number() OVER (PARTITION BY corpus_id, sub
+                              ORDER BY d2, cid) AS rn
+    FROM cd_{p}) WHERE rn = 1),
+adc_{p} AS (
+  SELECT query_id, corpus_id, sum(sd2) AS adc FROM (
+    SELECT {qsrc}.query_id, co.corpus_id,
+           list_sum(list_transform(range(1, 17),
+             i -> (qv[(co.sub - 1) * 16 + i] - ce.cv[i])
+                * (qv[(co.sub - 1) * 16 + i] - ce.cv[i]))) AS sd2
+    FROM {qsrc}, codes_{p} co
+    JOIN cents_{p} ce ON co.sub = ce.sub AND co.cid = ce.cid
+    WHERE {qsrc}.query_id <> co.corpus_id)
+  GROUP BY query_id, corpus_id),
+top_{p} AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, corpus_id) AS rn
+    FROM adc_{p}) WHERE rn <= 3),
+dist_{p} AS (SELECT CAST(sum(cd.d2) AS BIGINT) AS dist
+             FROM cd_{p} cd JOIN codes_{p} USING (corpus_id, sub, cid))"""
+
+
+_DUCK_ANN_PERMUTE_SQL = f"""
+WITH e AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+ FROM embeddings),
+qm AS (SELECT vec_id AS query_id, v AS qv FROM e
+       WHERE vec_id < {_DUCK_ANN_NQ}),
+xs AS (SELECT query_id, e.vec_id AS corpus_id,
+              list_sum(list_transform(range(1, 65),
+                i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS d2
+       FROM qm, e WHERE query_id <> e.vec_id),
+exact AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, corpus_id) AS rn
+    FROM xs) WHERE rn <= 3),
+en AS (SELECT t.i + 1 AS dim,
+              CAST(sum(v[t.i + 1] * v[t.i + 1]) AS BIGINT) AS energy
+       FROM e, UNNEST(range(0, 64)) AS t(i) GROUP BY t.i),
+rkd AS (SELECT dim,
+               row_number() OVER (ORDER BY energy DESC, dim) AS r
+        FROM en),
+sg AS (SELECT dim,
+              CASE WHEN ((r - 1) // 4) % 2 = 0 THEN ((r - 1) % 4) + 1
+                   ELSE 4 - ((r - 1) % 4) END AS sub
+       FROM rkd),
+pl AS (SELECT list(dim ORDER BY sub, dim) AS perm FROM sg),
+ep AS (SELECT vec_id, list_transform(perm, i -> v[i]) AS v FROM e, pl),
+qp AS (SELECT query_id, list_transform(perm, i -> qv[i]) AS qv
+       FROM qm, pl),
+{",".join(_duck_sub_lloyd(s, p="n") for s in range(1, 5))},
+{",".join(_duck_sub_lloyd(s, p="pm", src="ep") for s in range(1, 5))},
+{_duck_permute_arm("n", "e", "qm")},
+{_duck_permute_arm("pm", "ep", "qp")}
+SELECT method, CAST(hits AS BIGINT) AS hits,
+       CAST(approx_n AS BIGINT) AS approx_n,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(hits * 1000000 // exact_n AS BIGINT) AS recall_ppm,
+       distortion_sum
+FROM (
+  SELECT 'subtrained_natural' AS method,
+    (SELECT count(*) FROM top_n JOIN exact
+     USING (query_id, corpus_id)) AS hits,
+    (SELECT count(*) FROM top_n) AS approx_n,
+    (SELECT count(*) FROM exact) AS exact_n,
+    (SELECT dist FROM dist_n) AS distortion_sum
+  UNION ALL
+  SELECT 'subtrained_permuted',
+    (SELECT count(*) FROM top_pm JOIN exact
+     USING (query_id, corpus_id)),
+    (SELECT count(*) FROM top_pm),
+    (SELECT count(*) FROM exact),
+    (SELECT dist FROM dist_pm))
+"""
+
+
+@register("ann_dim_permute_recall", _DUCK_ANN_PERMUTE_SQL)
+def ann_dim_permute_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH PQ tuning axis — SUBSPACE LAYOUT (OPQ-lite): an
+    energy-balanced dimension permutation
+    (`similarity.dim_energy_permutation`: per-dim Σx² ranked, snake-dealt
+    across the m subspaces, deterministic — the cheap stand-in for OPQ's
+    learned rotation) vs natural slicing, BOTH with per-subspace-trained
+    codebooks, measured on recall@3 AND summed reconstruction distortion
+    against the shared exact integer-L2 baseline (which a permutation
+    cannot move — only ADC quality shifts). After banding
+    (`lsh_quality_sweep`), probe width (`ann_nprobe_sweep`), and
+    codebook capacity (`ann_codebook_sweep`), this closes the classic
+    PQ tuning set: when natural slicing concentrates the corpus's
+    energy in one subspace, its k centroids carry most of the spread
+    alone and distortion shows it; balancing spreads that load.
+
+    Plan: the permutation is ONE dim-bounded partial agg + a driver
+    sort; applying it is a pure map (element_at per slot); everything
+    downstream reuses the trained-PQ machinery (m bounded Lloyd runs
+    per arm, pure-map encode, broadcast query join). Oracle: the
+    permutation derived relationally (rank + snake CASE + ordered
+    list()), then two full Lloyd/encode/ADC chains — natural frame and
+    permuted frame — all exact BIGINTs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ann_n_queries(emb, sf_dir)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = _exact_l2_baseline(spark, q, c, sf_dir)
+    exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
+    perm = _ann_memo((sf_dir, "dim_perm", 4),
+                     lambda: sim_ops.dim_energy_permutation(c, m=4))
+    cp = sim_ops.apply_dim_permutation(c, perm)
+    qp = sim_ops.apply_dim_permutation(q, perm)
+    cb_n = _ann_memo((sf_dir, "cb_sub", 4, 8, 2),
+                     lambda: sim_ops.pq_codebook_subspace_trained(
+                         c, m=4, k_centroids=8, iterations=2))
+    cb_p = _ann_memo((sf_dir, "cb_sub_perm", 4, 8, 2),
+                     lambda: sim_ops.pq_codebook_subspace_trained(
+                         cp, m=4, k_centroids=8, iterations=2))
+    rows = []
+    for method, qf, cf, cb in (
+            ("subtrained_natural", q, c, cb_n),
+            ("subtrained_permuted", qp, cp, cb_p)):
+        approx = sim_ops.pq_adc_topk(qf, cf, cb, k=3)
+        dist = (sim_ops.pq_distortion(cf, cb, id_col="corpus_id")
+                .agg(F.sum("pq_d2").cast("long").alias("distortion_sum")))
+        agg = (approx.select("query_id", "corpus_id")
+               .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                    F.count(F.lit(1)).alias("approx_n"))
+               .crossJoin(F.broadcast(exact_n))
+               .crossJoin(F.broadcast(dist)))
+        rows.append(agg.select(
+            F.lit(method).alias("method"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("approx_n").cast("long").alias("approx_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+            .alias("recall_ppm"),
+            "distortion_sum"))
     return rows[0].unionByName(rows[1])
 
 
