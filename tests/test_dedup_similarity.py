@@ -2575,3 +2575,48 @@ def test_brute_force_l2_topk_match_cols(spark):
                    for ci in elig)[:2]
         expect = {(qi, ci): rk + 1 for rk, (_d, ci) in enumerate(d)}
         assert {k: v for k, v in got.items() if k[0] == qi} == expect
+
+
+def test_dim_energy_permutation_snake_balance(spark):
+    """dim_energy_permutation: output is a true permutation; the snake
+    deal reproduces a numpy replay exactly (rank by Σx² desc, tie → low
+    dim, alternate direction per round, within-subspace ascending); and
+    the permuted layout's per-subspace energy spread is no worse than
+    natural slicing on a deliberately lopsided corpus (all the energy
+    in the first dims)."""
+    import numpy as np
+
+    from peskas_malawi_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    # lopsided: dim j's scale decays with j -> natural slicing gives
+    # subspace 1 almost all the energy
+    scales = np.array([1.0 / (1 + j) for j in range(8)])
+    vecs = (rng.uniform(-1, 1, size=(50, 8)) * scales).round(4)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "corpus_id int, embedding array<double>")
+    m = 4
+    perm = S.dim_energy_permutation(df, m=m)
+    assert sorted(perm) == list(range(8))
+
+    micro = np.floor(vecs * 1e6).astype("int64")
+    energy = (micro * micro).sum(axis=0)
+    ranked = sorted(range(8), key=lambda d: (-int(energy[d]), d))
+    groups = [[] for _ in range(m)]
+    for idx, d in enumerate(ranked):
+        rnd, pos = divmod(idx, m)
+        groups[pos if rnd % 2 == 0 else m - 1 - pos].append(d)
+    assert perm == [d for g in groups for d in sorted(g)]
+
+    def spread(layout):
+        subs = [sum(int(energy[d]) for d in layout[s * 2:(s + 1) * 2])
+                for s in range(m)]
+        return max(subs) - min(subs)
+
+    assert spread(perm) <= spread(list(range(8)))
+
+    got = S.apply_dim_permutation(df, perm).orderBy("corpus_id").collect()
+    for r in got:
+        np.testing.assert_allclose(
+            r.embedding, [float(vecs[r.corpus_id][p]) for p in perm])
