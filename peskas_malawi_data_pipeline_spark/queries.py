@@ -5316,6 +5316,82 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "en_ppm", "dup_ppm", "mean_quality_micro"))
 
 
+@register("dataset_diff", r"""
+WITH v1 AS (SELECT doc_id, source, text FROM documents
+            WHERE doc_id % 13 <> 0),
+v2 AS (SELECT doc_id, source,
+              CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+                   ELSE text END AS text
+       FROM documents WHERE doc_id % 17 <> 0),
+f1 AS (SELECT doc_id, source,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+       FROM v1),
+f2 AS (SELECT doc_id, source,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+       FROM v2),
+j AS (SELECT coalesce(f2.doc_id, f1.doc_id) AS doc_id,
+             coalesce(f2.source, f1.source) AS source,
+             CASE WHEN f1.doc_id IS NULL THEN 'added'
+                  WHEN f2.doc_id IS NULL THEN 'removed'
+                  WHEN f1.fp <> f2.fp THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM f1 FULL JOIN f2 ON f1.doc_id = f2.doc_id)
+SELECT change_type, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST('0x' || substr(md5('diff:' ||
+           CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)) AS BIGINT)
+         AS id_checksum
+FROM j GROUP BY change_type, source
+""")
+def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF — the release-regression audit a dataset pipeline
+    runs before shipping v2: every doc classified added / removed /
+    changed / unchanged between two corpus versions by id + normalized
+    content fingerprint (`text.fingerprint` — md5 of case/whitespace-
+    collapsed text, so reformatting is NOT a change), counted per
+    (change_type, source) with a Σ md5-prefix id checksum so the oracle
+    pins WHICH docs changed, not just how many. The two versions derive
+    deterministically from `documents` (v1 drops ``doc_id % 13 = 0`` —
+    those become v2's additions; v2 drops ``% 17 = 0`` — removals — and
+    appends ' rev2' to ``% 11 = 0`` texts — changes; NULL texts compare
+    NULL = no evidence = 'unchanged', standard three-valued logic in
+    both engines).
+
+    Scale shape: two thin (id, source, 32-char fp) projections — the
+    fingerprint is a pure map, text never leaves the scan — and ONE
+    co-partitioned full outer join on doc_id; with both snapshots
+    bucketed by id (the layout a versioned store keeps anyway) the join
+    is shuffle-free, and the diff of a 100 TB release costs two scans
+    plus an id-width merge."""
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", "source", "text")
+    v2 = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text")).alias("text"))
+    f1 = v1.select(F.col("doc_id").alias("__id1"),
+                   F.col("source").alias("__src1"),
+                   T.fingerprint(F.col("text")).alias("__fp1"))
+    f2 = v2.select(F.col("doc_id").alias("__id2"),
+                   F.col("source").alias("__src2"),
+                   T.fingerprint(F.col("text")).alias("__fp2"))
+    j = f1.join(f2, F.col("__id1") == F.col("__id2"), "full")
+    change = (F.when(F.col("__id1").isNull(), F.lit("added"))
+              .when(F.col("__id2").isNull(), F.lit("removed"))
+              .when(F.col("__fp1") != F.col("__fp2"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    keyed = j.select(
+        change.alias("change_type"),
+        F.coalesce(F.col("__src2"), F.col("__src1")).alias("source"),
+        F.coalesce(F.col("__id2"), F.col("__id1")).alias("doc_id"))
+    return keyed.groupBy("change_type", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.md5_prefix_hash(F.col("doc_id").cast("string"),
+                                seed="diff:", hex_chars=10))
+        .cast("long").alias("id_checksum"))
+
+
 @register("winsorize_tokens", f"""
 WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
 n AS (SELECT doc_id, source, len(t) AS n_tokens FROM toks),
