@@ -9217,6 +9217,100 @@ def packed_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  order_fp.alias("order_fp")))
 
 
+def _duck_epoch_shuffle_sql(k: int, seq_len: int, n_shards: int,
+                            n_out: int, seeds: tuple[str, ...]) -> str:
+    """Oracle for per-epoch training orders: the shared
+    fit/encode/pack/sequence-key chain ONCE, then one md5-rank +
+    round-robin assignment chain PER epoch seed, unioned with an epoch
+    column — same fingerprint contract as the single-shuffle oracle."""
+    base = _duck_bpe_ids_sql(k, seq_len, n_shards)
+    body = base.rsplit("\nSELECT shard,", 1)[0]
+    parts = [body + f""",
+seqs AS (SELECT shard, CAST(gpos // {seq_len} AS BIGINT) AS seq_id,
+                CAST(count(*) AS BIGINT) AS n_tokens
+         FROM ts GROUP BY shard, gpos // {seq_len}),
+sk AS (SELECT CAST(shard AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)
+         AS seq_key, n_tokens FROM seqs)"""]
+    arms = []
+    for i, seed in enumerate(seeds, start=1):
+        parts.append(f""",
+hk{i} AS (SELECT seq_key, n_tokens,
+              CAST('0x' || substr(md5('{seed}' || seq_key), 1, 8)
+                   AS BIGINT) AS h
+       FROM sk),
+rk{i} AS (SELECT seq_key, n_tokens,
+              row_number() OVER (ORDER BY h, seq_key) AS g
+       FROM hk{i}),
+asn{i} AS (SELECT seq_key, n_tokens, (g - 1) % {n_out} AS out_shard,
+               (g - 1) // {n_out} AS pos
+        FROM rk{i})""")
+        arms.append(f"""SELECT CAST({i} AS BIGINT) AS epoch,
+       CAST(out_shard AS BIGINT) AS out_shard,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       md5(string_agg(seq_key, ',' ORDER BY pos)) AS order_fp
+FROM asn{i} GROUP BY out_shard""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+@register("epoch_shuffle_orders",
+          _duck_epoch_shuffle_sql(5, seq_len=64, n_shards=8, n_out=4,
+                                  seeds=("ep1:", "ep2:")))
+def epoch_shuffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EPOCH training orders — multi-epoch training must not replay
+    epoch 1's order (gradient noise correlates across epochs and
+    order-dependent curricula fossilize): each epoch shuffles the SAME
+    packed-sequence set under a DIFFERENT seed in the hash
+    (`ranking.shuffle_shards(seed='ep{{k}}:')` — still a pure function
+    of keys, so any worker can recompute epoch k's order with no RNG
+    state to distribute). Output: per (epoch, out_shard) sequence
+    count, token sum, and the pos-ordered key fingerprint. The counts
+    pin that both epochs carry the identical sequence multiset (shard
+    sizes match); the fingerprints pin each epoch's EXACT order — and
+    differ between epochs, which the oracle verifies value-by-value
+    rather than asserting.
+
+    Plan: the pack chain runs ONCE (materialized sequence keys —
+    answer-sized); each epoch adds one md5-rank two-pass global row
+    number + a groupBy over sequence KEYS only. Epochs are embarrassingly
+    independent — a trainer schedules epoch k's shuffle the day it
+    needs it."""
+    from .operators import bpe as bpe_ops
+    from .operators import ranking as rank_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(docs, k=5)
+              .orderBy("merge_rank").collect()]
+    enc = bpe_ops.bpe_encode_ids(docs, merges)
+    packed = pack_ops.pack_sequences(enc, ids_col="token_ids",
+                                     id_col="doc_id", seq_len=64,
+                                     n_shards=8,
+                                     boundary_id=bpe_ops.BOUNDARY_ID)
+    keyed = materialize(packed.select(
+        F.concat_ws(":", F.col("shard").cast("string"),
+                    F.col("seq_id").cast("string")).alias("seq_key"),
+        "n_tokens"))
+    order_fp = F.md5(F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"),
+                                                 F.col("seq_key")))),
+            lambda s: s["seq_key"]),
+        ","))
+    rows = []
+    for epoch in (1, 2):
+        shuf = rank_ops.shuffle_shards(keyed, id_col="seq_key",
+                                       n_shards=4, seed=f"ep{epoch}:")
+        rows.append(
+            shuf.groupBy(F.col("shard").cast("long").alias("out_shard"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"),
+                 F.sum("n_tokens").cast("long").alias("tokens"),
+                 order_fp.alias("order_fp"))
+            .select(F.lit(epoch).cast("long").alias("epoch"),
+                    "out_shard", "n_seqs", "tokens", "order_fp"))
+    return rows[0].unionByName(rows[1])
+
+
 @register("incremental_pack_stats", _duck_bpe_ids_sql(5, seq_len=64,
                                                       n_shards=8))
 def incremental_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
