@@ -1211,6 +1211,69 @@ def pack_policy_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+@register("batch_padding_plan", f"""
+WITH RECURSIVE {_DUCK_PACK_BASE},
+{_duck_greedy_rec("a", "doc_id")},
+{_duck_greedy_rec("b", "tok DESC, doc_id")},
+ba AS (SELECT shard, bin, max(tok) AS mx, count(*) AS c, sum(tok) AS s
+       FROM reca GROUP BY shard, bin),
+bb AS (SELECT shard, bin, max(tok) AS mx, count(*) AS c, sum(tok) AS s
+       FROM recb GROUP BY shard, bin),
+m AS (
+  SELECT 'id_order' AS policy, count(*) AS n_batches,
+         sum(mx * c) AS padded_tokens, sum(s) AS content_tokens
+  FROM ba
+  UNION ALL
+  SELECT 'tokens_desc', count(*), sum(mx * c), sum(s)
+  FROM bb)
+SELECT policy, CAST(n_batches AS BIGINT) AS n_batches,
+       CAST(padded_tokens AS BIGINT) AS padded_tokens,
+       CAST(content_tokens AS BIGINT) AS content_tokens,
+       CAST((padded_tokens - content_tokens) * 1000000 // padded_tokens
+            AS BIGINT) AS padding_ppm
+FROM m
+""")
+def batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PADDED-BATCH cost A/B — the inference/eval-side dual of
+    `pack_policy_waste`: when documents are batched WITHOUT
+    concatenation (rectangular attention batches padded to the batch
+    max, the serving/eval shape), the cost of a batch is
+    max_len × batch_size, so the metric that matters is PADDING, not
+    stranded bin capacity. The same greedy boundary-respecting batcher
+    is measured in arrival order vs length-sorted order
+    (`pack_greedy_sequential(order='tokens_desc')`): sorting clusters
+    similar lengths into the same batch, so each batch's max sits close
+    to its members — the OPPOSITE trade from packing, where the same
+    sort measurably HURT (pack_policy_waste). The pair pins that the
+    right corpus order depends on the downstream consumer: sorted for
+    padded batching, arrival for concat-packing — per-policy
+    padded/content token totals and padding ppm, all exact integers.
+    Plan: the two applyInPandas shard walks + one (shard, bin) groupBy
+    each + answer-sized finals."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("tok"))
+    rows = []
+    for policy, order in (("id_order", "id"),
+                          ("tokens_desc", "tokens_desc")):
+        packed = pack_ops.pack_greedy_sequential(
+            docs, "tok", target=256, n_shards=8, order=order)
+        per_bin = packed.groupBy("shard", "bin_id").agg(
+            F.max("n_tokens").alias("__mx"),
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("n_tokens").alias("__s"))
+        agg = per_bin.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum(F.col("__mx") * F.col("__c")).cast("long")
+            .alias("padded_tokens"),
+            F.sum("__s").cast("long").alias("content_tokens"))
+        rows.append(agg.select(
+            F.lit(policy).alias("policy"), "n_batches", "padded_tokens",
+            "content_tokens",
+            F.expr("CAST((padded_tokens - content_tokens) * 1000000 "
+                   "DIV padded_tokens AS BIGINT)").alias("padding_ppm")))
+    return rows[0].unionByName(rows[1])
+
+
 @register("weighted_sample", f"""
 WITH base AS (SELECT doc_id,
   CAST(len({_DUCK_TOKS}) AS BIGINT) AS w,
