@@ -644,6 +644,8 @@ def test_registry_wide_plan_hygiene(spark):
         "packed_shuffle_stats",  # same |buckets|-row offset frame — the
                                  # shuffle ranks SEQUENCES (answer-sized)
                                  # via shuffle_shards/global_row_number
+        "epoch_shuffle_orders",  # the same sequence-key shuffle, once per
+                                 # epoch seed (two |buckets|-row frames)
         "token_rank_fluency",  # |buckets|-row offset frame over the ≤100-row
                                # heavy-hitter vocabulary (global_row_number)
         "zone_map_skipping",   # |buckets|-row offset frame ×2 layouts
