@@ -7068,6 +7068,146 @@ def ann_pq_subspace_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+@register("ann_retrieval_metrics", f"""
+WITH {_DUCK_PQ_CTES},
+q AS (SELECT vec_id AS query_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < {_DUCK_ANN_NQ}),
+xs AS (SELECT query_id, c.corpus_id,
+              list_sum(list_transform(range(1, 65),
+                i -> (qv[i] - v[i]) * (qv[i] - v[i]))) AS d2
+       FROM q, c WHERE query_id <> c.corpus_id),
+ex AS (SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, corpus_id) AS rn
+    FROM xs) WHERE rn <= 3),
+fa AS (SELECT c.corpus_id, cents.cid,
+              list_sum(list_transform(range(1, 65),
+                i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS fd2
+       FROM c, cents),
+ca AS (SELECT corpus_id, cid AS list_id FROM (
+         SELECT corpus_id, cid,
+                row_number() OVER (PARTITION BY corpus_id
+                                   ORDER BY fd2, cid) AS rn
+         FROM fa) WHERE rn = 1),
+qf AS (SELECT q.query_id, cents.cid,
+              list_sum(list_transform(range(1, 65),
+                i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS fd2
+       FROM q, cents),
+qa AS (SELECT query_id, cid AS list_id FROM (
+         SELECT query_id, cid,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY fd2, cid) AS rn
+         FROM qf) WHERE rn <= 2),
+qd AS (SELECT query_id, sub, cid,
+         list_sum(list_transform(range(1, 17),
+           i -> (qv[(sub-1)*16 + i] - cv[(sub-1)*16 + i])
+              * (qv[(sub-1)*16 + i] - cv[(sub-1)*16 + i]))) AS d2
+       FROM q, subs, cents),
+cand AS (SELECT qa.query_id, ca.corpus_id
+         FROM ca JOIN qa USING (list_id)
+         WHERE qa.query_id <> ca.corpus_id),
+adc AS (SELECT cand.query_id, cand.corpus_id,
+               CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+        FROM cand
+        JOIN codes ON codes.corpus_id = cand.corpus_id
+        JOIN qd ON qd.query_id = cand.query_id
+               AND qd.sub = codes.sub AND qd.cid = codes.cid
+        GROUP BY cand.query_id, cand.corpus_id),
+r AS (SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, corpus_id) AS rank
+      FROM adc),
+plain AS (SELECT query_id, corpus_id, rank FROM r WHERE rank <= 3),
+s10 AS (SELECT query_id, corpus_id FROM r WHERE rank <= 10),
+rr AS (SELECT s10.query_id, s10.corpus_id,
+              row_number() OVER (PARTITION BY s10.query_id ORDER BY
+                list_sum(list_transform(range(1, 65),
+                  i -> (qv[i] - v[i]) * (qv[i] - v[i]))), s10.corpus_id)
+                AS rank
+       FROM s10
+       JOIN c ON c.corpus_id = s10.corpus_id
+       JOIN q ON q.query_id = s10.query_id),
+rr3 AS (SELECT query_id, corpus_id, rank FROM rr WHERE rank <= 3),
+ph AS (SELECT p.query_id, min(p.rank) AS fr, count(*) AS h,
+              sum(CASE WHEN p.rank = 1 THEN 1 ELSE 0 END) AS h1
+       FROM plain p JOIN ex USING (query_id, corpus_id)
+       GROUP BY p.query_id),
+rh AS (SELECT p.query_id, min(p.rank) AS fr, count(*) AS h,
+              sum(CASE WHEN p.rank = 1 THEN 1 ELSE 0 END) AS h1
+       FROM rr3 p JOIN ex USING (query_id, corpus_id)
+       GROUP BY p.query_id)
+SELECT 'ivf_adc' AS method,
+       CAST(coalesce(sum(h), 0) AS BIGINT) AS hits,
+       CAST(coalesce(sum(h1), 0) AS BIGINT) AS hit_at_1,
+       CAST(coalesce(sum(1000000 // fr), 0) AS BIGINT) AS mrr_sum_micro,
+       CAST({_DUCK_ANN_NQ} AS BIGINT) AS n_queries
+FROM ph
+UNION ALL
+SELECT 'ivf_adc_rerank10',
+       CAST(coalesce(sum(h), 0) AS BIGINT),
+       CAST(coalesce(sum(h1), 0) AS BIGINT),
+       CAST(coalesce(sum(1000000 // fr), 0) AS BIGINT),
+       CAST({_DUCK_ANN_NQ} AS BIGINT)
+FROM rh
+""")
+def ann_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERING-AWARE retrieval metrics — recall@k treats a true
+    neighbor at rank 3 the same as rank 1; a retrieval consumer (RAG
+    context stuffing, hard-negative mining) does not. Per arm: hits
+    (the recall@3 numerator), hit@1 (the true nearest surfaced first),
+    and Σ-reciprocal-first-hit-rank in exact integer micros
+    (1e6 // first_hit_rank per query — 1000000 / 500000 / 333333 — so
+    MRR is oracle-pinned with zero float caveats; divide by n_queries
+    off-line for the textbook MRR). Arms: plain IVF-ADC top-3 and the
+    two-stage rerank (`similarity.exact_rerank` over the ADC top-10
+    shortlist) — the pair where MRR earns its keep, because rerank
+    often fixes ORDER inside the shortlist even when the hit set (and
+    so recall) barely moves.
+
+    Plan: one corpus code/assign pass, ranks derived once and reused by
+    both arms (top-3 filter vs top-10 shortlist); the rerank is the
+    broadcast-shortlist map pass; metric joins are answer-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nq = _ann_n_queries(emb, sf_dir)
+    q = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = _exact_l2_baseline(spark, q, c, sf_dir)
+    cb = _ann_memo((sf_dir, "cb_l", 4, 8),
+                   lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
+    coarse = _ann_memo((sf_dir, "coarse_l", 8),
+                       lambda: sim_ops.ivf_coarse_centroids(
+                           c, n_centroids=8))
+    ranked = materialize(
+        sim_ops.ivf_pq_topk(q, c, cb, coarse, k=10, nprobe=2)
+        .select("query_id", "corpus_id", "rank"))
+    plain = ranked.filter(F.col("rank") <= 3)
+    rerank = sim_ops.exact_rerank(
+        ranked.select("query_id", "corpus_id"), q, c, k=3)
+    rows = []
+    for method, arm in (("ivf_adc", plain), ("ivf_adc_rerank10", rerank)):
+        per_q = (arm.select("query_id", "corpus_id", "rank")
+                 .join(F.broadcast(exact.select("query_id", "corpus_id")),
+                       ["query_id", "corpus_id"])
+                 .groupBy("query_id")
+                 .agg(F.min("rank").alias("__fr"),
+                      F.count(F.lit(1)).alias("__h"),
+                      F.sum((F.col("rank") == 1).cast("long"))
+                      .alias("__h1")))
+        rows.append(per_q.agg(
+            F.lit(method).alias("method"),
+            F.coalesce(F.sum("__h"), F.lit(0)).cast("long").alias("hits"),
+            F.coalesce(F.sum("__h1"), F.lit(0)).cast("long")
+            .alias("hit_at_1"),
+            F.coalesce(F.sum(F.expr("1000000 DIV __fr")), F.lit(0))
+            .cast("long").alias("mrr_sum_micro"),
+            F.lit(nq).cast("long").alias("n_queries")))
+    return rows[0].unionByName(rows[1])
+
+
 def _duck_permute_arm(p: str, src: str, qsrc: str) -> str:
     """Encode + ADC + top-3 + distortion CTEs for one dim-permutation
     arm: trained subspace centroids ``cents_{p}`` (from the per-slice
