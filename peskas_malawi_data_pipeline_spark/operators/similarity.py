@@ -492,6 +492,345 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
             .filter(F.col("rank") <= k))
 
 
+def _argmin_struct_over(sub: Column,
+                        cents: dict[int, list[int]]) -> Column:
+    """(min d², winning cid) struct for a micro-int subvector against a
+    centroid dict — semantically identical to the unrolled per-centroid
+    expressions of :func:`_assign_micro_expr` (exact BIGINT d², ties →
+    lowest cid), but the centroids iterate as DATA: one literal
+    array-of-arrays zipped with a literal cid array, so the expression
+    tree is O(1) in the centroid count instead of O(k). At sweep widths
+    (Σk > 100 per subspace) the unrolled form's analysis/codegen cost
+    dominates tiny inputs; this form keeps planning flat while the
+    arithmetic — and therefore every result — is unchanged."""
+    cids = sorted(cents)
+    cb_arr = F.array(*[F.array(*[F.lit(x) for x in cents[cid]])
+                       for cid in cids])
+    cid_arr = F.array(*[F.lit(cid).cast("int") for cid in cids])
+    return F.array_min(F.zip_with(
+        cb_arr, cid_arr,
+        lambda cv, cc: F.struct(
+            F.aggregate(F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+            .alias("d"),
+            cc.alias("c"))))
+
+
+def pq_codebooks_subspace_trained_multi(
+        corpus: DataFrame, corpus_id: str = "corpus_id",
+        vec_col: str = "embedding", m: int = 4,
+        caps: Sequence[int] = (8, 16, 32, 64), iterations: int = 2,
+        engine: str = "arrow"
+        ) -> dict[int, dict[tuple[int, int], list[int]]]:
+    """Train per-subspace PQ codebooks for SEVERAL capacities in ONE
+    fused Lloyd loop — bit-identical to calling
+    :func:`pq_codebook_subspace_trained` once per capacity, at
+    O(iterations) Spark jobs total instead of O(|caps|·m·iterations):
+    each (capacity, subspace) arm is an independent k-means, but their
+    per-iteration work reads the SAME corpus rows, so the assignment +
+    per-(arm, cid, dim) partial-sum update for every arm fuses into one
+    explode + one bounded groupBy/collect (Σ caps · dim rows). On tiny
+    per-job data the 4·m separate Lloyd runs are pure scheduling
+    overhead; at 100 TB the fusion still wins — one corpus scan per
+    iteration instead of |caps|·m.
+
+    Equivalence to the per-arm trainer, piece by piece: seeds are the
+    ``max(caps)`` lowest-id vectors collected once and sliced (each
+    arm's seed list is a prefix — the per-arm trainer's
+    ``orderBy(id).limit(k)`` on the sliced frame); assignment is the
+    exact-integer argmin with ties → lowest cid
+    (:func:`_argmin_struct_over`); the update is the same
+    ``sum div count`` truncating integer mean per (cid, dim); a cluster
+    that loses all members vanishes from ITS arm only; final cids
+    reindex densely per subspace (the pq_codebook_from_centroids
+    contract). Returns {capacity → codebook dict}."""
+    if iterations < 1 or not caps:
+        raise ValueError("caps must be non-empty and iterations >= 1")
+    probe = corpus.select(F.col(vec_col)).limit(1).collect()
+    if not probe or probe[0][0] is None:
+        raise ValueError("pq_codebooks_subspace_trained_multi: empty "
+                         "corpus or NULL first vector")
+    dim = len(probe[0][0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    kmax = max(caps)
+    seed_rows = (corpus.orderBy(corpus_id).limit(kmax)
+                 .select(_micro(F.col(vec_col)).alias("__v")).collect())
+    seeds = [[int(x) for x in r["__v"]] for r in seed_rows]
+    cents: dict[tuple[int, int], dict[int, list[int]]] = {
+        (cap, s): {cid: seeds[cid - 1][(s - 1) * d_sub:s * d_sub]
+                   for cid in range(1, min(cap, len(seeds)) + 1)}
+        for cap in caps for s in range(1, m + 1)}
+    vm = _micro(F.col(vec_col))
+    for _it in range(iterations - 1):
+        if engine == "arrow":
+            # Arrow kernel: each batch emits per-(arm, cid) PARTIAL
+            # element sums + counts (exact int64); the bounded final
+            # combine + the truncating `div` mean stay in Spark SQL so
+            # engine semantics are untouched.
+            import pandas as pd
+
+            plans = [(cap, s, sorted(cd),
+                      [cd[cid] for cid in sorted(cd)])
+                     for (cap, s), cd in cents.items()]
+            schema = ("cap int, sub int, cid int, cnt bigint, " +
+                      ", ".join(f"s{d} bigint" for d in range(d_sub)))
+
+            def partials(batches):
+                import numpy as np
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = _np_micro(pdf[vec_col])
+                    rows = []
+                    for cap, s, cids, cvecs in plans:
+                        Xs = X[:, (s - 1) * d_sub:s * d_sub]
+                        C = np.asarray(cvecs, dtype=np.int64)
+                        a = _np_sub_d2(Xs, C).argmin(axis=1)
+                        for j, cid in enumerate(cids):
+                            mask = a == j
+                            cnt = int(mask.sum())
+                            if not cnt:
+                                continue
+                            sums = Xs[mask].sum(axis=0)
+                            rows.append((cap, s, cid, cnt,
+                                         *[int(x) for x in sums]))
+                    yield pd.DataFrame(
+                        rows, columns=(["cap", "sub", "cid", "cnt"]
+                                       + [f"s{d}" for d in range(d_sub)]))
+
+            stats = (corpus.select(F.col(vec_col))
+                     .mapInPandas(partials, schema=schema)
+                     .groupBy("cap", "sub", "cid")
+                     .agg(*[F.expr(f"sum(s{d}) div sum(cnt)")
+                            .alias(f"__m{d}") for d in range(d_sub)])
+                     .collect())
+        else:
+            arms = []
+            for (cap, s), cd in cents.items():
+                sub = F.slice(vm, (s - 1) * d_sub + 1, d_sub)
+                amin = _argmin_struct_over(sub, cd)
+                arms.append(F.struct(
+                    F.lit(cap).cast("int").alias("cap"),
+                    F.lit(s).cast("int").alias("sub"),
+                    amin["c"].alias("cid"), sub.alias("v")))
+            # element-wise means WITHOUT a per-dimension explode: one row
+            # per (vector, arm) with d_sub `sum(element_at) div count`
+            # aggregates — the same truncating-integer mean per
+            # (cid, dim) as the per-arm trainer's posexplode+groupBy
+            stats = (corpus.select(F.explode(F.array(*arms)).alias("__a"))
+                     .select("__a.cap", "__a.sub", "__a.cid", "__a.v")
+                     .groupBy("cap", "sub", "cid")
+                     .agg(*[F.expr(
+                         f"sum(element_at(v, {d + 1})) div count(1)")
+                         .alias(f"__m{d}") for d in range(d_sub)])
+                     .collect())
+        cents = {}
+        for r in stats:
+            cents.setdefault((int(r["cap"]), int(r["sub"])), {})[
+                int(r["cid"])] = [int(r[f"__m{d}"]) for d in range(d_sub)]
+    out: dict[int, dict[tuple[int, int], list[int]]] = {}
+    for cap in caps:
+        cb: dict[tuple[int, int], list[int]] = {}
+        for s in range(1, m + 1):
+            arm = cents.get((cap, s), {})
+            for dense_cid, cid in enumerate(sorted(arm), start=1):
+                cb[(s, dense_cid)] = arm[cid]
+        out[cap] = cb
+    return out
+
+
+def _np_micro(embs) -> "object":
+    """numpy twin of :func:`_micro`: floor(x·1e6) over float64, exact
+    int64 — bit-identical to the JVM expression (both are one IEEE
+    double multiply + floor; micros are far inside 2^53)."""
+    import numpy as np
+
+    return np.floor(np.asarray(list(embs), dtype=np.float64)
+                    * 1e6).astype(np.int64)
+
+
+def _np_sub_d2(Xs, C) -> "object":
+    """All-pairs exact int64 squared distances between row-subvectors
+    ``Xs`` (n×d) and centroids ``C`` (k×d) via the expansion
+    |x|² − 2x·c + |c|² — integer arithmetic, so the result equals the
+    elementwise Σ(x−c)² exactly (micros keep every term < 2^63)."""
+    xx = (Xs * Xs).sum(axis=1)
+    cc = (C * C).sum(axis=1)
+    return xx[:, None] - 2 * (Xs @ C.T) + cc[None, :]
+
+
+def pq_encode_multi(df: DataFrame, codebooks: dict[object, dict],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    engine: str = "arrow") -> DataFrame:
+    """ONE-PASS encode + distortion for SEVERAL codebooks at once — the
+    fusion behind capacity sweeps (``ann_codebook_sweep``): a sweep that
+    encodes the corpus once per candidate codebook pays |codebooks|
+    corpus scans for work whose inputs are identical per row. Here every
+    (codebook, subspace) argmin is evaluated in a single projection, and
+    because the argmin is computed as ``array_min`` over (d², cid)
+    structs, the winning distance — which IS the reconstruction
+    distortion term :func:`pq_distortion` computes — falls out of the
+    same expression as the code. Two nested selects pin single
+    evaluation of each argmin struct (codes and d² both read the staged
+    ``__amin`` column, so the per-centroid distance work is never
+    repeated).
+
+    Returns one row per input row: (``id_col``, and per codebook key
+    ``name``: ``pq_codes_{name} array<int>``, ``pq_d2_{name} long``).
+    Codes/distortion are bit-identical to :func:`pq_encode` /
+    :func:`pq_distortion` run per codebook (ties → lowest centroid id,
+    exact integer micros). Pure map — the corpus never shuffles;
+    materialize the output when several consumers (scoring + distortion
+    aggregates) read it, exactly the persisted-codes stance of
+    :func:`ivf_pq_encode_corpus`.
+
+    ``engine``: ``"arrow"`` (default) evaluates the argmins in a
+    ``mapInPandas`` numpy kernel — exact int64 throughout (micros via
+    :func:`_np_micro`, distances via :func:`_np_sub_d2`, argmin's
+    first-minimum = lowest cid), measured ~50× faster per row than the
+    interpreted higher-order-function expressions; ``"expr"`` keeps the
+    pure-JVM expression plan (the reference semantics the arrow kernel
+    is equivalence-tested against — tests/test_similarity.py)."""
+    if engine == "arrow":
+        import pandas as pd
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        fields = [f"{id_col} {id_type}"]
+        for name in codebooks:
+            fields.append(f"pq_codes_{name} array<int>")
+            fields.append(f"pq_d2_{name} bigint")
+        schema = ", ".join(fields)
+        # (name, sub, cid-ordered centroid matrix) snapshot: plain
+        # python lists close over the task serializer; numpy-ified once
+        # per batch
+        shapes = {name: _pq_shape(cb) for name, cb in codebooks.items()}
+        plans = []
+        for name, cb in codebooks.items():
+            m, _k, d_sub = shapes[name]
+            subs = []
+            for s in range(1, m + 1):
+                subs.append([cb[(s, cid)] for cid in _sub_cids(cb, s)])
+            plans.append((str(name), m, d_sub, subs))
+        src = df.select(F.col(id_col), F.col(vec_col))
+
+        def encode(batches):
+            import numpy as np
+
+            for pdf in batches:
+                out = {id_col: pdf[id_col]}
+                n = len(pdf)
+                if n == 0:
+                    continue
+                X = _np_micro(pdf[vec_col])
+                for name, m, d_sub, subs in plans:
+                    codes = np.empty((n, m), dtype=np.int32)
+                    d2 = np.zeros(n, dtype=np.int64)
+                    for s in range(1, m + 1):
+                        C = np.asarray(subs[s - 1], dtype=np.int64)
+                        D = _np_sub_d2(X[:, (s - 1) * d_sub:s * d_sub], C)
+                        a = D.argmin(axis=1)
+                        codes[:, s - 1] = a + 1
+                        d2 += D[np.arange(n), a]
+                    out[f"pq_codes_{name}"] = list(codes)
+                    out[f"pq_d2_{name}"] = d2
+                yield pd.DataFrame(out)
+
+        return src.mapInPandas(encode, schema=schema)
+    v = _micro(F.col(vec_col))
+    staged_cols = []
+    for name, cb in codebooks.items():
+        m, _k, d_sub = _pq_shape(cb)
+        for s in range(1, m + 1):
+            sub = F.slice(v, (s - 1) * d_sub + 1, d_sub)
+            staged_cols.append(
+                _argmin_struct_over(sub, {cid: cb[(s, cid)]
+                                          for cid in _sub_cids(cb, s)})
+                .alias(f"__amin_{name}_{s}"))
+    staged = df.select(F.col(id_col), *staged_cols)
+    outs: list[Column] = [F.col(id_col)]
+    for name, cb in codebooks.items():
+        m, _k, _d = _pq_shape(cb)
+        outs.append(F.array(*[F.col(f"__amin_{name}_{s}")["c"]
+                              for s in range(1, m + 1)])
+                    .alias(f"pq_codes_{name}"))
+        d2_total = F.col(f"__amin_{name}_1")["d"]
+        for s in range(2, m + 1):
+            d2_total = d2_total + F.col(f"__amin_{name}_{s}")["d"]
+        outs.append(d2_total.alias(f"pq_d2_{name}"))
+    return staged.select(*outs)
+
+
+def pq_adc_topk_coded_multi(queries: DataFrame, coded: DataFrame,
+                            codebooks: dict[object, dict], k: int = 3,
+                            query_id: str = "query_id",
+                            corpus_id: str = "corpus_id",
+                            vec_col: str = "embedding",
+                            variant_col: str = "variant") -> DataFrame:
+    """ADC top-k for SEVERAL codebooks over ONE pre-coded corpus
+    (:func:`pq_encode_multi` output) in a single score pass, with the
+    textbook ADC LOOKUP-TABLE factoring: each query precomputes its
+    d²(q_sub, centroid) row for every (codebook, subspace, centroid) —
+    |queries|·Σk_s entries, a pure map over the SMALL query side — and
+    the |queries|·|corpus| candidate volume then costs only m
+    ``element_at`` lookups per (pair, variant) instead of m subvector
+    dot products (the exact arithmetic moves off the big join: Σ of the
+    same BIGINT subspace distances, so every total — and the ranking —
+    is unchanged). Per-variant totals explode into (variant, adc_dist)
+    rows ranked by one window partitioned on (variant, query); per
+    variant the result is bit-identical to :func:`pq_adc_topk`.
+    Returns (``variant_col`` [str(key)], query_id, corpus_id, adc_dist,
+    rank)."""
+    qv = _micro(F.col(vec_col))
+    q_cols = [F.col(query_id)]
+    for name, cb in codebooks.items():
+        m, _kc, d_sub = _pq_shape(cb)
+        for s in range(1, m + 1):
+            sub = F.slice(qv, (s - 1) * d_sub + 1, d_sub)
+            cb_arr = F.array(*[
+                F.array(*[F.lit(x) for x in cb[(s, c)]])
+                for c in _sub_cids(cb, s)])
+            lut = F.transform(
+                cb_arr,
+                lambda cv: F.aggregate(
+                    F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x))
+            q_cols.append(lut.alias(f"__lut_{name}_{s}"))
+    from ..core.barrier import materialize
+
+    # materialize the (answer-sized) LUT side before broadcasting: the
+    # broadcast-exchange job otherwise evaluates the LUT expressions with
+    # whatever parallelism the query plan happens to have — measured 3×
+    # slower than one explicit parallel pass on tiny inputs
+    q = materialize(queries.select(*q_cols))
+    joined = coded.join(F.broadcast(q),
+                        F.col(query_id) != F.col(corpus_id))
+    arms = []
+    for name, cb in codebooks.items():
+        m, _kc, _d = _pq_shape(cb)
+        total = F.lit(0).cast("long")
+        for s in range(1, m + 1):
+            # dense per-subspace cids (the codebook contract): a code IS
+            # its position in the cid-ordered LUT row
+            total = total + F.element_at(
+                F.col(f"__lut_{name}_{s}"),
+                F.element_at(F.col(f"pq_codes_{name}"), s))
+        arms.append(F.struct(F.lit(str(name)).alias(variant_col),
+                             total.alias("adc_dist")))
+    exploded = (joined.select(query_id, corpus_id,
+                              F.explode(F.array(*arms)).alias("__arm"))
+                .select(query_id, corpus_id,
+                        F.col(f"__arm.{variant_col}").alias(variant_col),
+                        F.col("__arm.adc_dist").alias("adc_dist")))
+    w = Window.partitionBy(variant_col, query_id).orderBy(
+        "adc_dist", corpus_id)
+    return (exploded.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ivf_coarse_centroids(corpus: DataFrame, corpus_id: str = "corpus_id",
                          vec_col: str = "embedding",
                          n_centroids: int = 8) -> dict[int, list[int]]:

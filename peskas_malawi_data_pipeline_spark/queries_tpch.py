@@ -740,3 +740,46 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(orphans(li, "l_partkey",
                                  _t(spark, sf_dir, "part"), "p_partkey",
                                  "lineitem->part", True)))
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (count-of-counts incl. zeros)
+# ---------------------------------------------------------------------------
+
+@register("customer_order_distribution", """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""")
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the count-of-counts OUTER-join distribution — how many
+    customers placed exactly N (qualifying) orders, INCLUDING the
+    zero-order customers the left join preserves (real Q13 excludes
+    `special requests` comments; the harness has no comment column, so
+    the filter substitutes `o_orderpriority NOT LIKE '%URGENT%'`,
+    keeping the shape-critical property that the predicate sits on the
+    JOIN SIDE — filtering o before a left join ≠ filtering after,
+    because an all-URGENT customer must still count as c_count=0).
+
+    Plan: filter pushes into the orders scan, one shuffle equi-join on
+    custkey; the first aggregate groups on the SAME key the join
+    shuffled on (no extra exchange under AQE coalescing), the second is
+    answer-sized (|distinct counts| rows). count(o_orderkey) counts
+    non-null rows only — the outer join's null-padding becomes 0 in
+    both engines."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(~F.col("o_orderpriority").like("%URGENT%"))
+         .select("o_custkey", "o_orderkey"))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))

@@ -2620,3 +2620,74 @@ def test_dim_energy_permutation_snake_balance(spark):
     for r in got:
         np.testing.assert_allclose(
             r.embedding, [float(vecs[r.corpus_id][p]) for p in perm])
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-codebook PQ family (round 11): one-pass encode/distortion,
+# LUT-factored multi-variant ADC, fused multi-capacity Lloyd
+# ---------------------------------------------------------------------------
+
+def _emb_frames(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    q = (emb.filter(F.col("vec_id") < 12)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return q, c
+
+
+def test_multi_trainer_equals_per_arm_trainer_both_engines(spark):
+    """pq_codebooks_subspace_trained_multi (arrow AND expr engines) must
+    be bit-identical, per capacity, to pq_codebook_subspace_trained —
+    seeds, argmin ties, truncating-div means, vanish handling, dense
+    reindex all replayed in one fused loop."""
+    _q, c = _emb_frames(spark)
+    caps = (4, 8, 16)
+    arrow = S.pq_codebooks_subspace_trained_multi(c, caps=caps)
+    expr = S.pq_codebooks_subspace_trained_multi(c, caps=caps,
+                                                 engine="expr")
+    assert arrow == expr
+    for cap in caps:
+        single = S.pq_codebook_subspace_trained(c, m=4, k_centroids=cap,
+                                                iterations=2)
+        assert arrow[cap] == single, f"cap={cap}"
+
+
+def test_pq_encode_multi_matches_per_codebook_encode_and_distortion(spark):
+    """pq_encode_multi (arrow AND expr engines) must reproduce, per
+    codebook, pq_encode's codes and pq_distortion's d² exactly — the
+    argmin's winning distance IS the distortion term."""
+    _q, c = _emb_frames(spark)
+    cbs = {8: S.pq_codebook(c, m=4, k_centroids=8),
+           16: S.pq_codebook(c, m=4, k_centroids=16)}
+    for engine in ("arrow", "expr"):
+        got = {r.corpus_id: r.asDict()
+               for r in S.pq_encode_multi(c, cbs, id_col="corpus_id",
+                                          engine=engine).collect()}
+        for name, cb in cbs.items():
+            codes = {r.corpus_id: list(r.pq_codes)
+                     for r in S.pq_encode(c, cb,
+                                          id_col="corpus_id").collect()}
+            d2 = {r.corpus_id: r.pq_d2
+                  for r in S.pq_distortion(c, cb,
+                                           id_col="corpus_id").collect()}
+            for cid, row in got.items():
+                assert list(row[f"pq_codes_{name}"]) == codes[cid], engine
+                assert row[f"pq_d2_{name}"] == d2[cid], engine
+
+
+def test_pq_adc_topk_coded_multi_matches_single_codebook_scorer(spark):
+    """The LUT-factored multi-variant ADC scorer must return, per
+    variant, exactly pq_adc_topk's rows (same distances, ranks, tie
+    order) — the LUT factoring moves arithmetic, not semantics."""
+    q, c = _emb_frames(spark)
+    cbs = {8: S.pq_codebook(c, m=4, k_centroids=8),
+           16: S.pq_codebook(c, m=4, k_centroids=16)}
+    coded = S.pq_encode_multi(c, cbs, id_col="corpus_id")
+    multi = S.pq_adc_topk_coded_multi(q, coded, cbs, k=3)
+    for name, cb in cbs.items():
+        want = {(r.query_id, r.corpus_id): (r.adc_dist, r.rank)
+                for r in S.pq_adc_topk(q, c, cb, k=3).collect()}
+        got = {(r.query_id, r.corpus_id): (r.adc_dist, r.rank)
+               for r in multi.filter(F.col("variant") == str(name))
+               .collect()}
+        assert got == want, name

@@ -981,3 +981,53 @@ def test_versioned_table_audit_detects_corruption(spark, tmp_path):
     t2.write(df)
     with pytest.raises(ValueError, match="no recorded audit"):
         t2.verify_audit(spark)
+
+
+def test_ann_baseline_artifact_staleness(spark, tmp_path, monkeypatch):
+    """The persisted exact-L2 baseline must be reused across "sessions"
+    (memo resets) while the corpus is unchanged, and REBUILT — not
+    silently served stale — when the corpus content changes (even at
+    identical row count / file size): the artifact's committed meta
+    carries the corpus content fingerprint and a mismatch forces the
+    all-pairs recompute."""
+    from pyspark.sql import Row, functions as F
+
+    import peskas_malawi_data_pipeline_spark.queries as Q
+
+    monkeypatch.setenv("PESKAS_ANN_BASELINE_CACHE",
+                       str(tmp_path / "cache"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+
+    def write_corpus(shift):
+        rows = [Row(vec_id=i,
+                    embedding=[float((i * 7 + d + shift) % 13) / 10.0
+                               for d in range(8)])
+                for i in range(30)]
+        (spark.createDataFrame(rows).repartition(1)
+         .write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet"))
+
+    def baseline():
+        Q.reset_ann_artifact_memo()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+        return sorted((r.query_id, r.corpus_id) for r in
+                      Q._exact_l2_baseline(spark, q, c, sf_dir).collect())
+
+    write_corpus(0)
+    first = baseline()
+    art_root = tmp_path / "cache"
+    slugs = list(art_root.iterdir())
+    assert len(slugs) == 1
+    v_after_first = (slugs[0] / "_CURRENT").read_text().strip()
+    # unchanged corpus, fresh memo → artifact reused, no new version
+    assert baseline() == first
+    assert (slugs[0] / "_CURRENT").read_text().strip() == v_after_first
+
+    # rewrite the corpus with DIFFERENT content (same shape/row count)
+    write_corpus(3)
+    second = baseline()
+    assert second != first, "stale artifact served for a changed corpus"
+    assert (slugs[0] / "_CURRENT").read_text().strip() != v_after_first
