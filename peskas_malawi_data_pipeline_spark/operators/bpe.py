@@ -541,10 +541,47 @@ def bpe_vocab_table(df: DataFrame, merges,
         rows, "token_id long, symbol string, kind string")
 
 
+def bpe_word_id_map(df: DataFrame, merges, text_col: str = "text",
+                    known: DataFrame | None = None,
+                    local_vocab_limit: int = DEFAULT_LOCAL_VOCAB_LIMIT
+                    ) -> DataFrame:
+    """The (w, ids array<long>) word → token-id map behind
+    :func:`bpe_encode_ids`, exposed as a MAINTAINABLE artifact: with
+    ``known`` (a previously-built map) only the words of ``df`` NOT in
+    it are encoded — the incremental-vocabulary path a continuous
+    encode+pack stream needs (each batch re-paid the full distinct-word
+    merge walk before this; now a batch pays O(its new words) and the
+    union IS the next batch's ``known``). Extra words in ``known`` that
+    ``df`` lacks are harmless downstream (the encode join is inner on
+    the corpus side), so the map only ever grows — append-only like the
+    pack state it travels with. The ``local_vocab_limit`` gate applies
+    to the words actually being encoded (the increment)."""
+    merges = list(merges)
+    k = len(merges)
+    words = df.select(F.explode(T.tokens(F.col(text_col))).alias("w")) \
+        .distinct()
+    if known is not None:
+        words = words.join(known.select("w"), "w", "left_anti")
+    words = materialize(words)
+    n_new = words.count()
+    if n_new > local_vocab_limit:
+        raise ValueError(
+            f"bpe_word_id_map: {n_new} new distinct words, over "
+            f"local_vocab_limit={local_vocab_limit}; raise the limit or "
+            f"pre-shard the vocabulary")
+    rank_of = token_id_map(merges)
+    rows = [(w, [rank_of[s] if len(s) > 1 else k + ord(s) for s in syms])
+            for w, syms in _encode_segments_local(
+                [r["w"] for r in words.collect()], merges)]
+    new_map = df.sparkSession.createDataFrame(
+        rows, "w string, ids array<long>")
+    return known.unionByName(new_map) if known is not None else new_map
+
+
 def bpe_encode_ids(df: DataFrame, merges, id_col: str = "doc_id",
                    text_col: str = "text",
-                   local_vocab_limit: int = DEFAULT_LOCAL_VOCAB_LIMIT
-                   ) -> DataFrame:
+                   local_vocab_limit: int = DEFAULT_LOCAL_VOCAB_LIMIT,
+                   word_map: DataFrame | None = None) -> DataFrame:
     """Encode each document to its BPE token-ID sequence — the step that
     turns a token BUDGET into an actual training example. Returns
     ``(id_col, token_ids array<long>, n_tokens long)`` with ids per
@@ -565,24 +602,18 @@ def bpe_encode_ids(df: DataFrame, merges, id_col: str = "doc_id",
     ``id_col``, moving exactly the output's ids. A vocabulary over
     ``local_vocab_limit`` raises rather than silently collecting — at
     that size encode lengths via the ``chained`` strategy of
-    :func:`bpe_apply_counts` or shard the vocabulary first."""
-    merges = list(merges)
-    k = len(merges)
-    words = materialize(
-        df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
-        .distinct())
-    n_vocab = words.count()
-    if n_vocab > local_vocab_limit:
-        raise ValueError(
-            f"bpe_encode_ids: vocabulary has {n_vocab} distinct words, "
-            f"over local_vocab_limit={local_vocab_limit}; raise the limit "
-            f"or pre-shard the vocabulary")
-    rank_of = token_id_map(merges)
-    rows = [(w, [rank_of[s] if len(s) > 1 else k + ord(s) for s in syms])
-            for w, syms in _encode_segments_local(
-                [r["w"] for r in words.collect()], merges)]
-    wl = F.broadcast(df.sparkSession.createDataFrame(
-        rows, "w string, ids array<long>"))
+    :func:`bpe_apply_counts` or shard the vocabulary first.
+
+    ``word_map``: a precomputed :func:`bpe_word_id_map` frame — the
+    incremental path skips the per-call distinct-word walk entirely and
+    joins against the maintained artifact (words of ``df`` absent from
+    the map silently drop, exactly as marker-emptied words do; callers
+    maintaining a map are responsible for growing it with each batch
+    BEFORE encoding)."""
+    if word_map is None:
+        word_map = bpe_word_id_map(df, merges, text_col=text_col,
+                                   local_vocab_limit=local_vocab_limit)
+    wl = F.broadcast(word_map)
     tok = df.select(F.col(id_col),
                     F.posexplode(T.tokens(F.col(text_col)))
                     .alias("pos", "w"))

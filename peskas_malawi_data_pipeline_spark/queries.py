@@ -9607,6 +9607,321 @@ def epoch_shuffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+# 5-gram twin of _DUCK_SHINGLES (word_shingles(col, 5)): decontamination
+# uses WIDER shingles than the 3-gram dedup signature — at 3 grams the
+# synthetic corpus's shared phrases contaminate ~86% of documents (measured
+# sf0.001: 407/473), which is a false-positive rate no production pass
+# would ship; 5-grams measure 5/473
+_SH5 = ("list_distinct(list_transform(range(1, greatest(len(t)-4,1)+1), "
+        "i -> array_to_string(t[i:i+4], ' ')))")
+
+
+def _duck_corpus_to_shards_sql(k: int, seq_len: int, n_shards: int,
+                               n_out: int) -> str:
+    """Oracle for the FULL corpus→training-shards capstone: the
+    production stage chain — eval split, Gopher quality gate,
+    MinHash-LSH near-dedup with quality-argmax survivors, n-gram
+    decontamination, mixture allocate/draw, BPE fit (on the CLEAN
+    corpus) + encode, packing, training-order shuffle — composed as ONE
+    WITH RECURSIVE chain from the per-stage CTE factories the
+    individual oracles already pin (minhash/survivor CTEs re-sourced to
+    the gated candidate set via word-boundary renames; the mixture and
+    fit chains re-sourced to the clean corpus). Final select: per
+    output shard the sequence count, token mass, and pos-ordered key
+    fingerprint, plus the stage-size scalar columns that pin how many
+    documents each stage passed."""
+    import re
+
+    def resrc(sql: str, src: str, renames: dict[str, str]) -> str:
+        out = re.sub(r"\bFROM documents\b", f"FROM {src}", sql)
+        for old, new in renames.items():
+            out = re.sub(rf"\b{old}\b", new, out)
+        return out
+
+    mh = resrc(_DUCK_MINHASH_CTES, "dq",
+               {"toks": "mtoks", "sh": "msh", "sig": "msig",
+                "bands": "mbands"})
+    prefix = f"""cand AS (SELECT doc_id, source, text FROM documents
+  WHERE doc_id % 19 <> 0),
+gt AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM cand),
+gf AS (SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_words,
+  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT)
+    AS char_sum,
+  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+    AS n_alpha,
+  CAST(len(list_filter(t,
+        x -> list_contains([{_GOPHER_STOP_LIST}], x))) AS BIGINT)
+    AS n_stop_hits,
+  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+    AS symbols
+ FROM gt),
+gs AS (SELECT doc_id, n_words,
+  CASE WHEN n_words > 0 THEN char_sum * 1000000 // n_words
+       WHEN n_words IS NOT NULL THEN 0 END AS mean_word_len_u,
+  CASE WHEN n_words > 0 THEN symbols * 1000000 // n_words
+       WHEN n_words IS NOT NULL THEN 0 END AS symbol_word_ppm,
+  CASE WHEN n_words > 0 THEN n_alpha * 1000000 // n_words
+       WHEN n_words IS NOT NULL THEN 0 END AS alpha_word_ppm,
+  n_stop_hits
+ FROM gf),
+gp AS (SELECT doc_id FROM gs
+ WHERE n_words BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS}
+   AND mean_word_len_u BETWEEN {T.GOPHER_MIN_MEAN_WORD_LEN_U}
+                           AND {T.GOPHER_MAX_MEAN_WORD_LEN_U}
+   AND symbol_word_ppm <= {T.GOPHER_MAX_SYMBOL_WORD_PPM}
+   AND alpha_word_ppm >= {T.GOPHER_MIN_ALPHA_WORD_PPM}
+   AND n_stop_hits >= {T.GOPHER_MIN_STOP_HITS}),
+dq AS (SELECT c.doc_id, c.text FROM cand c JOIN gp USING (doc_id)),
+{mh},
+edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+          UNION SELECT id_b, id_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+kb AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text,
+             '[\\.,;:!\\?"''\\(\\)\\[\\]\\{{\\}}]', '', 'g')) AS n_punct,
+         list_filter(string_split_regex(lower(trim(text)), '[\\s\\v]+'),
+                     x -> x <> '') AS t
+  FROM dq),
+kq AS (
+  SELECT doc_id,
+         CAST(floor((0.4 * least(n / 500.0, 1.0)
+           + 0.3 * (1.0 - least((CASE WHEN n > 0
+               THEN CAST(n_punct AS DOUBLE) / n ELSE 0.0 END) * 5.0, 1.0))
+           + 0.3 * least((CASE WHEN len(t) > 0 THEN
+               CAST(len(list_filter(t, x -> x IN
+                   ('the','and','of','to','a','in','is')))
+                    AS DOUBLE) / len(t) ELSE 0.0 END) * 5.0, 1.0))
+           * 1000000) AS BIGINT) AS quality_micro
+  FROM kb),
+kg AS (SELECT d.doc_id,
+              CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS gkey,
+              kq.quality_micro
+       FROM dq d
+       LEFT JOIN comp c ON d.doc_id = c.id
+       JOIN kq ON d.doc_id = kq.doc_id),
+kw AS (SELECT doc_id, gkey,
+              row_number() OVER (PARTITION BY gkey
+                                 ORDER BY quality_micro DESC, doc_id)
+                AS rk
+       FROM kg),
+surv AS (SELECT doc_id FROM kw WHERE rk = 1),
+etoks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+          WHERE doc_id % 19 = 0),
+esh AS (SELECT DISTINCT u.ng AS ng FROM
+        (SELECT {_SH5} AS s FROM etoks), UNNEST(s) AS u(ng)),
+ssh AS (SELECT doc_id, {_SH5} AS s FROM mtoks
+        WHERE doc_id IN (SELECT doc_id FROM surv)),
+contam AS (SELECT DISTINCT doc_id
+           FROM ssh, UNNEST(s) AS u(ng)
+           WHERE u.ng IN (SELECT ng FROM esh)),
+cleanids AS MATERIALIZED (SELECT doc_id FROM surv
+             WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+dclean AS MATERIALIZED (SELECT c.doc_id, c.source, c.text FROM cand c
+           JOIN cleanids USING (doc_id))"""
+    mix = re.sub(r"\bFROM documents\b", "FROM dclean", _DUCK_MIX_SEL_CTES)
+    # the pipeline's filters can eliminate whole sources; the capstone
+    # re-normalizes the mixture over SURVIVING sources (the Spark side
+    # restricts the weight dict the same way), so the apportionment
+    # denominator becomes Σ wgt over present sources instead of the
+    # full-config constant
+    tot = str(sum(_MIX_WEIGHTS.values()))
+    mix = (mix.replace(f"// {tot}", "// (SELECT sum(wgt) FROM mwt)")
+           .replace(f"% {tot}", "% (SELECT sum(wgt) FROM mwt)"))
+    parts = _duck_bpe_denc_parts(k, extra_ctes=mix, sel="msel")
+    parts[0] = parts[0].replace("FROM documents", "FROM dclean")
+    parts[0] = parts[0].replace("WITH toks AS",
+                                f"WITH RECURSIVE\n{prefix},\ntoks AS")
+    parts += [
+        f"psh AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n, "
+        f"CAST(CAST('0x' || substr(md5('shard:' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {n_shards} AS INT) "
+        f"AS shard FROM denc),",
+        "off AS (SELECT doc_id, shard, ids, n, coalesce(sum(n) OVER ("
+        "PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt "
+        "FROM psh),",
+        "ts AS (SELECT doc_id, shard, strt + CAST(u.i AS BIGINT) - 1 "
+        "AS gpos, ids[CAST(u.i AS INT)] AS tid "
+        "FROM off, UNNEST(range(1, n + 1)) AS u(i)),",
+        f"seqs AS (SELECT shard, CAST(gpos // {seq_len} AS BIGINT) "
+        f"AS seq_id, CAST(count(*) AS BIGINT) AS n_tokens "
+        f"FROM ts GROUP BY shard, gpos // {seq_len}),",
+        "sk AS (SELECT CAST(shard AS VARCHAR) || ':' || "
+        "CAST(seq_id AS VARCHAR) AS seq_key, n_tokens FROM seqs),",
+        "hk AS (SELECT seq_key, n_tokens, "
+        "CAST('0x' || substr(md5('shufseq:' || seq_key), 1, 8) AS BIGINT) "
+        "AS h FROM sk),",
+        "rk AS (SELECT seq_key, n_tokens, "
+        "row_number() OVER (ORDER BY h, seq_key) AS g FROM hk),",
+        f"asn AS (SELECT seq_key, n_tokens, (g - 1) % {n_out} AS "
+        f"out_shard, (g - 1) // {n_out} AS pos FROM rk)",
+    ]
+    return "\n".join(parts) + f"""
+SELECT CAST(out_shard AS BIGINT) AS out_shard,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       md5(string_agg(seq_key, ',' ORDER BY pos)) AS order_fp,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM gp) AS n_quality,
+       (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_survivors,
+       (SELECT CAST(count(*) AS BIGINT) FROM cleanids) AS n_clean,
+       (SELECT CAST(count(*) AS BIGINT) FROM msel) AS n_drawn
+FROM asn GROUP BY out_shard"""
+
+
+@register("corpus_to_shards_pipeline",
+          _duck_corpus_to_shards_sql(5, seq_len=64, n_shards=8, n_out=4))
+def corpus_to_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE: raw corpus → training shards in one lazily-composed
+    plan, chaining every production leg the per-stage queries prove
+    individually — (1) held-out eval split (the `doc_id % 19` slice the
+    decontamination queries use), (2) Gopher quality gate on raw text
+    (`gopher_quality_flags` rule set, no synthetic injection), (3)
+    MinHash-LSH near-dedup keeping the best-QUALITY doc per duplicate
+    cluster (`quality_dedup_survivors` policy), (4) n-gram
+    decontamination of the survivors against the eval slice
+    (`decontaminate_ngram_overlap` shape, doc-level drop), (5) Hamilton
+    mixture allocation + token-budget prefix draw over the CLEAN corpus
+    (`mixture_pack_pipeline` legs), (6) BPE fit on the clean corpus +
+    token-ID encode of the drawn docs, (7) fixed-length packing, (8)
+    deterministic training-order shuffle (`packed_shuffle_stats` leg).
+    Output: per output shard (n_seqs, tokens, exact order fingerprint)
+    plus stage-size columns pinning each stage's survivor count — one
+    oracle row-set certifies the whole composition.
+
+    The integration question this answers: the stages COMPOSE lazily —
+    barriers exist only where the per-stage operators already place
+    them (LSH component convergence, mixture allocation's bounded
+    table, the answer-sized sequence keys), so no stage forces a
+    corpus-wide materialization cliff between legs. Stage chain cost ≈
+    Σ stage costs; the 10× row lives in SCALE.md §10.
+
+    Plan notes: the gate and quality score are pure maps; dedup
+    pairs/components/survivor joins are answer-sized broadcasts; the
+    decontamination semi-join broadcasts |eval| shingles; the tokenizer
+    trains on the CLEAN corpus (the production choice — quality/dedup
+    hygiene should shape the vocabulary, unlike the single-stage
+    queries whose contract is corpus-wide); encode touches drawn docs
+    only; the shuffle ranks answer-sized sequence keys."""
+    from .operators import bpe as bpe_ops
+    from .operators import ranking as rank_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % 19 != 0)
+    ev = docs.filter(F.col("doc_id") % 19 == 0)
+
+    # (2) Gopher gate on raw text
+    g = cand.select("doc_id", "source", "text",
+                    F.explode(F.array(T.gopher_struct(F.col("text"))))
+                    .alias("g"))
+    gated = (g.filter(T.gopher_passes(F.col("g")))
+             .select("doc_id", "source", "text"))
+
+    # (3) near-dedup, best-quality survivor per cluster
+    pairs = dedup_ops.minhash_lsh_pairs(
+        gated, num_hashes=8, band_size=2, shingle_n=3)
+    comp = materialize(dedup_ops.connected_components_star(pairs))
+
+    def micro(col):
+        return F.floor(col * 1000000).cast("long")
+
+    pr, sr = T.punct_ratio(F.col("text")), T.stopword_ratio(F.col("text"))
+    packed_q = F.struct(pr.alias("pr"), sr.alias("sr"),
+                        F.least(F.length("text").cast("double") / 500.0,
+                                F.lit(1.0)).alias("lt"))
+    quality = (0.4 * F.col("s.lt")
+               + 0.3 * (1.0 - F.least(F.col("s.pr") * 5.0, F.lit(1.0)))
+               + 0.3 * F.least(F.col("s.sr") * 5.0, F.lit(1.0)))
+    scored = (gated.select("doc_id",
+                           F.explode(F.array(packed_q)).alias("s"))
+              .select("doc_id", micro(quality).alias("quality_micro")))
+    members = scored.join(
+        F.broadcast(comp.withColumnRenamed("id", "doc_id")), "doc_id")
+    win = Window.partitionBy("component").orderBy(
+        F.col("quality_micro").desc(), F.col("doc_id"))
+    winners = (members.withColumn("__rk", F.row_number().over(win))
+               .filter(F.col("__rk") == 1)
+               .select("doc_id", F.lit(True).alias("__win")))
+    surv = (scored
+            .join(F.broadcast(comp.withColumnRenamed("id", "doc_id")),
+                  "doc_id", "left")
+            .join(F.broadcast(winners), "doc_id", "left")
+            .filter(F.col("component").isNull()
+                    | F.coalesce(F.col("__win"), F.lit(False)))
+            .select("doc_id"))
+    surv_docs = gated.join(surv, "doc_id", "left_semi")
+
+    # (4) decontaminate: drop survivors sharing any 5-gram with eval
+    # (wider than the 3-gram dedup shingles — see _SH5's rationale)
+    eval_ng = (ev.select(F.explode(T.word_shingles(F.col("text"), 5))
+                         .alias("ng")).distinct())
+    contam = (surv_docs.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), 5)).alias("ng"))
+        .join(F.broadcast(eval_ng), "ng", "left_semi")
+        .select("doc_id").distinct())
+    clean = materialize(surv_docs.join(contam, "doc_id", "left_anti"))
+
+    # (5) mixture allocate + token-budget prefix draw over clean corpus
+    meta = clean.select("source", "doc_id",
+                        T.token_count(F.col("text")).cast("long")
+                        .alias("n_tokens"))
+    # re-normalize the mixture over sources that SURVIVED the hygiene
+    # stages (mixture_allocation rightly rejects weights naming absent
+    # sources; here absence is the pipeline's own doing, not a config
+    # typo) — answer-sized distinct-source collect
+    present = {r["source"]
+               for r in meta.select("source").distinct().collect()}
+    weights = {s: w for s, w in _MIX_WEIGHTS.items() if s in present}
+    alloc = materialize(samp_ops.mixture_allocation(
+        meta, weights, _MIX_BUDGET).drop("oversample_ppm"))
+    draw = samp_ops.token_budget_prefix_draw(meta, alloc)
+    sel = draw.filter(F.col("in_fraction")).select("doc_id")
+
+    # (6) fit on clean corpus, encode the drawn docs
+    merges = [(r.pair, r.new_symbol)
+              for r in bpe_ops.bpe_fit(clean, k=5)
+              .orderBy("merge_rank").collect()]
+    enc = bpe_ops.bpe_encode_ids(clean.join(sel, "doc_id", "left_semi"),
+                                 merges)
+
+    # (7) pack, (8) shuffle to output shards
+    packed = pack_ops.pack_sequences(enc, ids_col="token_ids",
+                                     id_col="doc_id", seq_len=64,
+                                     n_shards=8,
+                                     boundary_id=bpe_ops.BOUNDARY_ID)
+    keyed = packed.select(
+        F.concat_ws(":", F.col("shard").cast("string"),
+                    F.col("seq_id").cast("string")).alias("seq_key"),
+        "n_tokens")
+    shuf = rank_ops.shuffle_shards(keyed, id_col="seq_key", n_shards=4,
+                                   seed="shufseq:")
+    order_fp = F.md5(F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"),
+                                                 F.col("seq_key")))),
+            lambda s: s["seq_key"]),
+        ","))
+    counts = (cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+              .crossJoin(gated.agg(F.count(F.lit(1)).alias("n_quality")))
+              .crossJoin(surv.agg(F.count(F.lit(1)).alias("n_survivors")))
+              .crossJoin(clean.agg(F.count(F.lit(1)).alias("n_clean")))
+              .crossJoin(sel.agg(F.count(F.lit(1)).alias("n_drawn"))))
+    return (shuf.groupBy(F.col("shard").cast("long").alias("out_shard"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"),
+                 F.sum("n_tokens").cast("long").alias("tokens"),
+                 order_fp.alias("order_fp"))
+            .crossJoin(F.broadcast(counts)))
+
+
 @register("incremental_pack_stats", _duck_bpe_ids_sql(5, seq_len=64,
                                                       n_shards=8))
 def incremental_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9739,6 +10054,7 @@ def streaming_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_dir = os.path.join(work, "state")
     comp_dir = os.path.join(work, "completed")
+    vocab_dir = os.path.join(work, "wordmap")
 
     def latest(base: str, before: int | None = None):
         if not os.path.exists(base):
@@ -9753,7 +10069,20 @@ def streaming_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps = latest(state_dir, before=batch_id)
         state = (s.read.parquet(ps) if ps
                  else pack_ops.empty_pack_state(s))
-        enc = bpe_ops.bpe_encode_ids(batch_df, merges)
+        # incremental word→ids map (versioned beside the pack state,
+        # same strictly-below replay discipline): a batch pays the merge
+        # walk for its NEW words only — the profiled 100× cost was every
+        # batch re-encoding the whole accumulated vocabulary
+        pv = latest(vocab_dir, before=batch_id)
+        prior_map = s.read.parquet(pv) if pv else None
+        # the versioned write IS the batch's materialization barrier;
+        # the encode then reads the committed artifact back (one pass,
+        # not materialize + write)
+        bpe_ops.bpe_word_id_map(batch_df, merges, known=prior_map) \
+            .write.mode("overwrite").parquet(
+                os.path.join(vocab_dir, f"v{batch_id}"))
+        word_map = s.read.parquet(os.path.join(vocab_dir, f"v{batch_id}"))
+        enc = bpe_ops.bpe_encode_ids(batch_df, merges, word_map=word_map)
         comp, new_state = pack_ops.pack_sequences_incremental(
             enc, state, ids_col="token_ids", id_col="doc_id",
             seq_len=64, n_shards=8, boundary_id=bpe_ops.BOUNDARY_ID)
@@ -9762,11 +10091,16 @@ def streaming_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_state.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}"))
 
-    with st.stream_state_partitions(spark, 4):
-        q = (stream.writeStream.foreachBatch(step)
-             .option("checkpointLocation", os.path.join(work, "ckpt"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+    # NO stream_state_partitions pin here: this drain has ZERO streaming
+    # state (every stateful artifact is the versioned parquet the
+    # foreachBatch maintains itself), so a small pin would only throttle
+    # the batch-side encode/pack shuffles — profiled at 100×, the
+    # 4-partition pin was the dominant wall (the per-batch work is batch
+    # CPU parallelism, exactly what the pin exists to NOT size for)
+    q = (stream.writeStream.foreachBatch(step)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
 
     completed = spark.read.parquet(
         *(os.path.join(comp_dir, d) for d in sorted(os.listdir(comp_dir))))

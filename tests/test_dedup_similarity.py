@@ -2691,3 +2691,76 @@ def test_pq_adc_topk_coded_multi_matches_single_codebook_scorer(spark):
                for r in multi.filter(F.col("variant") == str(name))
                .collect()}
         assert got == want, name
+
+
+def test_bpe_auto_gate_switches_to_distributed_above_limit(spark, monkeypatch):
+    """The `auto` strategy's local_vocab_limit gate (bpe_fit /
+    bpe_encode_ids) must actually FLIP to the distributed path when the
+    distinct-word vocabulary exceeds the limit — the one place a
+    driver-side collect could silently unbound if the gate regressed.
+    The strategies' output equivalence is covered elsewhere; this pins
+    WHICH path the gate picks."""
+    from pyspark.sql import Row
+
+    import peskas_malawi_data_pipeline_spark.operators.bpe as B
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "wide wider lowest"])])
+
+    calls = []
+    real_local, real_dist = B._fit_local, B._fit_distributed
+    monkeypatch.setattr(B, "_fit_local",
+                        lambda *a, **k: (calls.append("local"),
+                                         real_local(*a, **k))[1])
+    monkeypatch.setattr(B, "_fit_distributed",
+                        lambda *a, **k: (calls.append("distributed"),
+                                         real_dist(*a, **k))[1])
+    B.bpe_fit(df, k=2, local_vocab_limit=1_000_000).collect()
+    assert calls == ["local"]
+    calls.clear()
+    B.bpe_fit(df, k=2, local_vocab_limit=1).collect()
+    assert calls == ["distributed"]
+
+    # encode side: local path broadcasts a driver map (createDataFrame of
+    # _encode_lengths_local rows); chained path never calls it
+    enc_calls = []
+    real_enc = B._encode_lengths_local
+    monkeypatch.setattr(B, "_encode_lengths_local",
+                        lambda *a, **k: (enc_calls.append("local"),
+                                         real_enc(*a, **k))[1])
+    merges = [(r["pair"], r["new_symbol"]) for r in
+              B.bpe_fit(df, k=2).collect()]
+    B.bpe_apply_counts(df, merges, local_vocab_limit=1_000_000).collect()
+    assert enc_calls == ["local"]
+    enc_calls.clear()
+    B.bpe_apply_counts(df, merges, local_vocab_limit=1).collect()
+    assert enc_calls == []
+
+
+def test_bpe_word_id_map_incremental_equals_full(spark):
+    """bpe_word_id_map grown batch-by-batch (known=prior) must equal the
+    one-shot map over the union, and encoding through the maintained map
+    must equal the self-computed encode — the equivalence that lets the
+    streaming pack pay O(new words) per batch."""
+    import peskas_malawi_data_pipeline_spark.operators.bpe as B
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cutoff = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    b1 = docs.filter(F.col("doc_id") <= cutoff)
+    b2 = docs.filter(F.col("doc_id") > cutoff)
+    merges = [(r.pair, r.new_symbol)
+              for r in B.bpe_fit(docs, k=5).orderBy("merge_rank").collect()]
+
+    m1 = B.bpe_word_id_map(b1, merges)
+    m2 = B.bpe_word_id_map(b2, merges, known=m1)
+    full = B.bpe_word_id_map(docs, merges)
+    inc = {r.w: list(r.ids) for r in m2.collect()}
+    ref = {r.w: list(r.ids) for r in full.collect()}
+    assert inc == ref
+
+    got = {r.doc_id: list(r.token_ids)
+           for r in B.bpe_encode_ids(b2, merges, word_map=m2).collect()}
+    want = {r.doc_id: list(r.token_ids)
+            for r in B.bpe_encode_ids(b2, merges).collect()}
+    assert got == want

@@ -646,6 +646,10 @@ def test_registry_wide_plan_hygiene(spark):
                                  # via shuffle_shards/global_row_number
         "epoch_shuffle_orders",  # the same sequence-key shuffle, once per
                                  # epoch seed (two |buckets|-row frames)
+        "corpus_to_shards_pipeline",  # same |buckets|-row offset frame —
+                                      # the capstone's final leg IS
+                                      # packed_shuffle_stats' shuffle over
+                                      # answer-sized sequence keys
         "token_rank_fluency",  # |buckets|-row offset frame over the ≤100-row
                                # heavy-hitter vocabulary (global_row_number)
         "zone_map_skipping",   # |buckets|-row offset frame ×2 layouts
