@@ -313,34 +313,21 @@ def pq_codebook_subspace_trained(corpus: DataFrame,
     subspace's centroids adapt to ITS marginal distribution (a
     full-vector clustering sliced up shares one partition across all
     subspaces and wastes codes where a subspace's mass isn't). Runs
-    :func:`kmeans_fit_centroids` on each of the ``m`` sliced frames
-    (seeds = the k lowest-id vectors' slices, the family's shared
-    deterministic seeding); per-subspace cids are reindexed densely, so
-    the codebook may be RAGGED across subspaces if a slice loses a
-    cluster (the scorers handle it — ``_sub_cids``). Cost: m small
-    Lloyd runs, each (iterations−1) k·d_sub partial-sum shuffles + two
-    bounded collects; the corpus is scanned per run but never
-    shuffled."""
-    probe = corpus.select(F.col(vec_col)).limit(1).collect()
-    if not probe or probe[0][0] is None:
-        raise ValueError("pq_codebook_subspace_trained: empty corpus or "
-                         "NULL first vector")
-    dim = len(probe[0][0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d_sub = dim // m
-    cb: dict[tuple[int, int], list[int]] = {}
-    for s in range(1, m + 1):
-        sliced = corpus.select(
-            F.col(corpus_id),
-            F.slice(F.col(vec_col), (s - 1) * d_sub + 1, d_sub)
-            .alias("__sub"))
-        cents = kmeans_fit_centroids(sliced, id_col=corpus_id,
-                                     vec_col="__sub", k=k_centroids,
-                                     iterations=iterations)
-        for dense_cid, cid in enumerate(sorted(cents), start=1):
-            cb[(s, dense_cid)] = cents[cid]
-    return cb
+    :func:`kmeans_fit_centroids` semantics on each of the ``m`` sliced
+    frames (seeds = the k lowest-id vectors' slices, the family's
+    shared deterministic seeding); per-subspace cids are reindexed
+    densely, so the codebook may be RAGGED across subspaces if a slice
+    loses a cluster (the scorers handle it — ``_sub_cids``).
+
+    Since round 11 this DELEGATES to the fused multi-arm trainer
+    (:func:`pq_codebooks_subspace_trained_multi` with one capacity):
+    the m per-subspace Lloyd loops run as ONE Spark job per iteration
+    instead of m separate runs, bit-identical per arm (the fused
+    trainer is equivalence-tested against the historical per-arm loop
+    in both engines)."""
+    return pq_codebooks_subspace_trained_multi(
+        corpus, corpus_id=corpus_id, vec_col=vec_col, m=m,
+        caps=(k_centroids,), iterations=iterations)[k_centroids]
 
 
 def pq_codebook(corpus: DataFrame, corpus_id: str = "corpus_id",
@@ -401,17 +388,36 @@ def _pq_code_columns(vec_micro: Column, codebook: dict) -> list[Column]:
 
 def pq_encode(df: DataFrame, codebook: dict,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              engine: str = "arrow") -> DataFrame:
     """PQ ENCODE: each vector compressed to ``m`` centroid ids — the
     memory/IO compression that lets a 100 TB embedding corpus keep its
     search structure in RAM (m bytes instead of dim·4). Per subspace the
     code is the exact-integer argmin of squared micro distance to the
     codebook (ties → lowest centroid id, via array_min over (d², cid)
     structs — lexicographic, engine-portable). Pure map: the codebook
-    inlines as literals, the corpus never shuffles. Returns (``id_col``,
-    pq_codes array<int>, pq_packed long — codes radix-packed for exact
-    cross-engine comparison and compact storage)."""
+    inlines as literals (Arrow: ships with the kernel), the corpus
+    never shuffles. Returns (``id_col``, pq_codes array<int>,
+    pq_packed long — codes radix-packed for exact cross-engine
+    comparison and compact storage).
+
+    ``engine="arrow"`` (default) runs the argmins through the
+    :func:`pq_encode_multi` numpy kernel — exact int64, bit-identical
+    to the expression plan (equivalence-tested) and far faster than
+    interpreted higher-order functions; ``"expr"`` keeps the pure-JVM
+    expression plan as the reference."""
     m, k, _d_sub = _pq_shape(codebook)
+    if engine == "arrow":
+        coded = pq_encode_multi(df.select(F.col(id_col), F.col(vec_col)),
+                                {"q": codebook}, id_col=id_col,
+                                vec_col=vec_col)
+        codes = F.col("pq_codes_q")
+        packed = F.element_at(codes, 1).cast("long") - 1
+        for s in range(2, m + 1):
+            packed = packed + ((F.element_at(codes, s).cast("long") - 1)
+                               * (k ** (s - 1)))
+        return coded.select(F.col(id_col), codes.alias("pq_codes"),
+                            packed.alias("pq_packed"))
     code_cols = _pq_code_columns(_micro(F.col(vec_col)), codebook)
     codes = F.array(*code_cols)
     packed = code_cols[0].cast("long") - 1
@@ -423,7 +429,8 @@ def pq_encode(df: DataFrame, codebook: dict,
 
 def pq_distortion(df: DataFrame, codebook: dict,
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  engine: str = "arrow") -> DataFrame:
     """Per-vector PQ RECONSTRUCTION ERROR: exact integer d² between the
     vector and its codebook reconstruction — which is Σ over subspaces
     of the min centroid distance (the encode argmin's own objective), so
@@ -431,8 +438,17 @@ def pq_distortion(df: DataFrame, codebook: dict,
     the OTHER codebook-quality axis next to recall: distortion is what
     k-means training directly minimizes, recall is what search cares
     about; a deployment tracks both (codebooks rot as the corpus
-    drifts). Pure map, codebook inlined; returns (``id_col``, pq_d2)."""
+    drifts). Pure map, codebook inlined; returns (``id_col``, pq_d2).
+    ``engine="arrow"`` (default) reads the d² off the
+    :func:`pq_encode_multi` kernel (the argmin's winning distance IS
+    the distortion — exact int64, bit-identical); ``"expr"`` keeps the
+    expression reference."""
     m, _k, d_sub = _pq_shape(codebook)
+    if engine == "arrow":
+        coded = pq_encode_multi(df.select(F.col(id_col), F.col(vec_col)),
+                                {"q": codebook}, id_col=id_col,
+                                vec_col=vec_col)
+        return coded.select(F.col(id_col), F.col("pq_d2_q").alias("pq_d2"))
     v = _micro(F.col(vec_col))
     total = F.lit(0).cast("long")
     for s in range(1, m + 1):
@@ -460,32 +476,41 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
 
     Plan: encode the corpus (pure map over the code column — in a real
     deployment the codes are the PERSISTED artifact and this input is a
-    scan of m-byte rows), broadcast the query side, per-row expression
-    sum over subspaces (codebook inlined as nested literals), one window
-    top-k. Candidate volume is |corpus|·|queries| like brute force but
-    over m integer lookups instead of dim multiplies — the classic
-    PQ trade; compose with :func:`ivf_topk`'s list pruning for the
-    IVF-ADC shape when candidate volume itself is the bottleneck.
-    Returns (query_id, corpus_id, adc_dist, rank)."""
+    scan of m-byte rows), precompute each query's ADC LOOKUP TABLE
+    (d²(q_sub, centroid) per (subspace, cid) — |q|·Σk entries on the
+    SMALL side, the textbook ADC factoring), broadcast it, and score
+    each candidate with m ``element_at`` lookups; one window top-k.
+    Candidate volume is |corpus|·|queries| like brute force but over m
+    integer lookups instead of dim multiplies — the classic PQ trade;
+    compose with :func:`ivf_topk`'s list pruning for the IVF-ADC shape
+    when candidate volume itself is the bottleneck. All arithmetic is
+    the same exact-BIGINT subspace distances, so results are identical
+    to the pre-LUT formulation. Returns (query_id, corpus_id,
+    adc_dist, rank)."""
+    from ..core.barrier import materialize
+
     m, _kc, d_sub = _pq_shape(codebook)
     codes = pq_encode(corpus, codebook, id_col=corpus_id, vec_col=vec_col)
-    cb_lit = F.array(*[
-        F.array(*[
+    qv = _micro(F.col(vec_col))
+    q_cols = [F.col(query_id)]
+    for s in range(1, m + 1):
+        sub = F.slice(qv, (s - 1) * d_sub + 1, d_sub)
+        cb_arr = F.array(*[
             F.array(*[F.lit(x) for x in codebook[(s, c)]])
             for c in _sub_cids(codebook, s)])
-        for s in range(1, m + 1)])
-    qv = _micro(F.col(vec_col))
-    q = queries.select(F.col(query_id), qv.alias("__qv"))
+        lut = F.transform(
+            cb_arr,
+            lambda cv: F.aggregate(
+                F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x))
+        q_cols.append(lut.alias(f"__lut_{s}"))
+    q = materialize(queries.select(*q_cols))
     joined = codes.join(F.broadcast(q),
                         F.col(query_id) != F.col(corpus_id))
     total = F.lit(0).cast("long")
     for s in range(1, m + 1):
-        cvec = F.element_at(F.element_at(cb_lit, s),
-                            F.element_at(F.col("pq_codes"), s))
-        sub = F.slice(F.col("__qv"), (s - 1) * d_sub + 1, d_sub)
-        total = total + F.aggregate(
-            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        total = total + F.element_at(
+            F.col(f"__lut_{s}"), F.element_at(F.col("pq_codes"), s))
     scored = joined.select(query_id, corpus_id, total.alias("adc_dist"))
     w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -897,7 +922,8 @@ def ivf_pq_candidates(queries: DataFrame, corpus: DataFrame,
                       nprobe: int = 2, query_id: str = "query_id",
                       corpus_id: str = "corpus_id",
                       vec_col: str = "embedding",
-                      keep_cols: Sequence[str] = ()) -> DataFrame:
+                      keep_cols: Sequence[str] = (),
+                      engine: str = "arrow") -> DataFrame:
     """The CANDIDATE stage of :func:`ivf_pq_topk`, exposed so a tuning
     sweep can pay the corpus code/assign pass ONCE at the widest
     ``nprobe`` and derive every narrower setting by filtering: returns
@@ -905,41 +931,99 @@ def ivf_pq_candidates(queries: DataFrame, corpus: DataFrame,
     the 1-based position of the candidate's inverted list in the query's
     nearest-list order — a corpus row belongs to exactly one list, so
     ``filter(probe_rank <= p)`` IS the nprobe=p candidate set, with no
-    duplicates and no recomputation. Plan identical to the topk's
-    candidate stage (one corpus map pass, broadcast probe join).
-    ``keep_cols`` rides extra corpus columns through the coded
-    projection onto the candidate rows (production puts filterable
-    attributes IN the index — the filtered-search shape) at zero extra
-    shuffles."""
+    duplicates and no recomputation. Plan: one corpus code/assign map
+    pass, each query's ADC lookup table precomputed on the (small)
+    probe side (the :func:`pq_adc_topk` LUT factoring — LUT rows don't
+    depend on the list, only on the query), broadcast probe join, m
+    ``element_at`` lookups per candidate. ``keep_cols`` rides extra
+    corpus columns through the coded projection onto the candidate rows
+    (production puts filterable attributes IN the index — the
+    filtered-search shape) at zero extra shuffles. ``engine="arrow"``
+    (default) runs the corpus code/assign argmins in a numpy int64
+    kernel (bit-identical; `_coarse_assign`'s (d², cid) tie rule =
+    first-minimum over cid-sorted rows); ``"expr"`` keeps the pure-JVM
+    expression projection."""
+    from ..core.barrier import materialize
+
     m, _kc, d_sub = _pq_shape(codebook)
-    cv = _micro(F.col(vec_col))
-    # list id AND codes from one projection — the corpus is read once and
-    # never self-joined (both are pure expressions over the same vector)
-    coded = corpus.select(
-        F.col(corpus_id),
-        F.element_at(_coarse_assign(cv, coarse, 1), 1).alias("__list"),
-        F.array(*_pq_code_columns(cv, codebook)).alias("pq_codes"),
-        *[F.col(k) for k in keep_cols])
+    if engine == "arrow":
+        import pandas as pd
+
+        id_type = corpus.schema[corpus_id].dataType.simpleString()
+        keep_types = [f"{c} {corpus.schema[c].dataType.simpleString()}"
+                      for c in keep_cols]
+        schema = ", ".join([f"{corpus_id} {id_type}", "__list int",
+                            "pq_codes array<int>"] + keep_types)
+        coarse_cids = sorted(coarse)
+        coarse_rows = [coarse[c] for c in coarse_cids]
+        subs = []
+        for s in range(1, m + 1):
+            subs.append([codebook[(s, cid)]
+                         for cid in _sub_cids(codebook, s)])
+        src = corpus.select(F.col(corpus_id), F.col(vec_col),
+                            *[F.col(c) for c in keep_cols])
+
+        def code_assign(batches):
+            import numpy as np
+
+            cids_arr = np.asarray(coarse_cids, dtype=np.int32)
+            Cc = np.asarray(coarse_rows, dtype=np.int64)
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                X = _np_micro(pdf[vec_col])
+                lists = cids_arr[_np_sub_d2(X, Cc).argmin(axis=1)]
+                codes = np.empty((n, m), dtype=np.int32)
+                for s in range(1, m + 1):
+                    C = np.asarray(subs[s - 1], dtype=np.int64)
+                    codes[:, s - 1] = _np_sub_d2(
+                        X[:, (s - 1) * d_sub:s * d_sub], C
+                    ).argmin(axis=1) + 1
+                out = {corpus_id: pdf[corpus_id], "__list": lists,
+                       "pq_codes": list(codes)}
+                for c in keep_cols:
+                    out[c] = pdf[c]
+                yield pd.DataFrame(out)
+
+        coded = src.mapInPandas(code_assign, schema=schema)
+    else:
+        cv = _micro(F.col(vec_col))
+        # list id AND codes from one projection — the corpus is read
+        # once and never self-joined
+        coded = corpus.select(
+            F.col(corpus_id),
+            F.element_at(_coarse_assign(cv, coarse, 1), 1).alias("__list"),
+            F.array(*_pq_code_columns(cv, codebook)).alias("pq_codes"),
+            *[F.col(k) for k in keep_cols])
     qv = _micro(F.col(vec_col))
-    probes = queries.select(
-        F.col(query_id), qv.alias("__qv"),
-        F.posexplode(_coarse_assign(qv, coarse, nprobe))
-        .alias("__pr", "__list"))
-    cand = coded.join(F.broadcast(probes), "__list") \
-        .filter(F.col(query_id) != F.col(corpus_id))
-    cb_lit = F.array(*[
-        F.array(*[
+    q_cols = [F.col(query_id),
+              _coarse_assign(qv, coarse, nprobe).alias("__probe_lists")]
+    for s in range(1, m + 1):
+        sub = F.slice(qv, (s - 1) * d_sub + 1, d_sub)
+        cb_arr = F.array(*[
             F.array(*[F.lit(x) for x in codebook[(s, c)]])
             for c in _sub_cids(codebook, s)])
-        for s in range(1, m + 1)])
+        lut = F.transform(
+            cb_arr,
+            lambda cv_: F.aggregate(
+                F.zip_with(sub, cv_, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x))
+        q_cols.append(lut.alias(f"__lut_{s}"))
+    # LUTs evaluated ONCE per query (materialize before the probe
+    # explode — a generator in the same projection would re-evaluate
+    # its sibling expressions per emitted row)
+    probes = (materialize(queries.select(*q_cols))
+              .select(query_id,
+                      *[F.col(f"__lut_{s}") for s in range(1, m + 1)],
+                      F.posexplode("__probe_lists")
+                      .alias("__pr", "__list")))
+    cand = coded.join(F.broadcast(probes), "__list") \
+        .filter(F.col(query_id) != F.col(corpus_id))
     total = F.lit(0).cast("long")
     for s in range(1, m + 1):
-        cvec = F.element_at(F.element_at(cb_lit, s),
-                            F.element_at(F.col("pq_codes"), s))
-        sub = F.slice(F.col("__qv"), (s - 1) * d_sub + 1, d_sub)
-        total = total + F.aggregate(
-            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        total = total + F.element_at(
+            F.col(f"__lut_{s}"), F.element_at(F.col("pq_codes"), s))
     return cand.select(query_id, corpus_id, total.alias("adc_dist"),
                        (F.col("__pr") + 1).cast("int").alias("probe_rank"),
                        *[F.col(k) for k in keep_cols])
@@ -1017,7 +1101,8 @@ def ivf_pq_residual_topk(queries: DataFrame, corpus: DataFrame,
                          k: int = 3, nprobe: int = 2,
                          query_id: str = "query_id",
                          corpus_id: str = "corpus_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         engine: str = "arrow") -> DataFrame:
     """IVFADC with RESIDUAL encoding — the complete Jégou et al. shape:
     corpus vectors are coded as ``coarse[list] + PQ(residual)``, and the
     query is compared through its own PER-LIST residual
@@ -1025,41 +1110,87 @@ def ivf_pq_residual_topk(queries: DataFrame, corpus: DataFrame,
     discriminate remainders near zero. All exact integer micros.
 
     Plan: ONE pure-map pass assigns each corpus row its list, subtracts
-    the centroid (inline literals), and codes the residual — the corpus
-    is read once, never shuffled; the probe side explodes queries to
-    ``nprobe`` (list, query-residual) rows and broadcasts into the
-    list-id equi-join; ADC sums m integer subspace lookups; one window
-    top-k. Returns (query_id, corpus_id, adc_dist, rank)."""
+    the centroid, and codes the residual (``engine="arrow"`` numpy
+    int64 kernel by default, ``"expr"`` as the expression reference —
+    bit-identical); the probe side explodes queries to ``nprobe``
+    (list, query-residual) rows carrying their per-(probe, subspace)
+    ADC lookup tables (the LUT here depends on the PROBED LIST, since
+    the query residual does — |q|·nprobe·Σk entries, still the small
+    side) and broadcasts into the list-id equi-join; ADC is m integer
+    lookups per candidate; one window top-k. Returns (query_id,
+    corpus_id, adc_dist, rank)."""
+    from ..core.barrier import materialize
+
     m, _kc, d_sub = _pq_shape(codebook)
-    cv = _micro(F.col(vec_col))
-    clist = _assign_micro_expr(coarse, cv)
-    coded = corpus.select(
-        F.col(corpus_id), clist.alias("__list"),
-        F.array(*_pq_code_columns(
-            _residual_expr(cv, coarse, clist), codebook))
-        .alias("pq_codes"))
+    if engine == "arrow":
+        import pandas as pd
+
+        id_type = corpus.schema[corpus_id].dataType.simpleString()
+        schema = (f"{corpus_id} {id_type}, __list int, "
+                  f"pq_codes array<int>")
+        coarse_cids = sorted(coarse)
+        coarse_rows = [coarse[c] for c in coarse_cids]
+        subs = [[codebook[(s, cid)] for cid in _sub_cids(codebook, s)]
+                for s in range(1, m + 1)]
+        src = corpus.select(F.col(corpus_id), F.col(vec_col))
+
+        def code_residual(batches):
+            import numpy as np
+
+            cids_arr = np.asarray(coarse_cids, dtype=np.int32)
+            Cc = np.asarray(coarse_rows, dtype=np.int64)
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                X = _np_micro(pdf[vec_col])
+                a = _np_sub_d2(X, Cc).argmin(axis=1)
+                R = X - Cc[a]
+                codes = np.empty((n, m), dtype=np.int32)
+                for s in range(1, m + 1):
+                    C = np.asarray(subs[s - 1], dtype=np.int64)
+                    codes[:, s - 1] = _np_sub_d2(
+                        R[:, (s - 1) * d_sub:s * d_sub], C
+                    ).argmin(axis=1) + 1
+                yield pd.DataFrame({corpus_id: pdf[corpus_id],
+                                    "__list": cids_arr[a],
+                                    "pq_codes": list(codes)})
+
+        coded = src.mapInPandas(code_residual, schema=schema)
+    else:
+        cv = _micro(F.col(vec_col))
+        clist = _assign_micro_expr(coarse, cv)
+        coded = corpus.select(
+            F.col(corpus_id), clist.alias("__list"),
+            F.array(*_pq_code_columns(
+                _residual_expr(cv, coarse, clist), codebook))
+            .alias("pq_codes"))
     qv = _micro(F.col(vec_col))
-    probes = (queries.select(
-        F.col(query_id), qv.alias("__qv"),
-        F.explode(_coarse_assign(qv, coarse, nprobe)).alias("__list"))
-        .select(F.col(query_id), F.col("__list"),
-                _residual_expr(F.col("__qv"), coarse, F.col("__list"))
-                .alias("__qres")))
-    cand = coded.join(F.broadcast(probes), "__list") \
-        .filter(F.col(query_id) != F.col(corpus_id))
-    cb_lit = F.array(*[
-        F.array(*[
+    qres = _residual_expr(F.col("__qv"), coarse, F.col("__list"))
+    probe_cols = [F.col(query_id), F.col("__list")]
+    for s in range(1, m + 1):
+        sub = F.slice(qres, (s - 1) * d_sub + 1, d_sub)
+        cb_arr = F.array(*[
             F.array(*[F.lit(x) for x in codebook[(s, c)]])
             for c in _sub_cids(codebook, s)])
-        for s in range(1, m + 1)])
+        lut = F.transform(
+            cb_arr,
+            lambda cv_: F.aggregate(
+                F.zip_with(sub, cv_, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x))
+        probe_cols.append(lut.alias(f"__lut_{s}"))
+    probes = materialize(
+        queries.select(
+            F.col(query_id), _micro(F.col(vec_col)).alias("__qv"),
+            F.explode(_coarse_assign(_micro(F.col(vec_col)), coarse,
+                                     nprobe)).alias("__list"))
+        .select(*probe_cols))
+    cand = coded.join(F.broadcast(probes), "__list") \
+        .filter(F.col(query_id) != F.col(corpus_id))
     total = F.lit(0).cast("long")
     for s in range(1, m + 1):
-        cvec = F.element_at(F.element_at(cb_lit, s),
-                            F.element_at(F.col("pq_codes"), s))
-        sub = F.slice(F.col("__qres"), (s - 1) * d_sub + 1, d_sub)
-        total = total + F.aggregate(
-            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        total = total + F.element_at(
+            F.col(f"__lut_{s}"), F.element_at(F.col("pq_codes"), s))
     scored = cand.select(query_id, corpus_id, total.alias("adc_dist"))
     w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -1127,8 +1258,8 @@ def kmeans_fit_centroids(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", k: int = 8,
                          iterations: int = 2,
                          pre_quantized: bool = False,
-                         distinct_seeds: bool = False
-                         ) -> dict[int, list[int]]:
+                         distinct_seeds: bool = False,
+                         engine: str = "arrow") -> dict[int, list[int]]:
     """The Lloyd loop itself, returning the FINAL-round centroid dict
     (what :func:`kmeans_lloyd`'s assignment is computed against — i.e.
     the centroids after ``iterations - 1`` mean updates): {cid →
@@ -1147,7 +1278,10 @@ def kmeans_fit_centroids(df: DataFrame, id_col: str = "vec_id",
     centroids' own residuals are all exactly zero, so plain lowest-id
     seeding hands k-means k identical zero seeds and the codebook
     collapses to one code — measured as a 6× recall loss before this
-    fix)."""
+    fix). ``engine="arrow"`` (default) evaluates each round's
+    assignment + partial sums in a numpy int64 kernel (bit-identical;
+    the truncating mean stays in Spark SQL); ``"expr"`` keeps the
+    pure-expression rounds as the reference."""
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
     vexpr = (F.col(vec_col) if pre_quantized
@@ -1164,22 +1298,70 @@ def kmeans_fit_centroids(df: DataFrame, id_col: str = "vec_id",
     cents: dict[int, list[int]] = {
         cid: [int(x) for x in r["__v"]]
         for cid, r in enumerate(seeds, start=1)}
+    dim = len(next(iter(cents.values()))) if cents else 0
     for _it in range(iterations - 1):
-        assigned = base.select(
-            "__v", _assign_micro_expr(cents, F.col("__v")).alias("__cid"))
-        # exact integer mean: Spark's `div` truncates toward zero exactly
-        # like DuckDB's `//` (-7 div 2 = -3), with NO double intermediate —
-        # bit-identical at any per-cluster sum magnitude, unlike a
-        # divide-then-cast whose double rounding drifts past 2^53
-        stats = (assigned.select(
-            "__cid", F.posexplode("__v").alias("__dim", "__q"))
-            .groupBy("__cid", "__dim")
-            .agg(F.expr("sum(__q) div count(1)").alias("__m"))
-            .collect())
-        nxt: dict[int, dict[int, int]] = {}
-        for r in stats:
-            nxt.setdefault(int(r["__cid"]), {})[int(r["__dim"])] = \
-                int(r["__m"])
+        if engine == "arrow" and cents:
+            # same Arrow partial-sums pattern as the fused PQ trainer
+            # (pq_codebooks_subspace_trained_multi): each batch emits
+            # per-cid exact int64 element sums + counts; the bounded
+            # combine and the truncating `div` mean stay in Spark SQL —
+            # identical per-(cid, dim) arithmetic to the expression
+            # round below
+            import pandas as pd
+
+            cid_list = sorted(cents)
+            cvecs = [cents[c] for c in cid_list]
+            schema = ("cid int, cnt bigint, " +
+                      ", ".join(f"s{d} bigint" for d in range(dim)))
+
+            def partials(batches):
+                import numpy as np
+
+                cids_arr = np.asarray(cid_list, dtype=np.int32)
+                C = np.asarray(cvecs, dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.asarray(list(pdf["__v"]), dtype=np.int64)
+                    a = _np_sub_d2(X, C).argmin(axis=1)
+                    rows = []
+                    for j, cid in enumerate(cid_list):
+                        mask = a == j
+                        cnt = int(mask.sum())
+                        if not cnt:
+                            continue
+                        rows.append((int(cids_arr[j]), cnt,
+                                     *[int(x) for x in
+                                       X[mask].sum(axis=0)]))
+                    yield pd.DataFrame(
+                        rows, columns=(["cid", "cnt"]
+                                       + [f"s{d}" for d in range(dim)]))
+
+            stats = (base.mapInPandas(partials, schema=schema)
+                     .groupBy("cid")
+                     .agg(*[F.expr(f"sum(s{d}) div sum(cnt)")
+                            .alias(f"__m{d}") for d in range(dim)])
+                     .collect())
+            nxt = {int(r["cid"]): {d: int(r[f"__m{d}"])
+                                   for d in range(dim)} for r in stats}
+        else:
+            assigned = base.select(
+                "__v",
+                _assign_micro_expr(cents, F.col("__v")).alias("__cid"))
+            # exact integer mean: Spark's `div` truncates toward zero
+            # exactly like DuckDB's `//` (-7 div 2 = -3), with NO double
+            # intermediate — bit-identical at any per-cluster sum
+            # magnitude, unlike a divide-then-cast whose double rounding
+            # drifts past 2^53
+            stats = (assigned.select(
+                "__cid", F.posexplode("__v").alias("__dim", "__q"))
+                .groupBy("__cid", "__dim")
+                .agg(F.expr("sum(__q) div count(1)").alias("__m"))
+                .collect())
+            nxt = {}
+            for r in stats:
+                nxt.setdefault(int(r["__cid"]), {})[int(r["__dim"])] = \
+                    int(r["__m"])
         cents = {cid: [dims[i] for i in range(len(dims))]
                  for cid, dims in nxt.items()}
     return cents
@@ -1353,16 +1535,54 @@ def semantic_dedup_survivors(df: DataFrame, centroids: DataFrame,
 def ivf_pq_encode_corpus(corpus: DataFrame, codebook: dict,
                          coarse: dict[int, list[int]],
                          corpus_id: str = "corpus_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         engine: str = "arrow") -> DataFrame:
     """The INDEX-BUILD pass of IVFADC, exposed as a materializable
     artifact: one pure-map projection gives every corpus row its
     inverted-list id AND its PQ codes — (``corpus_id``, ``list_id``,
     ``pq_codes array<int>``). This is the expensive pass over the full
     corpus; persist its output (parquet, partitioned by ``list_id`` at
     scale) and every later search touches only these m-byte rows — the
-    raw vectors are never re-read. Identical expressions to
-    :func:`ivf_pq_candidates`' inline coding, so a persisted index and
-    an in-session search agree bit-for-bit."""
+    raw vectors are never re-read. Identical arithmetic to
+    :func:`ivf_pq_candidates`' coding (``engine="arrow"`` numpy int64
+    kernel by default, the ``"expr"`` expression plan as reference —
+    both bit-identical), so a persisted index and an in-session search
+    agree bit-for-bit."""
+    if engine == "arrow":
+        import pandas as pd
+
+        m, _kc, d_sub = _pq_shape(codebook)
+        id_type = corpus.schema[corpus_id].dataType.simpleString()
+        schema = (f"{corpus_id} {id_type}, list_id int, "
+                  f"pq_codes array<int>")
+        coarse_cids = sorted(coarse)
+        coarse_rows = [coarse[c] for c in coarse_cids]
+        subs = [[codebook[(s, cid)] for cid in _sub_cids(codebook, s)]
+                for s in range(1, m + 1)]
+        src = corpus.select(F.col(corpus_id), F.col(vec_col))
+
+        def code_assign(batches):
+            import numpy as np
+
+            cids_arr = np.asarray(coarse_cids, dtype=np.int32)
+            Cc = np.asarray(coarse_rows, dtype=np.int64)
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                X = _np_micro(pdf[vec_col])
+                lists = cids_arr[_np_sub_d2(X, Cc).argmin(axis=1)]
+                codes = np.empty((n, m), dtype=np.int32)
+                for s in range(1, m + 1):
+                    C = np.asarray(subs[s - 1], dtype=np.int64)
+                    codes[:, s - 1] = _np_sub_d2(
+                        X[:, (s - 1) * d_sub:s * d_sub], C
+                    ).argmin(axis=1) + 1
+                yield pd.DataFrame({corpus_id: pdf[corpus_id],
+                                    "list_id": lists,
+                                    "pq_codes": list(codes)})
+
+        return src.mapInPandas(code_assign, schema=schema)
     cv = _micro(F.col(vec_col))
     return corpus.select(
         F.col(corpus_id),
@@ -1420,27 +1640,37 @@ def ivf_pq_search_coded(queries: DataFrame, coded: DataFrame,
     bit-identical to :func:`ivf_pq_topk` over the same artifacts (the
     ``ann_index_persisted`` registry query shares the in-session twin's
     oracle verbatim)."""
+    from ..core.barrier import materialize
+
     m, _kc, d_sub = _pq_shape(codebook)
     qv = _micro(F.col(vec_col))
-    probes = queries.select(
-        F.col(query_id), qv.alias("__qv"),
-        F.posexplode(_coarse_assign(qv, coarse, nprobe))
-        .alias("__pr", "list_id"))
-    cand = coded.join(F.broadcast(probes), "list_id") \
-        .filter(F.col(query_id) != F.col(corpus_id))
-    cb_lit = F.array(*[
-        F.array(*[
+    q_cols = [F.col(query_id),
+              _coarse_assign(qv, coarse, nprobe).alias("__probe_lists")]
+    for s in range(1, m + 1):
+        sub = F.slice(qv, (s - 1) * d_sub + 1, d_sub)
+        cb_arr = F.array(*[
             F.array(*[F.lit(x) for x in codebook[(s, c)]])
             for c in _sub_cids(codebook, s)])
-        for s in range(1, m + 1)])
+        lut = F.transform(
+            cb_arr,
+            lambda cv_: F.aggregate(
+                F.zip_with(sub, cv_, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x))
+        q_cols.append(lut.alias(f"__lut_{s}"))
+    # the pq_adc_topk LUT factoring on the serve path: each query's
+    # d²(q_sub, centroid) table rides the broadcast, candidates pay m
+    # element_at lookups — same exact BIGINTs, identical results
+    probes = (materialize(queries.select(*q_cols))
+              .select(query_id,
+                      *[F.col(f"__lut_{s}") for s in range(1, m + 1)],
+                      F.posexplode("__probe_lists")
+                      .alias("__pr", "list_id")))
+    cand = coded.join(F.broadcast(probes), "list_id") \
+        .filter(F.col(query_id) != F.col(corpus_id))
     total = F.lit(0).cast("long")
     for s in range(1, m + 1):
-        cvec = F.element_at(F.element_at(cb_lit, s),
-                            F.element_at(F.col("pq_codes"), s))
-        sub = F.slice(F.col("__qv"), (s - 1) * d_sub + 1, d_sub)
-        total = total + F.aggregate(
-            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        total = total + F.element_at(
+            F.col(f"__lut_{s}"), F.element_at(F.col("pq_codes"), s))
     scored = cand.select(query_id, corpus_id, total.alias("adc_dist"))
     w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -2646,9 +2646,24 @@ def test_multi_trainer_equals_per_arm_trainer_both_engines(spark):
     expr = S.pq_codebooks_subspace_trained_multi(c, caps=caps,
                                                  engine="expr")
     assert arrow == expr
+    # independent per-arm reference: the historical loop — one
+    # kmeans_fit_centroids per sliced subspace frame, dense reindex
+    # (pq_codebook_subspace_trained now DELEGATES to the fused trainer,
+    # so the reference must be reconstructed, not called)
+    dim = len(c.select("embedding").first()[0])
+    d_sub = dim // 4
     for cap in caps:
-        single = S.pq_codebook_subspace_trained(c, m=4, k_centroids=cap,
-                                                iterations=2)
+        single = {}
+        for s in range(1, 5):
+            sliced = c.select(
+                "corpus_id",
+                F.slice(F.col("embedding"), (s - 1) * d_sub + 1, d_sub)
+                .alias("__sub"))
+            cents = S.kmeans_fit_centroids(sliced, id_col="corpus_id",
+                                           vec_col="__sub", k=cap,
+                                           iterations=2)
+            for dense_cid, cid in enumerate(sorted(cents), start=1):
+                single[(s, dense_cid)] = cents[cid]
         assert arrow[cap] == single, f"cap={cap}"
 
 
