@@ -1071,15 +1071,19 @@ def pq_codebook_residual_trained(corpus: DataFrame,
     lowest-id seeding would hand k-means k identical zero seeds and
     collapse the codebook to one code). Dense per-subspace reindex; may
     be ragged (see ``_sub_cids``)."""
+    from ..core.barrier import materialize
+
     dim = len(next(iter(coarse.values())))
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
     cv = _micro(F.col(vec_col))
-    res = corpus.select(
+    # materialized once: each of the m sliced Lloyd runs below otherwise
+    # re-evaluates the coarse assign + subtract over the whole corpus
+    res = materialize(corpus.select(
         F.col(corpus_id),
         _residual_expr(cv, coarse, _assign_micro_expr(coarse, cv))
-        .alias("__res"))
+        .alias("__res")))
     cb: dict[tuple[int, int], list[int]] = {}
     for s in range(1, m + 1):
         sliced = res.select(
