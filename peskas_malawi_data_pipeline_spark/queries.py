@@ -6354,6 +6354,111 @@ def _ann_memo(key: tuple, build):
     return _ANN_ARTIFACTS[key]
 
 
+def _encode_ann_artifact(v) -> dict:
+    """JSON-encode a trained ANN driver artifact. The whole family is
+    exact-integer by construction (micro-int Lloyd means, 0-based dim
+    permutations), so a JSON int round-trip is bit-identical — the
+    persisted artifact IS the trained artifact, not an approximation."""
+    if isinstance(v, dict):
+        return {"t": "dict",
+                "items": [[list(k) if isinstance(k, tuple) else int(k),
+                           [int(x) for x in val]]
+                          for k, val in sorted(v.items())]}
+    if isinstance(v, list):
+        return {"t": "list", "items": [int(x) for x in v]}
+    raise TypeError(f"unsupported ANN artifact type {type(v)!r}")
+
+
+def _decode_ann_artifact(obj: dict):
+    if obj["t"] == "list":
+        return [int(x) for x in obj["items"]]
+    return {(tuple(int(p) for p in k) if isinstance(k, list) else int(k)):
+            [int(x) for x in val]
+            for k, val in obj["items"]}
+
+
+def _ann_trained(c: DataFrame, sf_dir: str, key: tuple, build):
+    """Cross-session persisted TRAINED ANN artifact (Lloyd codebooks,
+    coarse/full centroids, dim permutations) — the generalization of
+    ``_exact_l2_baseline``'s persistence to the other retrained-every-
+    session driver artifacts. Each artifact is a small exact-integer
+    dict/list (k·dim values), but TRAINING it costs multiple corpus-wide
+    Spark jobs per Lloyd iteration; a bench/driver session was re-paying
+    that for every family member. Persistence: one JSON file per
+    (sf_dir, kind, params) under ``_ann_baseline_cache_root()``, stamped
+    with the corpus content fingerprint (``_corpus_fingerprint`` — same
+    staleness guard as the baseline artifact: any corpus rewrite, even
+    same-size, changes the hash and forces retraining; pinned by
+    tests/test_plans.py::test_ann_trained_artifact_staleness). The
+    fingerprint scan is memoized per session and shared with the
+    baseline, so the guard adds no extra corpus pass. Cache miss or IO
+    error degrades to in-session training — persistence is an
+    optimization, never a correctness dependency."""
+    ent = _ANN_ARTIFACTS.get(key)
+    if ent is not None:
+        return ent
+    v = _ann_trained_try_load(c, sf_dir, key)
+    if v is None:
+        v = build()
+        _ann_trained_store(c, sf_dir, key, v)
+    _ANN_ARTIFACTS[key] = v
+    return v
+
+
+def _ann_trained_path(sf_dir: str, key: tuple) -> str | None:
+    import hashlib
+    import os
+
+    root = _ann_baseline_cache_root()
+    if root is None:
+        return None
+    slug = hashlib.sha256(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    name = hashlib.sha256(repr(key[1:]).encode()).hexdigest()[:20]
+    return os.path.join(root, f"ann_trained_{slug}", f"{name}.json")
+
+
+def _ann_trained_try_load(c: DataFrame, sf_dir: str, key: tuple):
+    """Disk half of ``_ann_trained``: decoded artifact if a persisted
+    file exists AND its committed corpus fingerprint matches the live
+    corpus; None (degrade to training) otherwise."""
+    import json
+    import os
+
+    path = _ann_trained_path(sf_dir, key)
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        with open(path, encoding="utf-8") as fh:
+            obj = json.load(fh)
+        if obj.get("corpus_fp") == _corpus_fingerprint(
+                c.sparkSession, c, sf_dir):
+            return _decode_ann_artifact(obj["value"])
+    except (OSError, ValueError, KeyError, TypeError):
+        pass  # unreadable/stale artifact → retrain
+    return None
+
+
+def _ann_trained_store(c: DataFrame, sf_dir: str, key: tuple, v) -> None:
+    import json
+    import os
+
+    path = _ann_trained_path(sf_dir, key)
+    if path is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"key": repr(key[1:]),
+                       "corpus_fp": _corpus_fingerprint(
+                           c.sparkSession, c, sf_dir),
+                       "value": _encode_ann_artifact(v)}, fh)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # read-only cache location → stay session-scoped
+
+
 def _ann_n_queries(emb: DataFrame, sf_dir: str) -> int:
     """Data-scaled recall-harness query count — the Python twin of
     ``_DUCK_ANN_NQ`` (~n/10 clamped to [20, 200]), memoized per sf_dir
@@ -6453,8 +6558,10 @@ def _exact_l2_baseline(spark: SparkSession, q: DataFrame, c: DataFrame,
 def _trained_full_centroids(emb: DataFrame, sf_dir: str) -> dict:
     """Full-vector k-means centroids (k=8, iterations=2) over the
     embeddings table — the shared trained artifact behind the
-    `*_trained` arms (memoized per sf_dir)."""
-    return _ann_memo((sf_dir, "cents_full", 8, 2), lambda: (
+    `*_trained` arms (memoized per sf_dir, persisted across sessions
+    under the corpus fingerprint via ``_ann_trained``)."""
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return _ann_trained(c, sf_dir, (sf_dir, "cents_full", 8, 2), lambda: (
         sim_ops.kmeans_centroids(
             emb,
             sim_ops.kmeans_lloyd(emb, id_col="vec_id", k=8, iterations=2),
@@ -7070,9 +7177,10 @@ def ann_ivf_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                              c, n_centroids=8))
     cb_l = _ann_memo((sf_dir, "cb_l", 4, 8),
                      lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
-    cb_res = _ann_memo((sf_dir, "cb_res", 4, 8, 2),
-                       lambda: sim_ops.pq_codebook_residual_trained(
-                           c, coarse_l, m=4, k_centroids=8, iterations=2))
+    cb_res = _ann_trained(c, sf_dir, (sf_dir, "cb_res", 4, 8, 2),
+                          lambda: sim_ops.pq_codebook_residual_trained(
+                              c, coarse_l, m=4, k_centroids=8,
+                              iterations=2))
     rows = []
     for method, approx in (
             ("ivf_adc", sim_ops.ivf_pq_topk(q, c, cb_l, coarse_l, k=3,
@@ -7114,9 +7222,9 @@ def ann_pq_subspace_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
     cb_l = _ann_memo((sf_dir, "cb_l", 4, 8),
                      lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
-    cb_s = _ann_memo((sf_dir, "cb_sub", 4, 8, 2),
-                     lambda: sim_ops.pq_codebook_subspace_trained(
-                         c, m=4, k_centroids=8, iterations=2))
+    cb_s = _ann_trained(c, sf_dir, (sf_dir, "cb_sub", 4, 8, 2),
+                        lambda: sim_ops.pq_codebook_subspace_trained(
+                            c, m=4, k_centroids=8, iterations=2))
     rows = []
     for method, approx in (
             ("pq_adc", sim_ops.pq_adc_topk(q, c, cb_l, k=3)),
@@ -7398,16 +7506,19 @@ def ann_dim_permute_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
     exact = _exact_l2_baseline(spark, q, c, sf_dir)
     exact_n = exact.agg(F.count(F.lit(1)).alias("exact_n"))
-    perm = _ann_memo((sf_dir, "dim_perm", 4),
-                     lambda: sim_ops.dim_energy_permutation(c, m=4))
+    perm = _ann_trained(c, sf_dir, (sf_dir, "dim_perm", 4),
+                        lambda: sim_ops.dim_energy_permutation(c, m=4))
     cp = sim_ops.apply_dim_permutation(c, perm)
     qp = sim_ops.apply_dim_permutation(q, perm)
-    cb_n = _ann_memo((sf_dir, "cb_sub", 4, 8, 2),
-                     lambda: sim_ops.pq_codebook_subspace_trained(
-                         c, m=4, k_centroids=8, iterations=2))
-    cb_p = _ann_memo((sf_dir, "cb_sub_perm", 4, 8, 2),
-                     lambda: sim_ops.pq_codebook_subspace_trained(
-                         cp, m=4, k_centroids=8, iterations=2))
+    cb_n = _ann_trained(c, sf_dir, (sf_dir, "cb_sub", 4, 8, 2),
+                        lambda: sim_ops.pq_codebook_subspace_trained(
+                            c, m=4, k_centroids=8, iterations=2))
+    # trained on the PERMUTED frame, but guarded by the CANONICAL
+    # corpus fingerprint: cp is a pure function of c and a permutation
+    # itself derived from c, so c's content hash covers both.
+    cb_p = _ann_trained(c, sf_dir, (sf_dir, "cb_sub_perm", 4, 8, 2),
+                        lambda: sim_ops.pq_codebook_subspace_trained(
+                            cp, m=4, k_centroids=8, iterations=2))
     rows = []
     for method, qf, cf, cb in (
             ("subtrained_natural", q, c, cb_n),
@@ -7536,17 +7647,28 @@ def ann_codebook_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vec = c.count()
     # fused multi-capacity Lloyd (one job per iteration for ALL arms,
     # bit-identical per arm to pq_codebook_subspace_trained) for the
-    # capacities not already in the session memo; results land under the
-    # SAME memo keys the per-arm trainer uses, so the k=8 artifact stays
-    # shared with ann_dim_permute_recall / pq_distortion_report
-    missing = [cap for cap in _CB_SWEEP_CAPS
-               if (sf_dir, "cb_sub", 4, cap, 2) not in _ANN_ARTIFACTS]
+    # capacities not already in the session memo OR the cross-session
+    # artifact store; results land under the SAME memo keys the per-arm
+    # trainer uses, so the k=8 artifact stays shared with
+    # ann_dim_permute_recall / pq_distortion_report
+    missing = []
+    for cap in _CB_SWEEP_CAPS:
+        key = (sf_dir, "cb_sub", 4, cap, 2)
+        if key in _ANN_ARTIFACTS:
+            continue
+        loaded = _ann_trained_try_load(c, sf_dir, key)
+        if loaded is not None:
+            _ANN_ARTIFACTS[key] = loaded
+        else:
+            missing.append(cap)
     if missing:
         trained = sim_ops.pq_codebooks_subspace_trained_multi(
             c, corpus_id="corpus_id", m=4, caps=tuple(missing),
             iterations=2)
         for cap, cbk in trained.items():
-            _ANN_ARTIFACTS[(sf_dir, "cb_sub", 4, cap, 2)] = cbk
+            key = (sf_dir, "cb_sub", 4, cap, 2)
+            _ann_trained_store(c, sf_dir, key, cbk)
+            _ANN_ARTIFACTS[key] = cbk
     cbs = {cap: _ANN_ARTIFACTS[(sf_dir, "cb_sub", 4, cap, 2)]
            for cap in _CB_SWEEP_CAPS}
     coded = materialize(sim_ops.pq_encode_multi(c, cbs, id_col="corpus_id"))
@@ -7635,9 +7757,9 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
     cb_l = _ann_memo((sf_dir, "cb_l", 4, 8),
                      lambda: sim_ops.pq_codebook(c, m=4, k_centroids=8))
-    cb_s = _ann_memo((sf_dir, "cb_sub", 4, 8, 2),
-                     lambda: sim_ops.pq_codebook_subspace_trained(
-                         c, m=4, k_centroids=8, iterations=2))
+    cb_s = _ann_trained(c, sf_dir, (sf_dir, "cb_sub", 4, 8, 2),
+                        lambda: sim_ops.pq_codebook_subspace_trained(
+                            c, m=4, k_centroids=8, iterations=2))
     rows = []
     for name, cb in (("lowest_id", cb_l), ("subspace_trained", cb_s)):
         d = sim_ops.pq_distortion(c, cb, id_col="corpus_id")

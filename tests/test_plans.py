@@ -1035,3 +1035,77 @@ def test_ann_baseline_artifact_staleness(spark, tmp_path, monkeypatch):
     second = baseline()
     assert second != first, "stale artifact served for a changed corpus"
     assert (slugs[0] / "_CURRENT").read_text().strip() != v_after_first
+
+
+def test_ann_trained_artifact_staleness(spark, tmp_path, monkeypatch):
+    """The persisted TRAINED artifacts (Lloyd codebooks / centroids /
+    dim permutations, queries._ann_trained) must round-trip
+    bit-identically across "sessions" (memo resets) while the corpus is
+    unchanged — WITHOUT re-running training — and must be rebuilt when
+    the corpus content changes at identical shape, exactly like the
+    exact-L2 baseline artifact."""
+    import json
+
+    from pyspark.sql import Row, functions as F
+
+    import peskas_malawi_data_pipeline_spark.queries as Q
+
+    monkeypatch.setenv("PESKAS_ANN_BASELINE_CACHE",
+                       str(tmp_path / "cache"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+
+    def write_corpus(shift):
+        rows = [Row(vec_id=i,
+                    embedding=[float((i * 7 + d + shift) % 13) / 10.0
+                               for d in range(8)])
+                for i in range(40)]
+        (spark.createDataFrame(rows).repartition(1)
+         .write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet"))
+
+    calls = {"n": 0}
+
+    def trained():
+        Q.reset_ann_artifact_memo()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+        def build():
+            calls["n"] += 1
+            from peskas_malawi_data_pipeline_spark.operators import (
+                similarity as sim_ops)
+            return sim_ops.kmeans_centroids(
+                emb,
+                sim_ops.kmeans_lloyd(emb, id_col="vec_id", k=4,
+                                     iterations=2),
+                id_col="vec_id")
+
+        c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+        return Q._ann_trained(c, sf_dir, (sf_dir, "cents_test", 4, 2),
+                              build)
+
+    write_corpus(0)
+    first = trained()
+    assert calls["n"] == 1
+    # fresh "session" (memo reset), unchanged corpus → disk hit,
+    # NO retraining, exact dict round-trip (int keys and values)
+    assert trained() == first
+    assert calls["n"] == 1
+    art_files = list((tmp_path / "cache").rglob("*.json"))
+    assert len(art_files) == 1
+    obj = json.loads(art_files[0].read_text())
+    assert obj["corpus_fp"]["rows"] == 40
+
+    # corpus rewrite at identical shape → fingerprint mismatch → retrain
+    write_corpus(5)
+    second = trained()
+    assert calls["n"] == 2
+    assert second != first, "stale trained artifact served"
+
+    # a tuple-keyed artifact (PQ codebook) round-trips too
+    Q.reset_ann_artifact_memo()
+    cb = {(s, c_): [s, c_, s * c_] for s in (1, 2) for c_ in (1, 2, 3)}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    Q._ann_trained_store(c, sf_dir, (sf_dir, "cb_test", 2, 3), cb)
+    assert Q._ann_trained_try_load(
+        c, sf_dir, (sf_dir, "cb_test", 2, 3)) == cb
