@@ -28,6 +28,33 @@ os.dup2(2, 1)
 from peskas_malawi_data_pipeline_spark.core import get_spark  # noqa: E402
 from peskas_malawi_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 
+def _latest_baseline(sf: str) -> dict[str, float]:
+    """Per-query timings from the NEWEST committed `.baseline_r*_bench
+    .json` whose recorded sf matches the current run (the recording-
+    quality artifacts tools/record_baseline.py commits alongside
+    BASELINE.md). Empty dict when none match — the re-measure pass then
+    simply doesn't run (e.g. sf0.01 smoke runs)."""
+    import glob
+    import re
+
+    best_round, table = -1, {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in glob.glob(os.path.join(here, ".baseline_r*_bench.json")):
+        m = re.search(r"_r(\d+)_", os.path.basename(f))
+        if not m or int(m.group(1)) <= best_round:
+            continue
+        try:
+            with open(f, encoding="utf-8") as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if str(doc.get("sf")) != str(float(sf) if
+                                     sf.replace(".", "").isdigit() else sf):
+            continue
+        best_round, table = int(m.group(1)), doc.get("queries", {})
+    return table
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -82,6 +109,29 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Automatic isolated re-measure: whole-session totals on this box
+    # drift (sub-second queries ±50%, late-session band up to +130%), so
+    # a query reading >30% over its committed per-query baseline gets an
+    # immediate min-of-3 re-measure ALONE at the end of the run — the
+    # BENCH record then carries both numbers and a regression can be
+    # separated from session drift without a manual follow-up session.
+    # Guards: same-sf baselines only; skip sub-0.3s-delta rows (inside
+    # the documented noise band, re-measuring them is pure wall cost).
+    isolated: dict[str, float] = {}
+    baseline = _latest_baseline(sf)
+    flagged = sorted(
+        name for name, sec in timings.items()
+        if baseline.get(name)
+        and sec > 1.3 * baseline[name] and sec - baseline[name] > 0.3)
+    for name in flagged:
+        fn, _sql = REGISTRY[name]
+        for _ in range(3):
+            gc.collect()
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t = round(time.perf_counter() - start, 3)
+            isolated[name] = min(isolated.get(name, t), t)
+
     # The driver records only the LAST 2000 chars of stdout and JSON-parses
     # that tail: a full 131-query dict (~3.4 KB) truncates mid-object and
     # parses as null (BENCH_r01-r04 all show "parsed": null), leaving only
@@ -101,6 +151,13 @@ def main() -> None:
             "queries": top,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
+        if isolated:
+            # in-session value vs isolated min-of-3 for every query that
+            # read >30% over its committed baseline — both numbers in
+            # the record, per the round-11 verdict's evidence rule
+            doc["isolated_remeasure"] = {
+                n: {"session": timings[n], "isolated": isolated[n],
+                    "baseline": baseline[n]} for n in isolated}
         if k < len(timings):
             doc["note"] = (f"queries = top {k} of {len(timings)} by sec; "
                            f"full set in BASELINE.md")

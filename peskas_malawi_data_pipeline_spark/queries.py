@@ -8285,21 +8285,27 @@ def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_dir = os.path.join(work, "pairs")
 
     def step(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        new_bands = materialize(dedup_ops.minhash_bands(
-            batch_df, num_hashes=8, band_size=2, shingle_n=3))
-        index = (s.read.parquet(index_dir) if os.path.exists(index_dir)
-                 else new_bands.limit(0))
-        pairs = dedup_ops.incremental_lsh_pairs(new_bands, index,
-                                                max_bucket=1000)
-        pairs.write.mode("append").parquet(pairs_dir)
-        new_bands.write.mode("append").parquet(index_dir)
+        # size-adaptive shuffle parallelism (replaces the static
+        # 4-partition pin): the drain is STATELESS (state = the parquet
+        # band index), so each batch sizes its own shuffles from its
+        # input bytes — lo=4 at sf0.1 (where the pin's A/B win was
+        # measured) growing toward batch-CPU parallelism at 100×
+        with st.sized_batch_shuffle(batch_df):
+            s = batch_df.sparkSession
+            new_bands = materialize(dedup_ops.minhash_bands(
+                batch_df, num_hashes=8, band_size=2, shingle_n=3))
+            index = (s.read.parquet(index_dir)
+                     if os.path.exists(index_dir)
+                     else new_bands.limit(0))
+            pairs = dedup_ops.incremental_lsh_pairs(new_bands, index,
+                                                    max_bucket=1000)
+            pairs.write.mode("append").parquet(pairs_dir)
+            new_bands.write.mode("append").parquet(index_dir)
 
-    with st.stream_state_partitions(spark, 4):
-        q = (stream.writeStream.foreachBatch(step)
-             .option("checkpointLocation", os.path.join(work, "ckpt"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+    q = (stream.writeStream.foreachBatch(step)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
     return spark.read.parquet(pairs_dir).select("id_a", "id_b").distinct()
 
 
@@ -8379,52 +8385,57 @@ def streaming_pinned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         return os.path.join(base, f"v{vs[-1]}") if vs else None
 
     def step(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        new_bands = materialize(dedup_ops.minhash_bands(
-            batch_df, num_hashes=8, band_size=2, shingle_n=3))
-        # replay idempotency: read the greatest version STRICTLY BELOW
-        # this batch id, so a replayed batch reconstructs v{batch_id}
-        # from v{batch_id-1} deterministically. Reading latest() here
-        # would let a replay see its own failed attempt's v{batch_id} —
-        # harmless for comp/split (overwrite absorbs it) but the index
-        # would compact (own output ∪ new_bands) and double-count
-        # band_weight, pushing under-cap buckets over max_bucket and
-        # silently suppressing candidate pairs.
-        pi = latest(index_dir, before=batch_id)
-        index = (s.read.parquet(pi) if pi else s.createDataFrame(
-            [], "doc_id long, band_id int, band_key string, "
-                "band_weight long"))
-        pairs = dedup_ops.incremental_lsh_pairs(
-            new_bands, index, max_bucket=1000, weight_col="band_weight")
-        pc = latest(comp_dir, before=batch_id)
-        prior_comp = (s.read.parquet(pc) if pc else
-                      s.createDataFrame([], "id long, component long"))
-        comp = dedup_ops.incremental_components(prior_comp, pairs)
-        ps = latest(split_dir, before=batch_id)
-        prior_split = (s.read.parquet(ps) if ps else s.createDataFrame(
-            [], "doc_id long, group_key long, split string, "
-                "pin_conflict boolean"))
-        out = dedup_ops.pinned_incremental_split(
-            prior_split, comp, batch_df.select("doc_id"))
-        comp.write.mode("overwrite").parquet(
-            os.path.join(comp_dir, f"v{batch_id}"))
-        out.write.mode("overwrite").parquet(
-            os.path.join(split_dir, f"v{batch_id}"))
-        # per-batch retention: the persisted index stays one row per
-        # DISTINCT bucket (weight carries the true cardinality for the
-        # hot-bucket cap) — versioned like the snapshots, so a replayed
-        # batch rewrites its own version instead of double-appending
-        dedup_ops.compact_band_index(
-            index.unionByName(new_bands.withColumn(
-                "band_weight", F.lit(1).cast("long")))) \
-            .write.mode("overwrite").parquet(
-                os.path.join(index_dir, f"v{batch_id}"))
+        # size-adaptive shuffle parallelism (replaces the static
+        # 4-partition pin): stateless drain (state = versioned parquet
+        # snapshots), so each batch sizes its own shuffles from its
+        # input bytes — lo=4 at sf0.1 where the pin's A/B win was
+        # measured, growing toward batch-CPU parallelism at 100×
+        with st.sized_batch_shuffle(batch_df):
+            s = batch_df.sparkSession
+            new_bands = materialize(dedup_ops.minhash_bands(
+                batch_df, num_hashes=8, band_size=2, shingle_n=3))
+            # replay idempotency: read the greatest version STRICTLY BELOW
+            # this batch id, so a replayed batch reconstructs v{batch_id}
+            # from v{batch_id-1} deterministically. Reading latest() here
+            # would let a replay see its own failed attempt's v{batch_id} —
+            # harmless for comp/split (overwrite absorbs it) but the index
+            # would compact (own output ∪ new_bands) and double-count
+            # band_weight, pushing under-cap buckets over max_bucket and
+            # silently suppressing candidate pairs.
+            pi = latest(index_dir, before=batch_id)
+            index = (s.read.parquet(pi) if pi else s.createDataFrame(
+                [], "doc_id long, band_id int, band_key string, "
+                    "band_weight long"))
+            pairs = dedup_ops.incremental_lsh_pairs(
+                new_bands, index, max_bucket=1000, weight_col="band_weight")
+            pc = latest(comp_dir, before=batch_id)
+            prior_comp = (s.read.parquet(pc) if pc else
+                          s.createDataFrame([], "id long, component long"))
+            comp = dedup_ops.incremental_components(prior_comp, pairs)
+            ps = latest(split_dir, before=batch_id)
+            prior_split = (s.read.parquet(ps) if ps else s.createDataFrame(
+                [], "doc_id long, group_key long, split string, "
+                    "pin_conflict boolean"))
+            out = dedup_ops.pinned_incremental_split(
+                prior_split, comp, batch_df.select("doc_id"))
+            comp.write.mode("overwrite").parquet(
+                os.path.join(comp_dir, f"v{batch_id}"))
+            out.write.mode("overwrite").parquet(
+                os.path.join(split_dir, f"v{batch_id}"))
+            # per-batch retention: the persisted index stays one row per
+            # DISTINCT bucket (weight carries the true cardinality for the
+            # hot-bucket cap) — versioned like the snapshots, so a replayed
+            # batch rewrites its own version instead of double-appending
+            dedup_ops.compact_band_index(
+                index.unionByName(new_bands.withColumn(
+                    "band_weight", F.lit(1).cast("long")))) \
+                .write.mode("overwrite").parquet(
+                    os.path.join(index_dir, f"v{batch_id}"))
 
-    with st.stream_state_partitions(spark, 4):
-        q = (stream.writeStream.foreachBatch(step)
-             .option("checkpointLocation", os.path.join(work, "ckpt"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+    q = (stream.writeStream.foreachBatch(step)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
     return spark.read.parquet(latest(split_dir)).select(
         "doc_id", "group_key", "split", "pin_conflict")
 
@@ -10187,38 +10198,41 @@ def streaming_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         return os.path.join(base, f"v{vs[-1]}") if vs else None
 
     def step(batch_df, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        ps = latest(state_dir, before=batch_id)
-        state = (s.read.parquet(ps) if ps
-                 else pack_ops.empty_pack_state(s))
-        # incremental word→ids map (versioned beside the pack state,
-        # same strictly-below replay discipline): a batch pays the merge
-        # walk for its NEW words only — the profiled 100× cost was every
-        # batch re-encoding the whole accumulated vocabulary
-        pv = latest(vocab_dir, before=batch_id)
-        prior_map = s.read.parquet(pv) if pv else None
-        # the versioned write IS the batch's materialization barrier;
-        # the encode then reads the committed artifact back (one pass,
-        # not materialize + write)
-        bpe_ops.bpe_word_id_map(batch_df, merges, known=prior_map) \
-            .write.mode("overwrite").parquet(
-                os.path.join(vocab_dir, f"v{batch_id}"))
-        word_map = s.read.parquet(os.path.join(vocab_dir, f"v{batch_id}"))
-        enc = bpe_ops.bpe_encode_ids(batch_df, merges, word_map=word_map)
-        comp, new_state = pack_ops.pack_sequences_incremental(
-            enc, state, ids_col="token_ids", id_col="doc_id",
-            seq_len=64, n_shards=8, boundary_id=bpe_ops.BOUNDARY_ID)
-        comp.write.mode("overwrite").parquet(
-            os.path.join(comp_dir, f"v{batch_id}"))
-        new_state.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id}"))
+        # SIZE-ADAPTIVE shuffle parallelism: this drain has ZERO
+        # streaming state (every stateful artifact is the versioned
+        # parquet the foreachBatch maintains itself), so each batch may
+        # size its own shuffles. Profiled at 100× the old 4-partition
+        # pin was the dominant wall (~103 s vs ~95 s unpinned); at sf0.1
+        # full 32-way parallelism costs ~3 s of task overhead (9.5 vs
+        # 12.4 s). Deriving the count from the batch's input bytes gets
+        # BOTH: lo=4 at sf0.1, batch-CPU parallelism at 100×.
+        with st.sized_batch_shuffle(batch_df):
+            s = batch_df.sparkSession
+            ps = latest(state_dir, before=batch_id)
+            state = (s.read.parquet(ps) if ps
+                     else pack_ops.empty_pack_state(s))
+            # incremental word→ids map (versioned beside the pack state,
+            # same strictly-below replay discipline): a batch pays the merge
+            # walk for its NEW words only — the profiled 100× cost was every
+            # batch re-encoding the whole accumulated vocabulary
+            pv = latest(vocab_dir, before=batch_id)
+            prior_map = s.read.parquet(pv) if pv else None
+            # the versioned write IS the batch's materialization barrier;
+            # the encode then reads the committed artifact back (one pass,
+            # not materialize + write)
+            bpe_ops.bpe_word_id_map(batch_df, merges, known=prior_map) \
+                .write.mode("overwrite").parquet(
+                    os.path.join(vocab_dir, f"v{batch_id}"))
+            word_map = s.read.parquet(os.path.join(vocab_dir, f"v{batch_id}"))
+            enc = bpe_ops.bpe_encode_ids(batch_df, merges, word_map=word_map)
+            comp, new_state = pack_ops.pack_sequences_incremental(
+                enc, state, ids_col="token_ids", id_col="doc_id",
+                seq_len=64, n_shards=8, boundary_id=bpe_ops.BOUNDARY_ID)
+            comp.write.mode("overwrite").parquet(
+                os.path.join(comp_dir, f"v{batch_id}"))
+            new_state.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"v{batch_id}"))
 
-    # NO stream_state_partitions pin here: this drain has ZERO streaming
-    # state (every stateful artifact is the versioned parquet the
-    # foreachBatch maintains itself), so a small pin would only throttle
-    # the batch-side encode/pack shuffles — profiled at 100×, the
-    # 4-partition pin was the dominant wall (the per-batch work is batch
-    # CPU parallelism, exactly what the pin exists to NOT size for)
     q = (stream.writeStream.foreachBatch(step)
          .option("checkpointLocation", os.path.join(work, "ckpt"))
          .trigger(availableNow=True).start())

@@ -45,6 +45,86 @@ def stream_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def batch_shuffle_partitions(batch_df: DataFrame,
+                             bytes_per_partition: int = 512 << 10,
+                             lo: int = 4,
+                             hi: int | None = None) -> int:
+    """Shuffle-partition count for a STATELESS ``foreachBatch`` body,
+    sized from THIS batch's input bytes — the adaptive replacement for a
+    static ``stream_state_partitions`` pin on drains whose state lives in
+    versioned parquet rather than a state store (so nothing freezes the
+    count in a checkpoint and each micro-batch may size itself).
+
+    Why adaptive: a 4-partition pin is right when per-batch work is tiny
+    (task launch overhead dominates — measured sf0.1: unpinning
+    streaming_near_dedup cost 5.4 → ~20 s) and wrong when a batch carries
+    corpus-scale work (measured 100×: the same pin made the encode+pack
+    drain's wall, ~103 s pinned vs ~95 s at full parallelism). A constant
+    cannot be right at both scales; the batch's own input size can.
+
+    Sizing: the optimizer's size statistic for the micro-batch plan
+    (``optimizedPlan().stats().sizeInBytes()`` — driver-side metadata,
+    no job; for a file-source batch this is exactly the batch's file
+    bytes. ``inputFiles()`` is NOT usable here: a micro-batch DataFrame
+    is backed by an in-memory file index that reports no input files —
+    measured empty on Spark 4). ``ceil(bytes / bytes_per_partition)``
+    clamped to [lo, hi]. The default 512 KiB/partition is calibrated to
+    COMPRESSED text parquet whose downstream working set (token arrays,
+    shingle/band explosions) runs ~10-20× the file bytes — i.e. ~5-10 MB
+    of working set per task. ``hi`` defaults to the session's current
+    ``spark.sql.shuffle.partitions`` (the batch-CPU ceiling). Unknown
+    statistics (Catalyst's sizeInBytes defaults to Long.MaxValue) or py4j
+    failures fall back to ``hi`` (full parallelism — fail toward
+    throughput, not toward a tiny pin)."""
+    import math
+
+    if hi is None:
+        hi = int(batch_df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    try:
+        # py4j converts scala.math.BigInt's underlying value to a Python
+        # int in some call paths and hands back a JavaObject in others —
+        # str() round-trips both
+        total = int(str(
+            batch_df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()))
+        if total <= 0 or total >= (1 << 62):
+            return hi
+    except Exception:
+        return hi
+    return max(lo, min(hi, math.ceil(total / bytes_per_partition)))
+
+
+@contextmanager
+def sized_batch_shuffle(batch_df: DataFrame,
+                        bytes_per_partition: int = 512 << 10,
+                        lo: int = 4, hi: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` for one ``foreachBatch`` body
+    to :func:`batch_shuffle_partitions`'s size-derived count, restoring
+    the session value afterwards.
+
+    ``PESKAS_BATCH_SHUFFLE_MODE`` overrides for A/B measurement and
+    production escape-hatch: ``off`` leaves the session conf untouched
+    (the pre-adaptive behavior); an integer forces that static count."""
+    import os
+
+    spark = batch_df.sparkSession
+    mode = os.environ.get("PESKAS_BATCH_SHUFFLE_MODE", "").strip()
+    if mode == "off":
+        yield int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return
+    if mode.isdigit():
+        n = int(mode)
+    else:
+        n = batch_shuffle_partitions(batch_df, bytes_per_partition, lo, hi)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def stream_from_parquet_dir(spark: SparkSession, path: str,
                             schema: StructType | str) -> DataFrame:
     """File-source stream over a landing directory (schema mandatory —

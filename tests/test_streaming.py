@@ -651,3 +651,45 @@ def test_versioned_pack_state_replay_idempotent(spark, tmp_path):
     assert got == full
     n_rows = completed.count() + tails.count()
     assert n_rows == len(full)   # replay did not double-emit
+
+
+def test_batch_shuffle_partitions_adaptive(spark, tmp_path):
+    """Size-adaptive foreachBatch parallelism: a small file-source
+    micro-batch sizes down to ``lo``; the count derives from the batch's
+    own bytes (ceil(bytes / bytes_per_partition) clamp); the session
+    conf is restored after the sized block; unknown/degenerate stats
+    fall back to ``hi``."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    (spark.range(200_000)
+     .selectExpr("id AS doc_id", "repeat('x', 50) AS text")
+     .repartition(2).write.parquet(landing))
+    sizes = sorted(os.path.getsize(os.path.join(landing, f))
+                   for f in os.listdir(landing) if f.endswith(".parquet"))
+
+    seen = []
+
+    def step(batch_df, batch_id):
+        # default calibration: one ~430 KB file -> ceil(<1) -> lo=4
+        seen.append(ingest_stream.batch_shuffle_partitions(batch_df))
+        # explicit calibration: derived from THIS batch's actual bytes
+        n_fine = ingest_stream.batch_shuffle_partitions(
+            batch_df, bytes_per_partition=64 << 10, lo=1, hi=1000)
+        assert sizes[0] <= n_fine * (64 << 10) <= sizes[-1] + (64 << 10)
+        with ingest_stream.sized_batch_shuffle(batch_df) as n:
+            assert int(batch_df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions")) == n == seen[-1]
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    q = (spark.readStream.schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", 1).parquet(landing)
+         .writeStream.foreachBatch(step)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert seen == [4, 4]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    # degenerate stats (empty-relation plan reports 0/unknown) -> hi
+    empty = spark.createDataFrame([], "x long").filter("x > 0")
+    assert ingest_stream.batch_shuffle_partitions(empty, hi=17) in (4, 17)
