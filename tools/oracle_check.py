@@ -64,7 +64,13 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame, float_tol: float = 0.0) -> tu
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -75,6 +81,7 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,23 +89,44 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            record[name] = {"status": "FAIL", "msg": f"spark error: {e}"}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            record[name] = {"status": "SKIP", "rows": len(sdf)}
             print(f"SKIP {name}: no oracle (rows={len(sdf)})")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            record[name] = {"status": "FAIL", "msg": f"duckdb error: {e}"}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok, msg = values_match(normalize(sdf), normalize(odf))
         status = "PASS" if ok else "FAIL"
         if not ok:
             failures.append(name)
+        record[name] = {"status": status, "rows": len(sdf)}
+        if not ok:
+            record[name]["msg"] = msg
         print(f"{status} {name}: rows={len(sdf)} {'' if ok else msg}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json as _json
+        import time as _time
+
+        with open(json_path, "w", encoding="utf-8") as fh:
+            _json.dump({
+                "sf_dir": sf_dir,
+                "when": _time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "comparator": "exact (zero float tolerance)",
+                "n_checked": len(record),
+                "n_pass": sum(r["status"] == "PASS"
+                              for r in record.values()),
+                "n_fail": len(failures),
+                "queries": record,
+            }, fh, indent=1, sort_keys=True)
     return 1 if failures else 0
 
 
