@@ -6605,10 +6605,30 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when a cluster loses all members
     coarse_t = {i: cents_t[cid]
                 for i, cid in enumerate(sorted(cents_t), start=1)}
-    rows = []
+    # the two PQ-ADC arms FUSE through the sweep machinery (round 12):
+    # one multi-codebook corpus encode + one LUT scoring pass with a
+    # single (variant, query) window — per-arm rows bit-identical to
+    # pq_adc_topk (the sweep's equivalence tests), one grouped aggregate
+    # instead of two join+agg legs. The IVF arms stay per-arm: their
+    # coarse quantizers differ, so the list pruning cannot share a pass.
+    cbs = {"pq_adc": cb_l, "pq_adc_trained": cb_t}
+    coded = sim_ops.pq_encode_multi(c, cbs, id_col="corpus_id")
+    pq_hits = (sim_ops.pq_adc_topk_coded_multi(q, coded, cbs, k=3)
+               .select(F.col("variant").alias("method"),
+                       "query_id", "corpus_id")
+               .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+               .groupBy("method")
+               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                    F.count(F.lit(1)).alias("approx_n"))
+               .crossJoin(F.broadcast(exact_n)))
+    rows = [pq_hits.select(
+        "method",
+        F.col("hits").cast("long").alias("hits"),
+        F.col("approx_n").cast("long").alias("approx_n"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+        .alias("recall_ppm"))]
     for method, approx in (
-            ("pq_adc", sim_ops.pq_adc_topk(q, c, cb_l, k=3)),
-            ("pq_adc_trained", sim_ops.pq_adc_topk(q, c, cb_t, k=3)),
             ("ivf_adc", sim_ops.ivf_pq_topk(q, c, cb_l, coarse_l, k=3,
                                             nprobe=2)),
             ("ivf_adc_trained", sim_ops.ivf_pq_topk(q, c, cb_t, coarse_t,
@@ -6776,13 +6796,19 @@ def ann_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = []
     for name, cb, coarse in (("ivf_adc", cb_l, coarse_l),
                              ("ivf_adc_trained", cb_t, coarse_t)):
+        # ONE IVF-ADC pass per quantizer (round 12): the k=3 direct arm
+        # IS the k'=10 shortlist filtered to rank<=3 — ivf_pq_topk ranks
+        # all candidates under the same (adc_dist, corpus_id) window
+        # before the k-cut, so the filter is bit-identical to a second
+        # k=3 scoring pass and the materialized shortlist serves both
+        # arms (the production shape too: one index probe, two consumers)
         shortlist = materialize(
-            sim_ops.ivf_pq_topk(q, c, cb, coarse, k=10, nprobe=2)
-            .select("query_id", "corpus_id"))
-        arms.append((name, sim_ops.ivf_pq_topk(q, c, cb, coarse, k=3,
-                                               nprobe=2)))
+            sim_ops.ivf_pq_topk(q, c, cb, coarse, k=10, nprobe=2))
+        arms.append((name, shortlist.filter(F.col("rank") <= 3)))
         arms.append((f"{name}_rerank10",
-                     sim_ops.exact_rerank(shortlist, q, c, k=3)))
+                     sim_ops.exact_rerank(
+                         shortlist.select("query_id", "corpus_id"),
+                         q, c, k=3)))
     rows = []
     for method, approx in arms:
         agg = (approx.select("query_id", "corpus_id")
