@@ -1109,3 +1109,47 @@ def test_ann_trained_artifact_staleness(spark, tmp_path, monkeypatch):
     Q._ann_trained_store(c, sf_dir, (sf_dir, "cb_test", 2, 3), cb)
     assert Q._ann_trained_try_load(
         c, sf_dir, (sf_dir, "cb_test", 2, 3)) == cb
+
+
+def test_ann_trained_artifact_corrupt_degrades(spark, tmp_path,
+                                               monkeypatch):
+    """A corrupt/truncated persisted trained-artifact file must degrade
+    to retraining (never crash, never serve garbage), and the retrain
+    must REPLACE the corrupt file so the next session hits disk again."""
+    import json
+
+    from pyspark.sql import Row, functions as F
+
+    import peskas_malawi_data_pipeline_spark.queries as Q
+
+    monkeypatch.setenv("PESKAS_ANN_BASELINE_CACHE",
+                       str(tmp_path / "cache"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    rows = [Row(vec_id=i, embedding=[float((i * 3 + d) % 7)
+                                     for d in range(4)])
+            for i in range(20)]
+    (spark.createDataFrame(rows).repartition(1)
+     .write.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return {1: [1, 2], 2: [3, 4]}
+
+    def trained():
+        Q.reset_ann_artifact_memo()
+        return Q._ann_trained(c, sf_dir, (sf_dir, "corrupt_t", 1), build)
+
+    first = trained()
+    assert calls["n"] == 1
+    art = next((tmp_path / "cache").rglob("*.json"))
+    art.write_text("{ not json")          # truncated/corrupt artifact
+    assert trained() == first             # degraded to retraining
+    assert calls["n"] == 2
+    json.loads(art.read_text())           # retrain REPLACED the file
+    assert trained() == first             # and the next session disk-hits
+    assert calls["n"] == 2
