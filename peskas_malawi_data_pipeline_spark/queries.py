@@ -6459,12 +6459,28 @@ def _ann_trained_store(c: DataFrame, sf_dir: str, key: tuple, v) -> None:
         pass  # read-only cache location → stay session-scoped
 
 
+#: fused multi-codebook PQ scoring beats per-arm passes while the plan
+#: is stage-overhead-bound; past this corpus size the candidate volume
+#: dominates and the fused explode (2x rows through one window) loses —
+#: measured crossover between 20k corpus rows (fused 2.63 vs 3.09 s,
+#: min-of-2 warm) and 200k rows (per-arm 7.72 vs 9.40 s)
+_PQ_FUSE_MAX_CORPUS = 60_000
+
+
+def _ann_corpus_count(emb: DataFrame, sf_dir: str) -> int:
+    """Embedding-corpus row count, memoized per (sf_dir, session): one
+    count job shared by the query-count rule and the fused-vs-per-arm
+    plan gates."""
+    return _ann_memo((sf_dir, "n_vec"), lambda: int(emb.count()))
+
+
 def _ann_n_queries(emb: DataFrame, sf_dir: str) -> int:
     """Data-scaled recall-harness query count — the Python twin of
     ``_DUCK_ANN_NQ`` (~n/10 clamped to [20, 200]), memoized per sf_dir
     so the count job runs once per session."""
     return _ann_memo((sf_dir, "n_queries", 10, 20, 200),
-                     lambda: int(min(200, max(20, emb.count() // 10))))
+                     lambda: int(min(200, max(
+                         20, _ann_corpus_count(emb, sf_dir) // 10))))
 
 
 def _ann_baseline_cache_root() -> str | None:
@@ -6605,30 +6621,44 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when a cluster loses all members
     coarse_t = {i: cents_t[cid]
                 for i, cid in enumerate(sorted(cents_t), start=1)}
-    # the two PQ-ADC arms FUSE through the sweep machinery (round 12):
-    # one multi-codebook corpus encode + one LUT scoring pass with a
-    # single (variant, query) window — per-arm rows bit-identical to
-    # pq_adc_topk (the sweep's equivalence tests), one grouped aggregate
-    # instead of two join+agg legs. The IVF arms stay per-arm: their
+    # the two PQ-ADC arms fuse through the sweep machinery (one multi-
+    # codebook corpus encode + one LUT scoring pass with a single
+    # (variant, query) window, per-arm rows bit-identical to
+    # pq_adc_topk) — but ONLY while the scoring is stage-overhead-bound:
+    # the fused pass explodes 2 arms per candidate through one window,
+    # so once the |corpus|x|queries| candidate volume is the cost, two
+    # independent 1x passes beat one 2x pass. Measured (min-of-2 warm):
+    # sf0.1 fused 1.6x faster, 10x fused 2.63 vs 3.09 s, 100x PER-ARM
+    # 7.72 vs 9.40 s — gate on corpus rows, crossover between 20k and
+    # 200k. Both paths produce identical rows (equivalence-tested
+    # machinery + the shared oracle). The IVF arms stay per-arm: their
     # coarse quantizers differ, so the list pruning cannot share a pass.
     cbs = {"pq_adc": cb_l, "pq_adc_trained": cb_t}
-    coded = sim_ops.pq_encode_multi(c, cbs, id_col="corpus_id")
-    pq_hits = (sim_ops.pq_adc_topk_coded_multi(q, coded, cbs, k=3)
-               .select(F.col("variant").alias("method"),
-                       "query_id", "corpus_id")
-               .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
-               .groupBy("method")
-               .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
-                    F.count(F.lit(1)).alias("approx_n"))
-               .crossJoin(F.broadcast(exact_n)))
-    rows = [pq_hits.select(
-        "method",
-        F.col("hits").cast("long").alias("hits"),
-        F.col("approx_n").cast("long").alias("approx_n"),
-        F.col("exact_n").cast("long").alias("exact_n"),
-        F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
-        .alias("recall_ppm"))]
-    for method, approx in (
+    if _ann_corpus_count(emb, sf_dir) <= _PQ_FUSE_MAX_CORPUS:
+        coded = sim_ops.pq_encode_multi(c, cbs, id_col="corpus_id")
+        pq_hits = (sim_ops.pq_adc_topk_coded_multi(q, coded, cbs, k=3)
+                   .select(F.col("variant").alias("method"),
+                           "query_id", "corpus_id")
+                   .join(F.broadcast(exact), ["query_id", "corpus_id"],
+                         "left")
+                   .groupBy("method")
+                   .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                        F.count(F.lit(1)).alias("approx_n"))
+                   .crossJoin(F.broadcast(exact_n)))
+        rows = [pq_hits.select(
+            "method",
+            F.col("hits").cast("long").alias("hits"),
+            F.col("approx_n").cast("long").alias("approx_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
+            .alias("recall_ppm"))]
+        pq_arms = ()
+    else:
+        rows = []
+        pq_arms = (("pq_adc", sim_ops.pq_adc_topk(q, c, cb_l, k=3)),
+                   ("pq_adc_trained", sim_ops.pq_adc_topk(q, c, cb_t,
+                                                          k=3)))
+    for method, approx in pq_arms + (
             ("ivf_adc", sim_ops.ivf_pq_topk(q, c, cb_l, coarse_l, k=3,
                                             nprobe=2)),
             ("ivf_adc_trained", sim_ops.ivf_pq_topk(q, c, cb_t, coarse_t,

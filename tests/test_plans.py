@@ -1153,3 +1153,38 @@ def test_ann_trained_artifact_corrupt_degrades(spark, tmp_path,
     json.loads(art.read_text())           # retrain REPLACED the file
     assert trained() == first             # and the next session disk-hits
     assert calls["n"] == 2
+
+
+def test_pq_recall_fuse_gate_branches_identical(spark, tmp_path,
+                                                monkeypatch):
+    """ann_pq_recall's corpus-size plan gate (fused multi-codebook
+    scoring vs per-arm passes) must produce IDENTICAL rows on both
+    branches — the gate is a physical-plan choice, never a semantic
+    one."""
+    from pyspark.sql import Row
+
+    import peskas_malawi_data_pipeline_spark.queries as Q
+
+    monkeypatch.setenv("PESKAS_ANN_BASELINE_CACHE",
+                       str(tmp_path / "cache"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    rows = [Row(vec_id=i,
+                embedding=[float((i * 13 + d * 5) % 17) / 4.0
+                           for d in range(8)])
+            for i in range(60)]
+    (spark.createDataFrame(rows).repartition(1)
+     .write.parquet(f"{sf_dir}/embeddings.parquet"))
+
+    fn = Q.REGISTRY["ann_pq_recall"][0]
+
+    def run():
+        Q.reset_ann_artifact_memo()
+        return sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    monkeypatch.setattr(Q, "_PQ_FUSE_MAX_CORPUS", 1_000_000)
+    fused = run()
+    monkeypatch.setattr(Q, "_PQ_FUSE_MAX_CORPUS", -1)
+    per_arm = run()
+    assert fused == per_arm
+    assert len(fused) == 4
