@@ -113,8 +113,15 @@ def sized_batch_shuffle(batch_df: DataFrame,
     if mode == "off":
         yield int(spark.conf.get("spark.sql.shuffle.partitions"))
         return
-    if mode.isdigit():
+    if mode.isdigit() and int(mode) >= 1:
         n = int(mode)
+    elif mode.isdigit():
+        # '0' (the escape hatch's most obvious typo) would pin
+        # spark.sql.shuffle.partitions to 0, which Spark rejects at the
+        # first shuffle — fail loudly at the knob, not inside the drain
+        raise ValueError(
+            f"PESKAS_BATCH_SHUFFLE_MODE={mode!r}: static partition count "
+            f"must be >= 1 (use 'off' to disable the per-batch pin)")
     else:
         n = batch_shuffle_partitions(batch_df, bytes_per_partition, lo, hi)
     old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -693,3 +693,24 @@ def test_batch_shuffle_partitions_adaptive(spark, tmp_path):
     # degenerate stats (empty-relation plan reports 0/unknown) -> hi
     empty = spark.createDataFrame([], "x long").filter("x > 0")
     assert ingest_stream.batch_shuffle_partitions(empty, hi=17) in (4, 17)
+
+
+def test_sized_batch_shuffle_mode_knob(spark, monkeypatch):
+    """The PESKAS_BATCH_SHUFFLE_MODE escape hatch: a static integer >= 1
+    pins that count; '0' (the most obvious typo — Spark rejects a zero
+    shuffle-partition count at the first shuffle) fails fast at the knob
+    with a clear message instead of breaking every drain downstream."""
+    import pytest
+
+    df = spark.range(10).toDF("doc_id")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.setenv("PESKAS_BATCH_SHUFFLE_MODE", "7")
+    with ingest_stream.sized_batch_shuffle(df) as n:
+        assert n == 7
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    monkeypatch.setenv("PESKAS_BATCH_SHUFFLE_MODE", "0")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        with ingest_stream.sized_batch_shuffle(df):
+            pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
