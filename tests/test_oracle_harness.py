@@ -53,3 +53,64 @@ def test_float_default_is_exact_and_tolerance_is_explicit():
     assert not values_match(a, _n({"v": [1.0 + 1e-12]}))[0]
     assert values_match(a, _n({"v": [1.0 + 1e-12]}), float_tol=1e-9)[0]
     assert not values_match(a, _n({"v": [1.001]}), float_tol=1e-9)[0]
+
+
+def test_oracle_sweep_covers_head():
+    """The NEWEST committed ORACLE_SWEEP_r*.json must cover the shipped
+    source tree: round 12's sweep was refreshed 28 minutes BEFORE the
+    round's final query change, silently invalidating the one artifact
+    that exists to make the full-registry claim auditable. The sweep
+    records the git HEAD it ran against; this check fails whenever a
+    LATER commit (or the current working tree) touches the query/oracle
+    surface — re-run `tools/oracle_check.py --json ORACLE_SWEEP_r{N}
+    .json` and commit it as the round's mechanically-last artifact.
+    Mid-round iteration may set PESKAS_SWEEP_FRESHNESS=skip; the driver
+    and judge never do, so the shipped tree is always enforced."""
+    import glob
+    import json
+    import os
+    import re
+    import subprocess
+
+    import pytest
+
+    if os.environ.get("PESKAS_SWEEP_FRESHNESS") == "skip":
+        pytest.skip("explicitly bypassed for mid-round iteration")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sweeps = {}
+    for path in glob.glob(os.path.join(repo, "ORACLE_SWEEP_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m:
+            sweeps[int(m.group(1))] = path
+    if not sweeps:
+        pytest.skip("no committed sweep artifact")
+    with open(sweeps[max(sweeps)]) as fh:
+        doc = json.load(fh)
+    sweep_head = doc.get("git_head")
+    if sweep_head is None:
+        pytest.skip("pre-round-13 sweep artifact (no git_head stamp)")
+    assert not doc.get("git_dirty_source"), (
+        "sweep ran over a tree with uncommitted source changes: "
+        f"{doc['git_dirty_source']}")
+
+    from oracle_check import SOURCE_PREFIXES
+
+    def _git(*argv):
+        return subprocess.run(["git", *argv], cwd=repo, text=True,
+                              capture_output=True, timeout=30)
+
+    diff = _git("diff", "--name-only", f"{sweep_head}..HEAD")
+    if diff.returncode != 0:
+        pytest.skip(f"git history unavailable: {diff.stderr.strip()[:200]}")
+    stale = [p for p in diff.stdout.splitlines()
+             if p.strip().startswith(SOURCE_PREFIXES)]
+    assert not stale, (
+        f"source changed after the committed sweep ({sweeps[max(sweeps)]} "
+        f"ran at {sweep_head[:12]}): {stale} — re-run the sweep as the "
+        f"round's last artifact")
+    status = _git("status", "--porcelain")
+    if status.returncode == 0:
+        dirty = [line[3:].strip() for line in status.stdout.splitlines()
+                 if line[3:].strip().startswith(SOURCE_PREFIXES)]
+        assert not dirty, (
+            f"uncommitted source changes not covered by the sweep: {dirty}")

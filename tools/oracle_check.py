@@ -121,6 +121,14 @@ def main() -> int:
                 "sf_dir": sf_dir,
                 "when": _time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "comparator": "exact (zero float tolerance)",
+                # The commit the sweep actually ran against, so a later
+                # source commit mechanically invalidates the artifact
+                # (tests/test_meta.py::test_oracle_sweep_covers_head
+                # fails until the sweep is re-run) — round 12's sweep
+                # was refreshed 28 minutes BEFORE the round's last
+                # query change and nothing caught it.
+                "git_head": _git_head(),
+                "git_dirty_source": _git_dirty_source(),
                 "n_checked": len(record),
                 "n_pass": sum(r["status"] == "PASS"
                               for r in record.values()),
@@ -128,6 +136,38 @@ def main() -> int:
                 "queries": record,
             }, fh, indent=1, sort_keys=True)
     return 1 if failures else 0
+
+
+#: repo paths whose change invalidates a committed oracle sweep — the
+#: query/oracle surface itself (NOT docs, tests, or recorded artifacts)
+SOURCE_PREFIXES = ("peskas_malawi_data_pipeline_spark/", "__spark_entry__.py")
+
+
+def _git_head() -> str | None:
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd="/root/repo",
+            capture_output=True, text=True, timeout=30,
+            check=True).stdout.strip()
+    except Exception:
+        return None
+
+
+def _git_dirty_source() -> list[str]:
+    """Uncommitted changes to sweep-relevant source at sweep time — a
+    sweep run over a dirty tree records what it saw, so the freshness
+    check can reject it."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"], cwd="/root/repo",
+            capture_output=True, text=True, timeout=30,
+            check=True).stdout
+    except Exception:
+        return []
+    return sorted({line[3:].strip() for line in out.splitlines()
+                   if line[3:].strip().startswith(SOURCE_PREFIXES)})
 
 
 if __name__ == "__main__":
