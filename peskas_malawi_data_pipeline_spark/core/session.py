@@ -63,6 +63,21 @@ def get_spark(app_name: str = "peskas_malawi_data_pipeline_spark",
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec's "No Partition Defined for Window operation" warning is
+    # machine-superseded here: the registry-wide plan-hygiene gate
+    # (tests/test_plans.py) FAILS any query with an unpartitioned
+    # unbounded window, so the only lines this logger can emit come from
+    # the documented bounded-frame exemptions (answer-sized |buckets|-row
+    # frames) — each one a pre-dismissed false alarm a log reader must
+    # re-dismiss. Silence the category so a warning in a bench tail means
+    # something again; the gate, not the log, is the real guard.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:
+        pass  # non-log4j2 logging backends: cosmetic feature, skip
     return spark
 
 
