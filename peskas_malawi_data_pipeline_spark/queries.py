@@ -6405,6 +6405,16 @@ def _ann_trained(c: DataFrame, sf_dir: str, key: tuple, build):
     return v
 
 
+#: Trainer-ALGORITHM version, folded into every persisted-artifact path:
+#: the cache key carries (sf_dir, kind, params) + the corpus fingerprint,
+#: which guards against DATA changes but not CODE changes — a future edit
+#: to e.g. kmeans_lloyd or dim_energy_permutation would silently serve
+#: stale pre-change artifacts from the per-machine cache on unchanged
+#: corpora. Bump this whenever any trainer's semantics change (the same
+#: role a format-version field plays for the baseline artifact).
+_ANN_TRAINER_VERSION = 1
+
+
 def _ann_trained_path(sf_dir: str, key: tuple) -> str | None:
     import hashlib
     import os
@@ -6414,7 +6424,8 @@ def _ann_trained_path(sf_dir: str, key: tuple) -> str | None:
         return None
     slug = hashlib.sha256(
         os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    name = hashlib.sha256(repr(key[1:]).encode()).hexdigest()[:20]
+    name = hashlib.sha256(
+        repr((_ANN_TRAINER_VERSION,) + key[1:]).encode()).hexdigest()[:20]
     return os.path.join(root, f"ann_trained_{slug}", f"{name}.json")
 
 
@@ -6460,11 +6471,19 @@ def _ann_trained_store(c: DataFrame, sf_dir: str, key: tuple, v) -> None:
 
 
 #: fused multi-codebook PQ scoring beats per-arm passes while the plan
-#: is stage-overhead-bound; past this corpus size the candidate volume
-#: dominates and the fused explode (2x rows through one window) loses —
-#: measured crossover between 20k corpus rows (fused 2.63 vs 3.09 s,
-#: min-of-2 warm) and 200k rows (per-arm 7.72 vs 9.40 s)
-_PQ_FUSE_MAX_CORPUS = 60_000
+#: is stage-overhead-bound; past this |corpus|·|queries| CANDIDATE
+#: volume the scoring pass dominates and the fused explode (2 arms per
+#: candidate through one window) loses. The gate input is the product —
+#: not corpus rows — because candidates are what flow through the
+#: window: a 20k corpus probed by 2k queries costs what a 200k corpus
+#: probed by 200 does. Measured (tools/pq_fuse_probe.py, one process
+#: per (size, branch), untimed warmup then min-of-2; n_queries clamps
+#: at 200 across the sweep so candidates = 200·corpus): fused wins at
+#: 4M (2.63 vs 3.09 s, r12), 8M (5.91 vs 6.07) and 12M (5.69 vs 6.47);
+#: per-arm wins at 16M (6.52 vs 7.15), 24M (8.66 vs 10.25) and 40M
+#: (7.72 vs 9.40, r12) — crossover bracketed 12M↔16M (1.33×, was the
+#: 10×-wide 4M↔40M; round-12 verdict #3).
+_PQ_FUSE_MAX_CANDIDATES = 14_000_000
 
 
 def _ann_corpus_count(emb: DataFrame, sf_dir: str) -> int:
@@ -6629,21 +6648,39 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so once the |corpus|x|queries| candidate volume is the cost, two
     # independent 1x passes beat one 2x pass. Measured (min-of-2 warm):
     # sf0.1 fused 1.6x faster, 10x fused 2.63 vs 3.09 s, 100x PER-ARM
-    # 7.72 vs 9.40 s — gate on corpus rows, crossover between 20k and
-    # 200k. Both paths produce identical rows (equivalence-tested
-    # machinery + the shared oracle). The IVF arms stay per-arm: their
+    # 7.72 vs 9.40 s — gate on the candidate PRODUCT (the thing the
+    # window actually streams), crossover bracketed 12M<->16M candidates
+    # by tools/pq_fuse_probe.py. Both paths produce identical rows
+    # (equivalence-tested machinery + the shared oracle, one-row-per-arm
+    # shape pinned on both branches). The IVF arms stay per-arm: their
     # coarse quantizers differ, so the list pruning cannot share a pass.
     cbs = {"pq_adc": cb_l, "pq_adc_trained": cb_t}
-    if _ann_corpus_count(emb, sf_dir) <= _PQ_FUSE_MAX_CORPUS:
+    n_candidates = (_ann_corpus_count(emb, sf_dir)
+                    * _ann_n_queries(emb, sf_dir))
+    if n_candidates <= _PQ_FUSE_MAX_CANDIDATES:
         coded = sim_ops.pq_encode_multi(c, cbs, id_col="corpus_id")
-        pq_hits = (sim_ops.pq_adc_topk_coded_multi(q, coded, cbs, k=3)
-                   .select(F.col("variant").alias("method"),
-                           "query_id", "corpus_id")
-                   .join(F.broadcast(exact), ["query_id", "corpus_id"],
-                         "left")
-                   .groupBy("method")
-                   .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
-                        F.count(F.lit(1)).alias("approx_n"))
+        per_method = (sim_ops.pq_adc_topk_coded_multi(q, coded, cbs, k=3)
+                      .select(F.col("variant").alias("method"),
+                              "query_id", "corpus_id")
+                      .join(F.broadcast(exact), ["query_id", "corpus_id"],
+                            "left")
+                      .groupBy("method")
+                      .agg(F.coalesce(F.sum("__hit"), F.lit(0))
+                           .alias("hits"),
+                           F.count(F.lit(1)).alias("approx_n")))
+        # groupBy drops an arm that yields ZERO candidate rows, whereas
+        # the per-arm branch's global agg emits a 0-hit row for it — a
+        # degenerate-corpus-only output-shape divergence between the
+        # two gate branches. Join the expected arm names back on (both
+        # sides are ≤2-row aggregates) so each branch always emits
+        # exactly one row per arm.
+        methods = spark.createDataFrame([(m,) for m in cbs],
+                                        "method string")
+        pq_hits = (methods.join(per_method, "method", "left")
+                   .select("method",
+                           F.coalesce("hits", F.lit(0)).alias("hits"),
+                           F.coalesce("approx_n", F.lit(0))
+                           .alias("approx_n"))
                    .crossJoin(F.broadcast(exact_n)))
         rows = [pq_hits.select(
             "method",
@@ -8346,10 +8383,14 @@ def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # band index), so each batch sizes its own shuffles from its
         # input bytes — lo=4 at sf0.1 (where the pin's A/B win was
         # measured) growing toward batch-CPU parallelism at 100×
-        with st.sized_batch_shuffle(batch_df):
+        with st.sized_batch_shuffle(batch_df) as n:
             s = batch_df.sparkSession
+            # map-side spread: the shingle explode below otherwise runs
+            # at scan parallelism (1 task per landing file) — see
+            # ingest_stream.spread_batch's measured wide-row wall
             new_bands = materialize(dedup_ops.minhash_bands(
-                batch_df, num_hashes=8, band_size=2, shingle_n=3))
+                st.spread_batch(batch_df, n),
+                num_hashes=8, band_size=2, shingle_n=3))
             index = (s.read.parquet(index_dir)
                      if os.path.exists(index_dir)
                      else new_bands.limit(0))
@@ -8446,10 +8487,13 @@ def streaming_pinned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         # snapshots), so each batch sizes its own shuffles from its
         # input bytes — lo=4 at sf0.1 where the pin's A/B win was
         # measured, growing toward batch-CPU parallelism at 100×
-        with st.sized_batch_shuffle(batch_df):
+        with st.sized_batch_shuffle(batch_df) as n:
             s = batch_df.sparkSession
+            # map-side spread before the shingle explode (see
+            # ingest_stream.spread_batch)
             new_bands = materialize(dedup_ops.minhash_bands(
-                batch_df, num_hashes=8, band_size=2, shingle_n=3))
+                st.spread_batch(batch_df, n),
+                num_hashes=8, band_size=2, shingle_n=3))
             # replay idempotency: read the greatest version STRICTLY BELOW
             # this batch id, so a replayed batch reconstructs v{batch_id}
             # from v{batch_id-1} deterministically. Reading latest() here
@@ -10262,8 +10306,13 @@ def streaming_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         # full 32-way parallelism costs ~3 s of task overhead (9.5 vs
         # 12.4 s). Deriving the count from the batch's input bytes gets
         # BOTH: lo=4 at sf0.1, batch-CPU parallelism at 100×.
-        with st.sized_batch_shuffle(batch_df):
+        with st.sized_batch_shuffle(batch_df) as n:
             s = batch_df.sparkSession
+            # map-side spread before the tokenize/encode legs (see
+            # ingest_stream.spread_batch): both BPE passes below start
+            # with a per-row tokenization that otherwise runs at scan
+            # parallelism (1 task per landing file)
+            batch_df = st.spread_batch(batch_df, n)
             ps = latest(state_dir, before=batch_id)
             state = (s.read.parquet(ps) if ps
                      else pack_ops.empty_pack_state(s))

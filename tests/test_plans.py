@@ -1110,6 +1110,14 @@ def test_ann_trained_artifact_staleness(spark, tmp_path, monkeypatch):
     assert Q._ann_trained_try_load(
         c, sf_dir, (sf_dir, "cb_test", 2, 3)) == cb
 
+    # a trainer-ALGORITHM version bump must invalidate persisted
+    # artifacts even on an unchanged corpus: the fingerprint guards data
+    # changes, the version constant guards code changes
+    monkeypatch.setattr(Q, "_ANN_TRAINER_VERSION",
+                        Q._ANN_TRAINER_VERSION + 1)
+    assert Q._ann_trained_try_load(
+        c, sf_dir, (sf_dir, "cb_test", 2, 3)) is None
+
 
 def test_ann_trained_artifact_corrupt_degrades(spark, tmp_path,
                                                monkeypatch):
@@ -1157,7 +1165,7 @@ def test_ann_trained_artifact_corrupt_degrades(spark, tmp_path,
 
 def test_pq_recall_fuse_gate_branches_identical(spark, tmp_path,
                                                 monkeypatch):
-    """ann_pq_recall's corpus-size plan gate (fused multi-codebook
+    """ann_pq_recall's candidate-volume plan gate (fused multi-codebook
     scoring vs per-arm passes) must produce IDENTICAL rows on both
     branches — the gate is a physical-plan choice, never a semantic
     one."""
@@ -1182,9 +1190,9 @@ def test_pq_recall_fuse_gate_branches_identical(spark, tmp_path,
         Q.reset_ann_artifact_memo()
         return sorted(map(tuple, fn(spark, sf_dir).collect()))
 
-    monkeypatch.setattr(Q, "_PQ_FUSE_MAX_CORPUS", 1_000_000)
+    monkeypatch.setattr(Q, "_PQ_FUSE_MAX_CANDIDATES", 10 ** 12)
     fused = run()
-    monkeypatch.setattr(Q, "_PQ_FUSE_MAX_CORPUS", -1)
+    monkeypatch.setattr(Q, "_PQ_FUSE_MAX_CANDIDATES", -1)
     per_arm = run()
     assert fused == per_arm
     assert len(fused) == 4
