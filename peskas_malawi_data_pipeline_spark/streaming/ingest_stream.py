@@ -95,6 +95,36 @@ def batch_shuffle_partitions(batch_df: DataFrame,
     return max(lo, min(hi, math.ceil(total / bytes_per_partition)))
 
 
+def spread_batch(batch_df: DataFrame, n: int) -> DataFrame:
+    """Raise a micro-batch's MAP-side parallelism to ``n`` when the
+    landing-file granularity caps it below that.
+
+    ``sized_batch_shuffle`` governs only the post-shuffle stages; all
+    work BEFORE the first shuffle (tokenize → shingle explode → hash,
+    the expensive leg of every text drain) runs at scan parallelism —
+    one task per landing file under ``maxFilesPerTrigger=1``. Measured
+    (tools/wide_row_probe.py, ×100-wide rows, ~18 MB/file): the entire
+    shingle stage serialized on ONE task per batch and the drain walled
+    66–68 s REGARDLESS of the shuffle sizing (adaptive-32 vs pin-4 tie)
+    — the scan stage was the bottleneck the shuffle knob can't reach.
+    The fix is one cheap shuffle of the RAW batch rows (file bytes,
+    pre-explosion) so the explosion itself runs at ``n``. No-op when
+    the scan already has ``n`` partitions (checking costs one lazy
+    driver-side plan walk, no job). ``PESKAS_BATCH_SPREAD=off`` is the
+    A/B lever and production escape hatch."""
+    import os
+
+    if os.environ.get("PESKAS_BATCH_SPREAD", "").strip() == "off":
+        return batch_df
+    try:
+        cur = batch_df.rdd.getNumPartitions()
+    except Exception:
+        return batch_df
+    if cur >= n:
+        return batch_df
+    return batch_df.repartition(n)
+
+
 @contextmanager
 def sized_batch_shuffle(batch_df: DataFrame,
                         bytes_per_partition: int = 512 << 10,

@@ -695,6 +695,21 @@ def test_batch_shuffle_partitions_adaptive(spark, tmp_path):
     assert ingest_stream.batch_shuffle_partitions(empty, hi=17) in (4, 17)
 
 
+def test_spread_batch(spark, monkeypatch):
+    """Map-side spread: lifts a batch whose scan parallelism is below n
+    to n partitions, leaves an already-parallel batch untouched (no
+    gratuitous shuffle), and PESKAS_BATCH_SPREAD=off disables it."""
+    monkeypatch.delenv("PESKAS_BATCH_SPREAD", raising=False)
+    narrow = spark.range(1000).coalesce(1)
+    spread = ingest_stream.spread_batch(narrow, 8)
+    assert spread.rdd.getNumPartitions() == 8
+    assert spread.count() == 1000
+    wide = spark.range(1000).repartition(16)
+    assert ingest_stream.spread_batch(wide, 8) is wide
+    monkeypatch.setenv("PESKAS_BATCH_SPREAD", "off")
+    assert ingest_stream.spread_batch(narrow, 8) is narrow
+
+
 def test_sized_batch_shuffle_mode_knob(spark, monkeypatch):
     """The PESKAS_BATCH_SHUFFLE_MODE escape hatch: a static integer >= 1
     pins that count; '0' (the most obvious typo — Spark rejects a zero
