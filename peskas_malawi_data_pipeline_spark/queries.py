@@ -6676,7 +6676,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactly one row per arm.
         methods = spark.createDataFrame([(m,) for m in cbs],
                                         "method string")
-        pq_hits = (methods.join(per_method, "method", "left")
+        pq_hits = (methods.join(F.broadcast(per_method), "method", "left")
                    .select("method",
                            F.coalesce("hits", F.lit(0)).alias("hits"),
                            F.coalesce("approx_n", F.lit(0))
