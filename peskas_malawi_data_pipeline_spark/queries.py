@@ -6657,30 +6657,30 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = {"pq_adc": cb_l, "pq_adc_trained": cb_t}
     n_candidates = (_ann_corpus_count(emb, sf_dir)
                     * _ann_n_queries(emb, sf_dir))
+    # Output-shape parity between the branches (r12 ADVICE flagged the
+    # fused groupBy as dropping an arm with zero candidate rows): that
+    # state is UNREACHABLE. Both PQ arms ride the same coded frame (one
+    # row per corpus vector carrying codes for every codebook), so an
+    # arm emits zero rows only when there are zero candidates at all —
+    # and a zero-candidate run raises before either branch builds:
+    # pq_codebook (cb_l above) raises ValueError("empty corpus") on a
+    # rowless corpus, identically on both paths (exception parity
+    # pinned by test_pq_recall_fuse_gate_branches_identical). An
+    # arm-completion join was tried and reverted: broadcasting the
+    # grouped aggregate into a 2-row shape join measured +25%
+    # whole-query wall at sf1 (5.05 → 6.32 s isolated) purely from the
+    # extra exchange barrier on the hot path — a real cost for an
+    # impossible case.
     if n_candidates <= _PQ_FUSE_MAX_CANDIDATES:
         coded = sim_ops.pq_encode_multi(c, cbs, id_col="corpus_id")
-        per_method = (sim_ops.pq_adc_topk_coded_multi(q, coded, cbs, k=3)
-                      .select(F.col("variant").alias("method"),
-                              "query_id", "corpus_id")
-                      .join(F.broadcast(exact), ["query_id", "corpus_id"],
-                            "left")
-                      .groupBy("method")
-                      .agg(F.coalesce(F.sum("__hit"), F.lit(0))
-                           .alias("hits"),
-                           F.count(F.lit(1)).alias("approx_n")))
-        # groupBy drops an arm that yields ZERO candidate rows, whereas
-        # the per-arm branch's global agg emits a 0-hit row for it — a
-        # degenerate-corpus-only output-shape divergence between the
-        # two gate branches. Join the expected arm names back on (both
-        # sides are ≤2-row aggregates) so each branch always emits
-        # exactly one row per arm.
-        methods = spark.createDataFrame([(m,) for m in cbs],
-                                        "method string")
-        pq_hits = (methods.join(F.broadcast(per_method), "method", "left")
-                   .select("method",
-                           F.coalesce("hits", F.lit(0)).alias("hits"),
-                           F.coalesce("approx_n", F.lit(0))
-                           .alias("approx_n"))
+        pq_hits = (sim_ops.pq_adc_topk_coded_multi(q, coded, cbs, k=3)
+                   .select(F.col("variant").alias("method"),
+                           "query_id", "corpus_id")
+                   .join(F.broadcast(exact), ["query_id", "corpus_id"],
+                         "left")
+                   .groupBy("method")
+                   .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                        F.count(F.lit(1)).alias("approx_n"))
                    .crossJoin(F.broadcast(exact_n)))
         rows = [pq_hits.select(
             "method",

@@ -1196,3 +1196,19 @@ def test_pq_recall_fuse_gate_branches_identical(spark, tmp_path,
     per_arm = run()
     assert fused == per_arm
     assert len(fused) == 4
+
+    # degenerate corpus: an arm with zero candidate rows is unreachable
+    # (both arms ride one coded frame), because a rowless corpus raises
+    # in codebook training BEFORE either branch builds — pin that the
+    # exception is branch-independent (shape parity by exception)
+    import pytest
+
+    empty_dir = str(tmp_path / "sf_empty")
+    os.makedirs(empty_dir)
+    (spark.createDataFrame([], "vec_id long, embedding array<double>")
+     .repartition(1).write.parquet(f"{empty_dir}/embeddings.parquet"))
+    for gate in (10 ** 12, -1):
+        monkeypatch.setattr(Q, "_PQ_FUSE_MAX_CANDIDATES", gate)
+        Q.reset_ann_artifact_memo()
+        with pytest.raises(ValueError, match="empty corpus"):
+            fn(spark, empty_dir).collect()
