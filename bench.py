@@ -17,16 +17,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The driver machine-parses stdout as ONE JSON object, but the JVM writes
-# launch noise to fd 1 ("WARNING: Using incubator modules: …") which broke
-# parsing in round 1 (BENCH_r01 "parsed": null). Redirect the REAL stdout fd
-# to stderr before the JVM inherits it — Python prints and every JVM byte
-# land on stderr — and keep a dup of the original stdout for the final JSON.
-_REAL_STDOUT = os.dup(1)
-os.dup2(2, 1)
-
 from peskas_malawi_data_pipeline_spark.core import get_spark  # noqa: E402
 from peskas_malawi_data_pipeline_spark.queries import REGISTRY  # noqa: E402
+
+# The driver machine-parses stdout as ONE JSON object, but the JVM writes
+# launch noise to fd 1 ("WARNING: Using incubator modules: …") which broke
+# parsing in round 1 (BENCH_r01 "parsed": null). main() redirects the REAL
+# stdout fd to stderr before the JVM inherits it (get_spark starts the JVM
+# lazily, so doing it at the top of main is early enough) — Python prints
+# and every JVM byte land on stderr — keeping a dup of the original stdout
+# for the final JSON. Done in main, not at import, so importing this
+# module (tests pin _drift_flagged) has no process-wide fd side effect.
+_REAL_STDOUT: int | None = None
 
 def _latest_baseline(sf: str) -> dict[str, float]:
     """Per-query timings from the NEWEST committed `.baseline_r*_bench*
@@ -71,7 +73,28 @@ def _latest_baseline(sf: str) -> dict[str, float]:
     return table
 
 
+def _drift_flagged(timings: dict[str, float],
+                   baseline: dict[str, float]) -> list[str]:
+    """Queries whose session timing warrants an isolated re-measure.
+
+    Flag rule (round-13 verdict #3): (ratio > 1.3 AND delta > 0.3 s) OR
+    ratio > 1.5. The pure-ratio arm exists because the absolute guard
+    alone exempted sub-second rows entirely — pack_greedy ratcheted
+    0.42 → 0.69 s (1.63×) into the r13 baseline un-flagged. A 1.5× step
+    on a sub-second row is still worth one isolated min-of-3 (the
+    documented noise band there is ±50%, so 1.5× is the edge of noise,
+    and the re-measure is what separates drift from creep)."""
+    return sorted(
+        name for name, sec in timings.items()
+        if baseline.get(name)
+        and ((sec > 1.3 * baseline[name] and sec - baseline[name] > 0.3)
+             or sec > 1.5 * baseline[name]))
+
+
 def main() -> None:
+    global _REAL_STDOUT
+    _REAL_STDOUT = os.dup(1)
+    os.dup2(2, 1)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     # Warm the JVM so timings are steady-state: each distinct expression
@@ -131,14 +154,9 @@ def main() -> None:
     # immediate min-of-3 re-measure ALONE at the end of the run — the
     # BENCH record then carries both numbers and a regression can be
     # separated from session drift without a manual follow-up session.
-    # Guards: same-sf baselines only; skip sub-0.3s-delta rows (inside
-    # the documented noise band, re-measuring them is pure wall cost).
     isolated: dict[str, float] = {}
     baseline = _latest_baseline(sf)
-    flagged = sorted(
-        name for name, sec in timings.items()
-        if baseline.get(name)
-        and sec > 1.3 * baseline[name] and sec - baseline[name] > 0.3)
+    flagged = _drift_flagged(timings, baseline)
     remeasure_errors: dict[str, str] = {}
     for name in flagged:
         fn, _sql = REGISTRY[name]
@@ -166,7 +184,7 @@ def main() -> None:
     # inside the documented ±50% noise band anyway). No silent cap: the
     # note names what was dropped, and the COMPLETE per-query recordings
     # are committed as .baseline_r*_bench*.json + the BASELINE.md table.
-    def payload_for(k: int, iso_k: int) -> str:
+    def payload_for(k: int, iso_k: int, err_k: int | None = None) -> str:
         top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:k])
         doc = {
             "metric": "total_query_wall_time",
@@ -191,7 +209,19 @@ def main() -> None:
                 doc["isolated_note"] = (f"top {iso_k} of {len(isolated)} "
                                         f"re-measured rows shown")
         if remeasure_errors:
-            doc["isolated_remeasure_errors"] = remeasure_errors
+            # err_k None = all; a shrink lever like iso_k — unbounded
+            # error strings (200 chars each) could otherwise hold the
+            # payload over the driver's parse window after k/iso_k hit
+            # their floors (truncate each message to 80 chars first,
+            # then drop whole entries)
+            errs = dict(sorted(remeasure_errors.items()))
+            if err_k is not None:
+                errs = {n: m[:80] for n, m in list(errs.items())[:err_k]}
+                if err_k < len(remeasure_errors):
+                    doc["remeasure_errors_note"] = (
+                        f"{err_k} of {len(remeasure_errors)} shown")
+            if errs:
+                doc["isolated_remeasure_errors"] = errs
         if k < len(timings):
             doc["note"] = (f"queries = top {k} of {len(timings)} by sec; "
                            f"full set in BASELINE.md")
@@ -202,16 +232,22 @@ def main() -> None:
     payload = payload_for(len(timings), len(isolated))
     limit = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_CHARS", "1990"))
     k, iso_k = len(timings), len(isolated)
-    while limit > 0 and len(payload) > limit and (k > 1 or iso_k > 0):
+    err_k: int | None = None
+    while (limit > 0 and len(payload) > limit
+           and (k > 1 or iso_k > 0 or err_k is None or err_k > 0)):
         if k > 1:
             # clamp so the smallest emitted payload is the single most
             # expensive query (k-5 could land on 0 or negative otherwise,
             # emitting an empty or mislabeled queries dict)
             k = max(1, k - 5)
-        else:
+        elif iso_k > 0:
             # queries dict is already minimal: shed re-measure rows
             iso_k = max(0, iso_k - 2)
-        payload = payload_for(k, iso_k)
+        else:
+            # last lever: truncate then drop re-measure error strings
+            err_k = (len(remeasure_errors) if err_k is None
+                     else max(0, err_k - 2))
+        payload = payload_for(k, iso_k, err_k)
     os.write(_REAL_STDOUT, (payload + "\n").encode())
 
 

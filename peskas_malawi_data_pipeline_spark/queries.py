@@ -3240,7 +3240,9 @@ def streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
                os.path.join(landing, "events.parquet"))
 
-    ev = st.stream_events_dir(spark, landing)
+    # engine-drain spread lever (default no-op; round-13 verdict #5 A/B —
+    # see ingest_stream.spread_stream)
+    ev = st.spread_stream(st.stream_events_dir(spark, landing))
     agged = (ev.withWatermark("ts", "30 minutes")
              .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
              .agg(F.count(F.lit(1)).alias("n"),
@@ -3291,7 +3293,7 @@ def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("purchase", "convert"), ("signup", "convert"), ("error", "ops")],
         ["event_type", "category"])
 
-    ev = (st.stream_events_dir(spark, landing)
+    ev = (st.spread_stream(st.stream_events_dir(spark, landing))
           .join(F.broadcast(dim), "event_type", "left")
           .withColumn("category", F.coalesce("category", F.lit("other"))))
     agged = (ev.withWatermark("ts", "30 minutes")
@@ -3347,7 +3349,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
                os.path.join(landing, "events.parquet"))
 
-    ev = (st.stream_events_dir(spark, landing)
+    ev = (st.spread_stream(st.stream_events_dir(spark, landing))
           .withWatermark("ts", "30 minutes")
           .select("user_id", "ts", "event_id"))
     sessions = sf.stateful_sessionize(ev, gap_s=1800)
@@ -4143,7 +4145,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
                os.path.join(landing, "events.parquet"))
 
-    raw = st.stream_events_dir(spark, landing)
+    raw = st.spread_stream(st.stream_events_dir(spark, landing))
     deduped = raw.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"])
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
@@ -4483,7 +4485,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                os.path.join(landing, "events.parquet"))
 
     def side(alias_user, alias_ts, alias_id, etype):
-        raw = st.stream_events_dir(spark, landing)
+        raw = st.spread_stream(st.stream_events_dir(spark, landing))
         return (raw
                 .filter(F.col("event_type") == etype)
                 .select(F.col("user_id").alias(alias_user),
@@ -4913,7 +4915,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     os.symlink(src, os.path.join(landing, "events.parquet"))
 
-    ev = (st.stream_events_dir(spark, landing)
+    ev = (st.spread_stream(st.stream_events_dir(spark, landing))
           .withWatermark("ts", "30 minutes"))
     agged = (ev.groupBy("user_id",
                         F.session_window("ts", "30 minutes").alias("win"))

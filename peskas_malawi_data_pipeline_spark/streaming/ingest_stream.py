@@ -137,29 +137,53 @@ def sized_batch_shuffle(batch_df: DataFrame,
     production escape-hatch: ``off`` leaves the session conf untouched
     (the pre-adaptive behavior); an integer forces that static count."""
     import os
+    import re
 
     spark = batch_df.sparkSession
     mode = os.environ.get("PESKAS_BATCH_SHUFFLE_MODE", "").strip()
     if mode == "off":
         yield int(spark.conf.get("spark.sql.shuffle.partitions"))
         return
-    if mode.isdigit() and int(mode) >= 1:
+    if re.fullmatch(r"-?\d+", mode):
+        # full int syntax, not isdigit(): '-4' previously failed
+        # isdigit() and silently fell through to the adaptive path —
+        # any non-positive static count ('0', '-4') would pin
+        # spark.sql.shuffle.partitions to a value Spark rejects at the
+        # first shuffle, so fail loudly AT THE KNOB, not in the drain
+        if int(mode) < 1:
+            raise ValueError(
+                f"PESKAS_BATCH_SHUFFLE_MODE={mode!r}: static partition "
+                f"count must be >= 1 (use 'off' to disable the "
+                f"per-batch pin)")
         n = int(mode)
-    elif mode.isdigit():
-        # '0' (the escape hatch's most obvious typo) would pin
-        # spark.sql.shuffle.partitions to 0, which Spark rejects at the
-        # first shuffle — fail loudly at the knob, not inside the drain
-        raise ValueError(
-            f"PESKAS_BATCH_SHUFFLE_MODE={mode!r}: static partition count "
-            f"must be >= 1 (use 'off' to disable the per-batch pin)")
-    else:
+    elif mode in ("", "adaptive"):
         n = batch_shuffle_partitions(batch_df, bytes_per_partition, lo, hi)
+    else:
+        raise ValueError(
+            f"PESKAS_BATCH_SHUFFLE_MODE={mode!r}: expected 'off', "
+            f"'adaptive', unset, or a positive integer")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def spread_stream(df: DataFrame) -> DataFrame:
+    """A/B lever for the ENGINE-side drains (windowed aggs, stateful
+    ops, stream-stream joins): ``PESKAS_STREAM_SPREAD=N`` inserts a
+    ``repartition(N)`` between the streaming scan and the stateful
+    shuffle, lifting the pre-shuffle leg off the one-task-per-landing-
+    file scan. Default NO-OP: unlike the foreachBatch drains (whose
+    tokenize/explode legs measured 2-4× wins, §10o), the engine drains'
+    pre-shuffle legs are projections/casts — the extra exchange is
+    expected to be a wash or a loss, and this lever exists to MEASURE
+    that per drain (round-13 verdict #5) rather than assume it."""
+    import os
+
+    n = os.environ.get("PESKAS_STREAM_SPREAD", "").strip()
+    return df.repartition(int(n)) if n.isdigit() and int(n) > 0 else df
 
 
 def stream_from_parquet_dir(spark: SparkSession, path: str,
@@ -353,7 +377,14 @@ def run_available_now_merge(stream_df: DataFrame, table, keys: list[str],
         last = meta.get("last_batch_id")
         if last is not None and batch_id <= last:
             return                      # crash-replayed batch: already merged
-        partials = partial_fn(batch_df)
+        # the partial agg's map side (tokenize/hash per row — e.g. the
+        # mixture drain's token_count over every text) otherwise runs at
+        # SCAN parallelism: one landing file per trigger = ONE map task
+        # (§10o wide-row finding); spread the raw rows to the size-derived
+        # count first. spread_batch no-ops when the scan is already
+        # parallel; PESKAS_BATCH_SPREAD=off is the A/B lever.
+        partials = partial_fn(
+            spread_batch(batch_df, batch_shuffle_partitions(batch_df)))
         if table.current_version() is None:
             merged = partials
         else:

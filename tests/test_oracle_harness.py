@@ -55,6 +55,28 @@ def test_float_default_is_exact_and_tolerance_is_explicit():
     assert not values_match(a, _n({"v": [1.001]}), float_tol=1e-9)[0]
 
 
+def test_source_prefixes_cover_comparator():
+    """Round-13 verdict #2: the sweep's claims are exactly 'what this
+    comparator computed', so SOURCE_PREFIXES must include
+    tools/oracle_check.py itself — a post-sweep comparator edit has to
+    invalidate a committed sweep the same way a query edit does."""
+    from oracle_check import SOURCE_PREFIXES
+
+    assert "tools/oracle_check.py" in SOURCE_PREFIXES
+    assert "peskas_malawi_data_pipeline_spark/" in SOURCE_PREFIXES
+    assert "__spark_entry__.py" in SOURCE_PREFIXES
+
+
+def test_n_source_commits_behind_head_is_zero_at_write_time():
+    """The self-describing freshness field: computed against the same
+    HEAD the sweep stamps, so it is 0 by construction in a live repo
+    (None only where git itself is unavailable)."""
+    from oracle_check import _n_source_commits_behind_head
+
+    n = _n_source_commits_behind_head()
+    assert n == 0 or n is None
+
+
 def test_oracle_sweep_covers_head():
     """The NEWEST committed ORACLE_SWEEP_r*.json must cover the shipped
     source tree: round 12's sweep was refreshed 28 minutes BEFORE the

@@ -710,6 +710,20 @@ def test_spread_batch(spark, monkeypatch):
     assert ingest_stream.spread_batch(narrow, 8) is narrow
 
 
+def test_spread_stream_default_noop(spark, monkeypatch):
+    """The engine-drain spread lever is a NO-OP unless PESKAS_STREAM_SPREAD
+    is a positive integer — the default plans must be byte-identical to
+    the pre-lever ones (the measured expectation is that engine drains'
+    pre-shuffle legs are too cheap for an extra exchange to pay)."""
+    monkeypatch.delenv("PESKAS_STREAM_SPREAD", raising=False)
+    df = spark.range(100).toDF("x")
+    assert ingest_stream.spread_stream(df) is df
+    monkeypatch.setenv("PESKAS_STREAM_SPREAD", "0")
+    assert ingest_stream.spread_stream(df) is df
+    monkeypatch.setenv("PESKAS_STREAM_SPREAD", "6")
+    assert ingest_stream.spread_stream(df).rdd.getNumPartitions() == 6
+
+
 def test_sized_batch_shuffle_mode_knob(spark, monkeypatch):
     """The PESKAS_BATCH_SHUFFLE_MODE escape hatch: a static integer >= 1
     pins that count; '0' (the most obvious typo — Spark rejects a zero
@@ -728,4 +742,21 @@ def test_sized_batch_shuffle_mode_knob(spark, monkeypatch):
     with pytest.raises(ValueError, match="must be >= 1"):
         with ingest_stream.sized_batch_shuffle(df):
             pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    # full int syntax: '-4' must ALSO fail fast (it used to fail
+    # isdigit() and silently fall through to the adaptive path), and an
+    # arbitrary non-keyword string is a loud config error, not a silent
+    # adaptive fallback
+    monkeypatch.setenv("PESKAS_BATCH_SHUFFLE_MODE", "-4")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        with ingest_stream.sized_batch_shuffle(df):
+            pass
+    monkeypatch.setenv("PESKAS_BATCH_SHUFFLE_MODE", "fastplease")
+    with pytest.raises(ValueError, match="expected 'off'"):
+        with ingest_stream.sized_batch_shuffle(df):
+            pass
+    # 'adaptive' is the explicit spelling of the default path
+    monkeypatch.setenv("PESKAS_BATCH_SHUFFLE_MODE", "adaptive")
+    with ingest_stream.sized_batch_shuffle(df) as n:
+        assert n >= 1
     assert spark.conf.get("spark.sql.shuffle.partitions") == old

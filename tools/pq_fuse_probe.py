@@ -84,19 +84,30 @@ def build_embeddings_dir(replicas: int, dest: str) -> None:
     vecs = emb.column("embedding").to_pylist()
     dim = len(vecs[0])
     v_off = int(vid.max()) + 1
-    writer = pq.ParquetWriter(
-        os.path.join(dest, "embeddings.parquet"), emb.schema)
-    for r in range(replicas):
-        rot = r % dim
-        vr = vecs if rot == 0 else [v[rot:] + v[:rot] for v in vecs]
-        tbl = emb.set_column(
-            emb.schema.get_field_index("vec_id"), "vec_id",
-            pa.array(vid + r * v_off, type=emb.schema.field("vec_id").type))
-        tbl = tbl.set_column(
-            tbl.schema.get_field_index("embedding"), "embedding",
-            pa.array(vr, type=emb.schema.field("embedding").type))
-        writer.write_table(tbl)
+    # write to a temp name and rename on success: a partial
+    # embeddings.parquet left by a failed run would otherwise pass the
+    # exists() fast-path above and be treated as a complete corpus
+    out = os.path.join(dest, "embeddings.parquet")
+    tmp = out + ".tmp"
+    writer = pq.ParquetWriter(tmp, emb.schema)
+    try:
+        for r in range(replicas):
+            rot = r % dim
+            vr = vecs if rot == 0 else [v[rot:] + v[:rot] for v in vecs]
+            tbl = emb.set_column(
+                emb.schema.get_field_index("vec_id"), "vec_id",
+                pa.array(vid + r * v_off,
+                         type=emb.schema.field("vec_id").type))
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("embedding"), "embedding",
+                pa.array(vr, type=emb.schema.field("embedding").type))
+            writer.write_table(tbl)
+    except BaseException:
+        writer.close()
+        os.unlink(tmp)
+        raise
     writer.close()
+    os.replace(tmp, out)
 
 
 def run_branch(sf_dir: str, fused: bool) -> dict:
@@ -116,7 +127,36 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, nargs="+", default=[20, 30])
     ap.add_argument("--fresh", action="store_true",
                     help="rebuild probe corpora even if present")
+    ap.add_argument("--dir", default=None,
+                    help="time an EXISTING sf dir (e.g. .scale/sf1) "
+                         "instead of building replica corpora")
+    ap.add_argument("--interleave", type=int, default=0, metavar="N",
+                    help="run N interleaved fused/per-arm process pairs "
+                         "(F,P,F,P,...) and report the per-branch min — "
+                         "the protocol for drift-vs-regression calls on "
+                         "this box, where a single measurement can swing "
+                         "50%% under external load (round-13 verdict #1)")
     args = ap.parse_args()
+
+    if args.interleave:
+        target = args.dir or os.path.join(REPO, ".scale", "sf1")
+        fused_runs, per_arm_runs = [], []
+        candidates = None
+        for i in range(args.interleave):
+            f = run_branch(target, fused=True)
+            p = run_branch(target, fused=False)
+            candidates = f["candidates"]
+            fused_runs.append(f["sec"])
+            per_arm_runs.append(p["sec"])
+            print(json.dumps({"pair": i + 1, "fused": f["sec"],
+                              "per_arm": p["sec"]}), flush=True)
+        print(json.dumps({
+            "dir": target, "candidates": candidates,
+            "fused_min": min(fused_runs),
+            "per_arm_min": min(per_arm_runs),
+            "fused_runs": fused_runs,
+            "per_arm_runs": per_arm_runs}))
+        return
 
     for n in args.replicas:
         dest = os.path.join(ROOT, f"r{n}")

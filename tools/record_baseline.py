@@ -29,26 +29,79 @@ MARKER = "## Recorded engine timings"
 
 def _load(path: str) -> dict:
     with open(path) as fh:
-        return json.loads(fh.read().strip())
+        payload = json.loads(fh.read().strip())
+    # A char-capped bench payload carries only the top-k queries (and
+    # says so in "note"); recording its sum as the round total would
+    # silently publish a truncated subset as the registry total. Only
+    # recording-quality runs (SPARK_GRAFT_BENCH_MAX_CHARS=0) may feed
+    # the committed baseline.
+    assert "note" not in payload, (
+        f"{path} is a char-capped bench payload ({payload['note']!r}) — "
+        f"re-run bench.py with SPARK_GRAFT_BENCH_MAX_CHARS=0 for a "
+        f"recording-quality line")
+    return payload
 
 
-def _policy_queries(payload: dict) -> tuple[dict, list[str]]:
+def _prior_baseline(sf, before_round: int) -> dict[str, float]:
+    """Per-query table from the newest committed raw bench JSON of an
+    EARLIER round at the same sf, isolated-overlay applied — the
+    carry-forward reference for `_policy_queries`."""
+    import glob
+    import re
+
+    best_round, table = -1, {}
+    for f in glob.glob(os.path.join(REPO, ".baseline_r*_bench*.json")):
+        m = re.search(r"_r(\d+)_", os.path.basename(f))
+        if not m or not (best_round < int(m.group(1)) < before_round):
+            continue
+        try:
+            with open(f) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if str(doc.get("sf")) != str(sf):
+            continue
+        queries = dict(doc.get("queries", {}))
+        for n, rec in doc.get("isolated_remeasure", {}).items():
+            if n in queries and isinstance(rec, dict) \
+                    and isinstance(rec.get("isolated"), (int, float)):
+                queries[n] = min(queries[n], rec["isolated"])
+        best_round, table = int(m.group(1)), queries
+    return table
+
+
+def _policy_queries(payload: dict,
+                    prior: dict[str, float] | None = None
+                    ) -> tuple[dict, list[str], list[str]]:
     """Anti-ratchet: a row the recording session itself flagged as
     drift-elevated records its ISOLATED re-measure (min with the session
     number), never the drifted session value — otherwise the committed
     baseline normalizes that session's environment drift and every later
     ratio under-reports creep (round-12 verdict, 'what's wrong' #1:
     dedup_state_compaction recorded 4.011 where its own isolated
-    re-measure said 3.61). Returns the corrected table plus the names
-    corrected, so the provenance text can cite them."""
+    re-measure said 3.61).
+
+    Carry-forward guard (round-13 verdict #3): a row reading >1.5× its
+    PRIOR committed baseline with NO isolated evidence in this payload
+    (possible only via the re-measure error path now that bench.py's
+    flag rule has a pure-ratio arm) keeps the prior number — a 1.5×
+    step must be backed by an isolated measurement to enter the
+    baseline. Returns (table, isolated-corrected names, carried names)
+    so the provenance text can cite both."""
     q = dict(payload["queries"])
     corrected = []
-    for n, rec in payload.get("isolated_remeasure", {}).items():
+    iso_rows = payload.get("isolated_remeasure", {})
+    for n, rec in iso_rows.items():
         iso = rec.get("isolated") if isinstance(rec, dict) else None
         if n in q and isinstance(iso, (int, float)) and iso < q[n]:
             q[n] = iso
             corrected.append(n)
-    return q, sorted(corrected)
+    carried = []
+    for n, prev in (prior or {}).items():
+        if n in q and n not in iso_rows and prev > 0 and q[n] > 1.5 * prev:
+            q[n] = min(q[n], prev)
+            carried.append(n)
+    return q, sorted(corrected), sorted(carried)
 
 
 def main() -> None:
@@ -62,15 +115,18 @@ def main() -> None:
     args = ap.parse_args()
 
     payload = _load(args.bench_json)
-    q, corrected = _policy_queries(payload)
+    q, corrected, carried = _policy_queries(
+        payload, _prior_baseline(payload["sf"], int(args.round)))
     q = dict(sorted(q.items()))
     total = round(sum(q.values()), 3)
     names = list(q)
 
     q1 = corrected1 = None
+    carried1: list[str] = []
     if args.sf1:
         p1 = _load(args.sf1)
-        q1, corrected1 = _policy_queries(p1)
+        q1, corrected1, carried1 = _policy_queries(
+            p1, _prior_baseline(p1["sf"], int(args.round)))
 
     lines = [
         f"{MARKER} (round-{args.round} baseline)",
@@ -94,6 +150,17 @@ def main() -> None:
             "not the drifted in-session value (both numbers live in the "
             "committed raw JSON's `isolated_remeasure`). Corrected this "
             f"recording: {', '.join(f'`{n}`' for n in corrected)}.",
+        ]
+    if carried or carried1:
+        lines += [
+            "",
+            "Carry-forward guard: rows reading >1.5× their prior "
+            "committed baseline WITHOUT isolated evidence in this "
+            "payload (re-measure error path) keep the prior number"
+            + (f" — sf0.1: {', '.join(f'`{n}`' for n in carried)}"
+               if carried else "")
+            + (f" — sf1: {', '.join(f'`{n}`' for n in carried1)}"
+               if carried1 else "") + ".",
         ]
 
     if q1 is not None:
