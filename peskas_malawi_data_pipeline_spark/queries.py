@@ -4915,7 +4915,12 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     os.symlink(src, os.path.join(landing, "events.parquet"))
 
-    ev = (st.spread_stream(st.stream_events_dir(spark, landing))
+    # spread ON by default here — the session-window agg's map side
+    # sorts + partially merges sessions BEFORE the shuffle, serialized
+    # on the one-task file scan; won 3/3 interleaved 100× A/Bs and tied
+    # at sf0.1 (SCALE.md §10p; PESKAS_STREAM_SPREAD=off to disable)
+    ev = (st.spread_stream(st.stream_events_dir(spark, landing),
+                           default_n=spark.sparkContext.defaultParallelism)
           .withWatermark("ts", "30 minutes"))
     agged = (ev.groupBy("user_id",
                         F.session_window("ts", "30 minutes").alias("win"))

@@ -170,20 +170,37 @@ def sized_batch_shuffle(batch_df: DataFrame,
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def spread_stream(df: DataFrame) -> DataFrame:
-    """A/B lever for the ENGINE-side drains (windowed aggs, stateful
-    ops, stream-stream joins): ``PESKAS_STREAM_SPREAD=N`` inserts a
-    ``repartition(N)`` between the streaming scan and the stateful
-    shuffle, lifting the pre-shuffle leg off the one-task-per-landing-
-    file scan. Default NO-OP: unlike the foreachBatch drains (whose
-    tokenize/explode legs measured 2-4× wins, §10o), the engine drains'
-    pre-shuffle legs are projections/casts — the extra exchange is
-    expected to be a wash or a loss, and this lever exists to MEASURE
-    that per drain (round-13 verdict #5) rather than assume it."""
+def spread_stream(df: DataFrame, default_n: int | None = None) -> DataFrame:
+    """Spread lever for the ENGINE-side drains (windowed aggs, stateful
+    ops, stream-stream joins): inserts a ``repartition(n)`` between the
+    streaming scan and the stateful shuffle, lifting the pre-shuffle
+    leg off the one-task-per-landing-file scan.
+
+    Default NO-OP unless the call site passes ``default_n``: the §10p
+    audit measured the extra exchange as a LOSS at 7 of 8 drains
+    (projection/cast legs are too cheap; stream_join pays the exchange
+    twice). The exception is ``session_window`` — its map side SORTS
+    the partition and partially merges sessions before the shuffle,
+    O(n log n) serialized on the single scan task — which won 3/3
+    interleaved 100× A/Bs (mins 28.2 → 26.0 s, pairwise up to 48%)
+    and tied at sf0.1, so that call site passes
+    ``default_n=defaultParallelism``. ``PESKAS_STREAM_SPREAD`` remains
+    the A/B override: ``off``/``0`` forces no-op, a positive integer
+    forces that count."""
     import os
 
-    n = os.environ.get("PESKAS_STREAM_SPREAD", "").strip()
-    return df.repartition(int(n)) if n.isdigit() and int(n) > 0 else df
+    env = os.environ.get("PESKAS_STREAM_SPREAD", "").strip()
+    if env:
+        if env == "off" or (env.isdigit() and int(env) == 0):
+            return df
+        if env.isdigit():
+            return df.repartition(int(env))
+        raise ValueError(
+            f"PESKAS_STREAM_SPREAD={env!r}: expected 'off', unset, or a "
+            f"non-negative integer")
+    if default_n and default_n > 0:
+        return df.repartition(default_n)
+    return df
 
 
 def stream_from_parquet_dir(spark: SparkSession, path: str,
@@ -377,14 +394,14 @@ def run_available_now_merge(stream_df: DataFrame, table, keys: list[str],
         last = meta.get("last_batch_id")
         if last is not None and batch_id <= last:
             return                      # crash-replayed batch: already merged
-        # the partial agg's map side (tokenize/hash per row — e.g. the
-        # mixture drain's token_count over every text) otherwise runs at
-        # SCAN parallelism: one landing file per trigger = ONE map task
-        # (§10o wide-row finding); spread the raw rows to the size-derived
-        # count first. spread_batch no-ops when the scan is already
-        # parallel; PESKAS_BATCH_SPREAD=off is the A/B lever.
-        partials = partial_fn(
-            spread_batch(batch_df, batch_shuffle_partitions(batch_df)))
+        # NO spread_batch here — measured null/loss at 100× (SCALE.md
+        # §10p): unlike the explode-heavy drains (§10o, 2-4× wins), a
+        # partial AGG's map side collapses the batch to answer-sized
+        # rows, so spreading the raw rows first pays a full exchange of
+        # the fat input for work the one-task partial does nearly as
+        # fast (incremental_rollup 17.2 → 19.9 s ON, mixture — whose
+        # partial runs token_count over every text — 7.9 → 8.1 s tie).
+        partials = partial_fn(batch_df)
         if table.current_version() is None:
             merged = partials
         else:

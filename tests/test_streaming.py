@@ -711,17 +711,27 @@ def test_spread_batch(spark, monkeypatch):
 
 
 def test_spread_stream_default_noop(spark, monkeypatch):
-    """The engine-drain spread lever is a NO-OP unless PESKAS_STREAM_SPREAD
-    is a positive integer — the default plans must be byte-identical to
-    the pre-lever ones (the measured expectation is that engine drains'
-    pre-shuffle legs are too cheap for an extra exchange to pay)."""
+    """The engine-drain spread lever is a NO-OP unless the call site
+    passes default_n (only session_window does — §10p measured spread a
+    loss at every other engine drain) or PESKAS_STREAM_SPREAD forces a
+    count; 'off'/'0' force the no-op even over a call-site default, and
+    garbage fails loudly."""
+    import pytest
+
     monkeypatch.delenv("PESKAS_STREAM_SPREAD", raising=False)
     df = spark.range(100).toDF("x")
     assert ingest_stream.spread_stream(df) is df
+    assert ingest_stream.spread_stream(df, default_n=6)\
+        .rdd.getNumPartitions() == 6
     monkeypatch.setenv("PESKAS_STREAM_SPREAD", "0")
-    assert ingest_stream.spread_stream(df) is df
+    assert ingest_stream.spread_stream(df, default_n=6) is df
+    monkeypatch.setenv("PESKAS_STREAM_SPREAD", "off")
+    assert ingest_stream.spread_stream(df, default_n=6) is df
     monkeypatch.setenv("PESKAS_STREAM_SPREAD", "6")
     assert ingest_stream.spread_stream(df).rdd.getNumPartitions() == 6
+    monkeypatch.setenv("PESKAS_STREAM_SPREAD", "lots")
+    with pytest.raises(ValueError, match="expected 'off'"):
+        ingest_stream.spread_stream(df)
 
 
 def test_sized_batch_shuffle_mode_knob(spark, monkeypatch):

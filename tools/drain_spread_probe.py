@@ -10,17 +10,22 @@ assumption. This probe measures it: one isolated A/B (spread on / off)
 per drain at the 100× dir, one process per (drain, config), untimed
 warmup then min-of-2 — the §10o protocol.
 
-Two drain families, two levers:
+Outcome (SCALE.md §10p): 7 of 8 drains measured spread as a loss or
+tie — the merge drains' briefly-wired default was REVERTED (a partial
+agg collapses the batch map-side; spreading the fat raw rows loses),
+and only ``streaming_session_window`` (whose map side sorts + partially
+merges sessions before the shuffle) won 3/3 interleaved A/Bs and is
+wired ON by default. Arm levers per family:
 
 - merge drains (``run_available_now_merge``: streaming_mixture_allocation,
-  streaming_incremental_rollup) now spread the raw batch before the
-  partial agg by default — OFF arm sets ``PESKAS_BATCH_SPREAD=off``;
-- engine drains (windowed aggs / stateful ops / stream-stream join:
-  streaming_time_bucket, streaming_enriched_rollup, streaming_sessionize,
-  streaming_dedup, streaming_stream_join, streaming_session_window)
-  default to NO spread — ON arm sets ``PESKAS_STREAM_SPREAD=N``
-  (``ingest_stream.spread_stream`` inserts a repartition between the
-  streaming scan and the stateful shuffle).
+  streaming_incremental_rollup): ON arm re-wires nothing today (both
+  arms identical post-revert; kept for re-audit via
+  ``PESKAS_BATCH_SPREAD=off`` on the OFF arm);
+- engine drains: ON arm sets ``PESKAS_STREAM_SPREAD=N``
+  (``ingest_stream.spread_stream`` repartition between the streaming
+  scan and the stateful shuffle);
+- engine-default-on (streaming_session_window): OFF arm sets
+  ``PESKAS_STREAM_SPREAD=off``.
 
 Usage: python tools/drain_spread_probe.py [--sf-dir .scale/sf10]
            [--drains name ...] [--stream-spread 32]
@@ -45,7 +50,9 @@ DRAINS = {
     "streaming_sessionize": "engine",
     "streaming_dedup": "engine",
     "streaming_stream_join": "engine",
-    "streaming_session_window": "engine",
+    # session_window's spread is wired ON by default (§10p, 3/3 wins):
+    # its OFF arm forces the lever off like the merge family
+    "streaming_session_window": "engine-default-on",
 }
 
 _RUNNER = """
@@ -93,6 +100,8 @@ def main() -> None:
         fam = DRAINS[name]
         if fam == "merge":
             on_env, off_env = {}, {"PESKAS_BATCH_SPREAD": "off"}
+        elif fam == "engine-default-on":
+            on_env, off_env = {}, {"PESKAS_STREAM_SPREAD": "off"}
         else:
             on_env = {"PESKAS_STREAM_SPREAD": args.stream_spread}
             off_env = {}
