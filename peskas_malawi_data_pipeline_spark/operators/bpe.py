@@ -131,15 +131,26 @@ def bpe_fit(df: DataFrame, text_col: str = "text", k: int = 5,
     if strategy not in {"auto", "local", "batched", "rounds"}:
         raise ValueError(f"unknown strategy {strategy!r}")
     spark = df.sparkSession
-    vocab = materialize(_symbolized_vocab(df, text_col))
+    vocab = _symbolized_vocab(df, text_col)
+    rows = None
     if strategy == "auto":
-        strategy = ("local" if vocab.count() <= local_vocab_limit
-                    else "batched")
+        # ONE limit(n+1)-collect decides the gate AND (when local wins)
+        # delivers the whole vocabulary: limit(n+1) returns every row
+        # when the vocabulary fits, so the previous
+        # materialize+count+collect triple (3 actions, with the
+        # materialize a multi-job AQE cascade + a cached copy nothing
+        # reuses on the local path) collapses to one job. The rare
+        # over-limit corpus pays one n+1-row collect before the
+        # distributed path (which then materializes, as before).
+        rows = vocab.limit(local_vocab_limit + 1).collect()
+        strategy = "local" if len(rows) <= local_vocab_limit else "batched"
     if strategy == "local":
+        if rows is None:
+            rows = vocab.collect()
         merges = _fit_local(
-            [(r["syms"], int(r["cnt"])) for r in vocab.collect()], k)
+            [(r["syms"], int(r["cnt"])) for r in rows], k)
     else:
-        merges = _fit_distributed(vocab, k,
+        merges = _fit_distributed(materialize(vocab), k,
                                   batched=(strategy == "batched"))
     return spark.createDataFrame(
         merges,
@@ -432,13 +443,17 @@ def bpe_apply_counts(df: DataFrame, merges, id_col: str = "doc_id",
         raise ValueError(f"unknown strategy {strategy!r}")
     words = (df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
              .distinct())
+    wrows = None
     if strategy == "auto":
-        words = materialize(words)
-        strategy = ("local" if words.count() <= local_vocab_limit
+        # one limit(n+1)-collect gates AND delivers the vocabulary
+        # (same single-action shape as bpe_fit's auto gate)
+        wrows = words.limit(local_vocab_limit + 1).collect()
+        strategy = ("local" if len(wrows) <= local_vocab_limit
                     else "chained")
     if strategy == "local":
-        rows = _encode_lengths_local(
-            [r["w"] for r in words.collect()], merges)
+        if wrows is None:
+            wrows = words.collect()
+        rows = _encode_lengths_local([r["w"] for r in wrows], merges)
         wl = F.broadcast(df.sparkSession.createDataFrame(
             rows, "w string, n_sub long"))
     else:
@@ -525,16 +540,14 @@ def bpe_vocab_table(df: DataFrame, merges,
     rows += [(rank, sym, "merge")
              for sym, rank in sorted(rank_of.items(),
                                      key=lambda kv: kv[1])]
-    words = materialize(
-        df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
-        .distinct())
-    n_vocab = words.count()
-    if n_vocab > local_vocab_limit:
+    wrows = (df.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+             .distinct().limit(local_vocab_limit + 1).collect())
+    if len(wrows) > local_vocab_limit:
         raise ValueError(
-            f"bpe_vocab_table: vocabulary has {n_vocab} distinct words, "
-            f"over local_vocab_limit={local_vocab_limit}; raise the limit "
+            f"bpe_vocab_table: vocabulary has over {local_vocab_limit} "
+            f"distinct words (local_vocab_limit); raise the limit "
             f"or pre-shard the vocabulary")
-    alphabet = sorted({ch for r in words.collect()
+    alphabet = sorted({ch for r in wrows
                        for ch in r["w"].replace(MARKER, "")})
     rows += [(k + ord(c), c, "base") for c in alphabet]
     return df.sparkSession.createDataFrame(
@@ -562,17 +575,19 @@ def bpe_word_id_map(df: DataFrame, merges, text_col: str = "text",
         .distinct()
     if known is not None:
         words = words.join(known.select("w"), "w", "left_anti")
-    words = materialize(words)
-    n_new = words.count()
-    if n_new > local_vocab_limit:
+    # one limit(n+1)-collect replaces materialize+count+collect: it
+    # returns the complete word set whenever the gate passes, and the
+    # gate is exactly len > limit
+    wrows = words.limit(local_vocab_limit + 1).collect()
+    if len(wrows) > local_vocab_limit:
         raise ValueError(
-            f"bpe_word_id_map: {n_new} new distinct words, over "
-            f"local_vocab_limit={local_vocab_limit}; raise the limit or "
-            f"pre-shard the vocabulary")
+            f"bpe_word_id_map: over {local_vocab_limit} new distinct "
+            f"words (local_vocab_limit); raise the limit or pre-shard "
+            f"the vocabulary")
     rank_of = token_id_map(merges)
     rows = [(w, [rank_of[s] if len(s) > 1 else k + ord(s) for s in syms])
             for w, syms in _encode_segments_local(
-                [r["w"] for r in words.collect()], merges)]
+                [r["w"] for r in wrows], merges)]
     new_map = df.sparkSession.createDataFrame(
         rows, "w string, ids array<long>")
     return known.unionByName(new_map) if known is not None else new_map
