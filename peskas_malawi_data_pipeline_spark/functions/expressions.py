@@ -201,3 +201,26 @@ def usd(col: Column, rate: float = 0.0006) -> Column:
     """E10 — MWK→USD conversion used in the report
     (`inst/reports/malawi-report.qmd:150-152`)."""
     return col * rate
+
+
+def long_array_lit(values) -> Column:
+    """``array<long>`` literal as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) for x in values])`` costs one BLOCKING Py4J
+    round trip per element (~0.25 ms each on the bench box); the ANN
+    LUT factoring builds |queries|-independent codebook literals with
+    thousands of elements, and the measured build cost of
+    ann_codebook_sweep was ~7 s of socket round trips (39k calls,
+    cProfile r14). One ``expr()`` string is one round trip and one
+    Catalyst parse. ``L`` suffixes pin LongType — identical to the
+    micro-int arrays every call site feeds (``_micro`` casts to long),
+    so arithmetic and results are unchanged."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in values) + ")")
+
+
+def long_matrix_lit(rows) -> Column:
+    """``array<array<long>>`` literal as ONE parsed SQL expression
+    (see :func:`long_array_lit`)."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in r) + ")"
+        for r in rows) + ")")

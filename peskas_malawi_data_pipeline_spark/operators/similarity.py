@@ -15,6 +15,8 @@ from typing import Iterable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.expressions import long_array_lit, long_matrix_lit
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate (JVM-evaluated)."""
@@ -376,7 +378,7 @@ def _pq_code_columns(vec_micro: Column, codebook: dict) -> list[Column]:
         sub = F.slice(vec_micro, (s - 1) * d_sub + 1, d_sub)
         cands = []
         for cid in _sub_cids(codebook, s):
-            lit = F.array(*[F.lit(x) for x in codebook[(s, cid)]])
+            lit = long_array_lit(codebook[(s, cid)])
             d2 = F.aggregate(
                 F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
                 F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -455,7 +457,7 @@ def pq_distortion(df: DataFrame, codebook: dict,
         sub = F.slice(v, (s - 1) * d_sub + 1, d_sub)
         cands = []
         for cid in _sub_cids(codebook, s):
-            lit = F.array(*[F.lit(x) for x in codebook[(s, cid)]])
+            lit = long_array_lit(codebook[(s, cid)])
             d2 = F.aggregate(
                 F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
                 F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -495,9 +497,8 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, codebook: dict,
     q_cols = [F.col(query_id)]
     for s in range(1, m + 1):
         sub = F.slice(qv, (s - 1) * d_sub + 1, d_sub)
-        cb_arr = F.array(*[
-            F.array(*[F.lit(x) for x in codebook[(s, c)]])
-            for c in _sub_cids(codebook, s)])
+        cb_arr = long_matrix_lit(
+            [codebook[(s, c)] for c in _sub_cids(codebook, s)])
         lut = F.transform(
             cb_arr,
             lambda cv: F.aggregate(
@@ -529,9 +530,9 @@ def _argmin_struct_over(sub: Column,
     dominates tiny inputs; this form keeps planning flat while the
     arithmetic — and therefore every result — is unchanged."""
     cids = sorted(cents)
-    cb_arr = F.array(*[F.array(*[F.lit(x) for x in cents[cid]])
-                       for cid in cids])
-    cid_arr = F.array(*[F.lit(cid).cast("int") for cid in cids])
+    cb_arr = long_matrix_lit([cents[cid] for cid in cids])
+    cid_arr = F.expr(
+        "array(" + ",".join(str(int(c)) for c in cids) + ")")
     return F.array_min(F.zip_with(
         cb_arr, cid_arr,
         lambda cv, cc: F.struct(
@@ -815,9 +816,8 @@ def pq_adc_topk_coded_multi(queries: DataFrame, coded: DataFrame,
         m, _kc, d_sub = _pq_shape(cb)
         for s in range(1, m + 1):
             sub = F.slice(qv, (s - 1) * d_sub + 1, d_sub)
-            cb_arr = F.array(*[
-                F.array(*[F.lit(x) for x in cb[(s, c)]])
-                for c in _sub_cids(cb, s)])
+            cb_arr = long_matrix_lit(
+                [cb[(s, c)] for c in _sub_cids(cb, s)])
             lut = F.transform(
                 cb_arr,
                 lambda cv: F.aggregate(
@@ -880,7 +880,7 @@ def _coarse_assign(vec_micro: Column, coarse: dict[int, list[int]],
     corpus is embarrassingly parallel."""
     cands = []
     for cid in sorted(coarse):
-        lit = F.array(*[F.lit(x) for x in coarse[cid]])
+        lit = long_array_lit(coarse[cid])
         d2 = F.aggregate(
             F.zip_with(vec_micro, lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -1001,9 +1001,8 @@ def ivf_pq_candidates(queries: DataFrame, corpus: DataFrame,
               _coarse_assign(qv, coarse, nprobe).alias("__probe_lists")]
     for s in range(1, m + 1):
         sub = F.slice(qv, (s - 1) * d_sub + 1, d_sub)
-        cb_arr = F.array(*[
-            F.array(*[F.lit(x) for x in codebook[(s, c)]])
-            for c in _sub_cids(codebook, s)])
+        cb_arr = long_matrix_lit(
+            [codebook[(s, c)] for c in _sub_cids(codebook, s)])
         lut = F.transform(
             cb_arr,
             lambda cv_: F.aggregate(
@@ -1037,8 +1036,7 @@ def _coarse_lit(coarse: dict[int, list[int]]) -> Column:
     cids = sorted(coarse)
     if cids != list(range(1, len(cids) + 1)):
         raise ValueError(f"coarse cids must be dense 1..n, got {cids}")
-    return F.array(*[F.array(*[F.lit(x) for x in coarse[c]])
-                     for c in cids])
+    return long_matrix_lit([coarse[c] for c in cids])
 
 
 def _residual_expr(vec_micro: Column, coarse: dict[int, list[int]],
@@ -1174,9 +1172,8 @@ def ivf_pq_residual_topk(queries: DataFrame, corpus: DataFrame,
     probe_cols = [F.col(query_id), F.col("__list")]
     for s in range(1, m + 1):
         sub = F.slice(qres, (s - 1) * d_sub + 1, d_sub)
-        cb_arr = F.array(*[
-            F.array(*[F.lit(x) for x in codebook[(s, c)]])
-            for c in _sub_cids(codebook, s)])
+        cb_arr = long_matrix_lit(
+            [codebook[(s, c)] for c in _sub_cids(codebook, s)])
         lut = F.transform(
             cb_arr,
             lambda cv_: F.aggregate(
@@ -1238,7 +1235,7 @@ def _assign_micro_expr(centroid_vecs: dict[int, list[int]],
     column (exact integer d², ties → lowest centroid id)."""
     cands = []
     for cid in sorted(centroid_vecs):
-        lit = F.array(*[F.lit(x) for x in centroid_vecs[cid]])
+        lit = long_array_lit(centroid_vecs[cid])
         d2 = F.aggregate(
             F.zip_with(micro_col, lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -1652,9 +1649,8 @@ def ivf_pq_search_coded(queries: DataFrame, coded: DataFrame,
               _coarse_assign(qv, coarse, nprobe).alias("__probe_lists")]
     for s in range(1, m + 1):
         sub = F.slice(qv, (s - 1) * d_sub + 1, d_sub)
-        cb_arr = F.array(*[
-            F.array(*[F.lit(x) for x in codebook[(s, c)]])
-            for c in _sub_cids(codebook, s)])
+        cb_arr = long_matrix_lit(
+            [codebook[(s, c)] for c in _sub_cids(codebook, s)])
         lut = F.transform(
             cb_arr,
             lambda cv_: F.aggregate(
