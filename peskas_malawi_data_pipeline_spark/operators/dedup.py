@@ -1035,32 +1035,44 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     """
     # edges joins into EVERY iteration — without the checkpoint each round
     # would re-run the whole upstream candidate pipeline (minhash/bands/
-    # verify), turning k iterations into k full corpus passes. TWO stages:
-    # the symmetrized frame materializes first (candidate pipeline runs
-    # exactly once), then nodes/self-loops/labels derive from those blocks
-    # — deriving them from the lazy frame would re-run the pipeline on the
-    # first action (and inside the second barrier).
-    sym = materialize(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct())
-    nodes = sym.select(F.col("src").alias("id")).distinct()
+    # verify), turning k iterations into k full corpus passes. ONE
+    # barrier builds the symmetrized+self-looped edge set (r14: this was
+    # two chained materializations — sym, then edges = sym ∪ self-loops —
+    # caching the edge bytes twice and paying two full action cascades;
+    # the distinct's exchange is shared by both union branches, so one
+    # barrier runs the candidate pipeline once). Self-loops may duplicate
+    # an (x,x) row a caller's pairs already contained (incremental stars
+    # carry them): harmless — every consumer is a min-aggregation, and
+    # `nodes` derives from the self-loop rows themselves.
+    sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .union(pairs.select(F.col(id_b).alias("src"),
+                               F.col(id_a).alias("dst")))
+           .distinct())
     edges = materialize(
-        sym.union(nodes.select(F.col("id").alias("src"),
-                               F.col("id").alias("dst"))))
-    labels = nodes.withColumn("comp", F.col("id"))
+        sym.union(sym.select(F.col("src"), F.col("src").alias("dst"))
+                  .distinct()))
+    labels = (edges.where(F.col("src") == F.col("dst"))
+              .select(F.col("src").alias("id"))
+              .withColumn("comp", F.col("id")))
+    from pyspark.sql import Observation
     prev_chk = None
     for i in range(max_iter):
         labels = (edges.join(labels, edges.dst == labels.id)
                   .groupBy("src").agg(F.min("comp").alias("comp"))
                   .withColumnRenamed("src", "id"))
         if (i + 1) % check_interval == 0 or i + 1 == max_iter:
-            labels = materialize(labels)
-            cnt, hsh = labels.agg(
-                F.count(F.lit(1)),
-                # decimal accumulator: a long sum of 64-bit hashes overflows
-                F.sum(F.xxhash64("id", "comp").cast("decimal(27,0)"))).first()
-            chk = (cnt, hsh)
+            # convergence checksum rides the materialize action as an
+            # Observation (CollectMetrics) — the separate count+hash
+            # job (and its driver-turnaround gap) per check is gone
+            obs = Observation()
+            labels = materialize(labels.observe(
+                obs, F.count(F.lit(1)).alias("cnt"),
+                # decimal accumulator: a long sum of 64-bit hashes
+                # overflows
+                F.sum(F.xxhash64("id", "comp").cast("decimal(27,0)"))
+                .alias("hsh")))
+            m = obs.get
+            chk = (m["cnt"], m["hsh"])
             if chk == prev_chk:
                 break
             prev_chk = chk
@@ -1320,9 +1332,13 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         .union(pairs.select(F.col(id_b).alias("src"),
                             F.col(id_a).alias("dst")))
         .distinct())
-    nodes = materialize(base.select(F.col("src").alias("id")).distinct())
+    # nodes is consumed exactly once (the final left join) and derives
+    # from the materialized base blocks — a second barrier here bought
+    # nothing and cost a full action cascade (r14)
+    nodes = base.select(F.col("src").alias("id")).distinct()
     edges = base.filter(F.col("src") != F.col("dst"))
 
+    from pyspark.sql import Observation
     prev_chk = None
     for _ in range(max_rounds):
         # large-star: every neighbor v > u re-points at m = min(Γ(u) ∪ {u}).
@@ -1345,12 +1361,16 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         lo = lo.withColumn("m", mn)
         small = (lo.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
                  .union(lo.select(F.col("src"), F.col("m").alias("dst"))))
-        edges = materialize(canon(small))
+        # fixpoint checksum rides the materialize action as an
+        # Observation — no separate count+hash job per round.
         # decimal accumulator: a long sum of 64-bit hashes overflows ANSI
-        cnt, hsh = edges.agg(
-            F.count(F.lit(1)),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(27,0)"))).first()
-        chk = (cnt, hsh)
+        obs = Observation()
+        edges = materialize(canon(small).observe(
+            obs, F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(27,0)"))
+            .alias("hsh")))
+        met = obs.get
+        chk = (met["cnt"], met["hsh"])
         if chk == prev_chk:
             break
         prev_chk = chk
