@@ -6757,35 +6757,51 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_t = sim_ops.pq_codebook_from_centroids(cents_t, m=4)
     coarse_t = {i: cents_t[cid]
                 for i, cid in enumerate(sorted(cents_t), start=1)}
-    rows = []
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "corpus_id")
-    for coarse_name, cb, coarse in (("lowest_id", cb_l, coarse_l),
-                                    ("trained", cb_t, coarse_t)):
-        # ONE corpus code/assign pass at the widest nprobe; each sweep
-        # point is a probe_rank filter over the materialized candidates
-        # (a corpus row sits in exactly one list, so the filter IS the
-        # nprobe=p candidate set — see ivf_pq_candidates)
-        cands = materialize(sim_ops.ivf_pq_candidates(
-            q, c, cb, coarse, nprobe=8))
-        for p in (1, 2, 4, 8):
-            approx = (cands.filter(F.col("probe_rank") <= p)
-                      .withColumn("rank", F.row_number().over(w))
-                      .filter(F.col("rank") <= 3))
-            agg = (approx.select("query_id", "corpus_id")
-                   .join(F.broadcast(exact), ["query_id", "corpus_id"],
-                         "left")
-                   .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
-                        F.count(F.lit(1)).alias("approx_n"))
-                   .crossJoin(F.broadcast(exact_n)))
-            rows.append(agg.select(
-                F.lit(coarse_name).alias("coarse"),
-                F.lit(p).cast("long").alias("nprobe"),
-                F.col("hits").cast("long").alias("hits"),
-                F.col("approx_n").cast("long").alias("approx_n"),
-                F.col("exact_n").cast("long").alias("exact_n"),
-                F.expr("CAST(hits * 1000000 DIV exact_n AS BIGINT)")
-                .alias("recall_ppm")))
-    return reduce(lambda a, b: a.unionByName(b), rows)
+    # ONE corpus code/assign pass per quantizer at the widest nprobe;
+    # the whole 2×4 sweep is then a single plan: explode each candidate
+    # into the nprobe points whose cutoff admits it (probe_rank <= p is
+    # exactly the nprobe=p candidate set — a corpus row sits in one
+    # list; see ivf_pq_candidates), one window over (coarse, nprobe,
+    # query), one grouped aggregate. r14: this replaced 2 materialize
+    # barriers + 16 unioned aggregate subtrees (each re-scanning the
+    # cached candidates, re-planned per subtree) — the sweep's wall was
+    # plan/action overhead, not arithmetic; a left join against the
+    # literal (coarse × nprobe) grid preserves the old always-8-rows
+    # shape even for empty candidate corners. Values are unchanged: the
+    # same rank-3 cut under the same (adc_dist, corpus_id) order, the
+    # same hit counts, per (coarse, nprobe).
+    cands = [sim_ops.ivf_pq_candidates(q, c, cb, coarse, nprobe=8)
+             .select(F.lit(coarse_name).alias("coarse"), "query_id",
+                     "corpus_id", "adc_dist", "probe_rank")
+             for coarse_name, cb, coarse in (("lowest_id", cb_l, coarse_l),
+                                             ("trained", cb_t, coarse_t))]
+    expanded = (cands[0].unionByName(cands[1])
+                .select("*", F.explode(F.expr("array(1, 2, 4, 8)"))
+                        .alias("nprobe"))
+                .filter(F.col("probe_rank") <= F.col("nprobe")))
+    w = Window.partitionBy("coarse", "nprobe", "query_id") \
+        .orderBy("adc_dist", "corpus_id")
+    approx = (expanded.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 3))
+    agg = (approx.select("coarse", "nprobe", "query_id", "corpus_id")
+           .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+           .groupBy("coarse", "nprobe")
+           .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("hits"),
+                F.count(F.lit(1)).alias("approx_n")))
+    grid = spark.createDataFrame(
+        [(cn, p) for cn in ("lowest_id", "trained") for p in (1, 2, 4, 8)],
+        "coarse string, nprobe int")
+    return (grid.join(agg, ["coarse", "nprobe"], "left")
+            .crossJoin(F.broadcast(exact_n))
+            .select("coarse",
+                    F.col("nprobe").cast("long").alias("nprobe"),
+                    F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+                    .alias("hits"),
+                    F.coalesce(F.col("approx_n"), F.lit(0)).cast("long")
+                    .alias("approx_n"),
+                    F.col("exact_n").cast("long").alias("exact_n"),
+                    F.expr("CAST(coalesce(hits, 0) * 1000000 "
+                           "DIV exact_n AS BIGINT)").alias("recall_ppm")))
 
 
 def _duck_rerank_blocks(x: str) -> str:
