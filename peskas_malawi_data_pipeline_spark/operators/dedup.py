@@ -197,6 +197,19 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
     assert num_hashes % band_size == 0
     sigs = minhash_signature(df.select(id_col, text_col), text_col,
                              num_hashes, shingle_n)
+    return bands_from_signature(sigs, id_col, num_hashes, band_size)
+
+
+def bands_from_signature(sigs: DataFrame, id_col: str = "doc_id",
+                         num_hashes: int = 8,
+                         band_size: int = 2) -> DataFrame:
+    """Band an ALREADY-computed :func:`minhash_signature` frame — the
+    banding is a pure projection, so a consumer comparing several
+    (band_size, n_bands) points (lsh_quality_sweep) materializes the
+    signature once and re-bands it per arm instead of re-running the
+    shingle → md5 → permute sketch map per arm (the sketch is the whole
+    corpus-scale cost; r14)."""
+    assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     return sigs.select(
         id_col,
@@ -321,22 +334,31 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_pairs_from_bands(bands: DataFrame, id_col: str = "doc_id",
-                         max_bucket: int | None = 1000) -> DataFrame:
+                         max_bucket: int | None = 1000,
+                         carry_cols: Sequence[str] = ()) -> DataFrame:
     """Candidate pairs from a prebuilt band index (:func:`minhash_bands`
     output) — use this when the index is computed once and consumed by
     several stages (e.g. full-corpus pairs AND the persisted side of an
     incremental join), so the expensive shingle → hash → signature map
-    never re-runs per consumer."""
+    never re-runs per consumer.
+
+    ``carry_cols``: extra columns that join into the bucket key and ride
+    through to the output — a consumer sweeping several band layouts
+    (lsh_quality_sweep) tags each layout's bands and gets all arms'
+    pairs from ONE capped barrier + ONE self-join instead of one
+    cascade per arm; the cap still applies per (tag, band) bucket,
+    exactly the per-arm semantics."""
     # bucket-count window + cap filter live inside the barrier so the
     # count executes once, not once per self-join side; drops are observed
     # into last_cap_drops() instead of vanishing silently
-    bands = _capped_barrier(bands, ("band_id", "band_key"), max_bucket,
+    keys = [*carry_cols, "band_id", "band_key"]
+    bands = _capped_barrier(bands, tuple(keys), max_bucket,
                             "lsh_pairs_from_bands")
-    left = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
-    right = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
-    return (left.join(right, ["band_id", "band_key"])
+    left = bands.select(*keys, F.col(id_col).alias("id_a"))
+    right = bands.select(*keys, F.col(id_col).alias("id_b"))
+    return (left.join(right, keys)
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .select(*carry_cols, "id_a", "id_b").distinct())
 
 
 def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -2466,34 +2466,57 @@ def lsh_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 threshold=0.2)
         .select("id_a", "id_b").withColumn("__hit", F.lit(1)))
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    rows = []
-    for bs in (1, 2, 4):
-        cand = (dedup_ops.minhash_lsh_pairs(docs, num_hashes=8,
-                                            band_size=bs, shingle_n=3)
-                .join(src.select(F.col("doc_id").alias("id_a"),
-                                 F.col("source").alias("__sa")), "id_a")
-                .join(src.select(F.col("doc_id").alias("id_b"),
-                                 F.col("source").alias("__sb")), "id_b")
-                .filter(F.col("__sa") == F.col("__sb"))
-                .select("id_a", "id_b"))
-        agg = (cand.join(F.broadcast(truth), ["id_a", "id_b"], "left")
-               .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                    F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
-                    .alias("true_positives"))
-               .crossJoin(F.broadcast(n_true)))
-        rows.append(agg.select(
-            F.lit(bs).alias("band_size"),
-            F.lit(8 // bs).cast("long").alias("n_bands"),
-            "n_candidates",
-            F.col("n_true").cast("long").alias("n_true"),
-            "true_positives",
-            F.when(F.col("n_candidates") > 0,
-                   F.expr("true_positives * 1000000 div n_candidates"))
-            .alias("precision_ppm"),
-            F.when(F.col("n_true") > 0,
-                   F.expr("true_positives * 1000000 div n_true"))
-            .alias("recall_ppm")))
-    return reduce(lambda a, b: a.unionByName(b), rows)
+    # the sketch map (shingle → md5 → permute) is the corpus-scale cost
+    # and is identical across the three bandings: materialize the
+    # signature once, band each arm from the cached blocks (r14 — the
+    # loop previously called minhash_lsh_pairs(docs) per arm, re-running
+    # the sketch 3×)
+    sigs = materialize(dedup_ops.minhash_signature(
+        docs.select("doc_id", "text"), num_hashes=8, shingle_n=3)
+        .select("doc_id", "minhash"))
+    # all three arms through ONE capped barrier + ONE self-join: each
+    # banding is a projection over the cached signature, tagged with its
+    # band_size, and carry_cols folds the tag into the bucket key (the
+    # per-(arm, band) cap semantics are unchanged). r14: previously one
+    # barrier cascade + one aggregate subtree per arm; a left join
+    # against the literal arm grid preserves the always-3-rows shape.
+    tagged = reduce(lambda a, b: a.unionByName(b), [
+        dedup_ops.bands_from_signature(sigs, num_hashes=8, band_size=bs)
+        .select(F.lit(bs).alias("band_size"), "doc_id", "band_id",
+                "band_key")
+        for bs in (1, 2, 4)])
+    cand = (dedup_ops.lsh_pairs_from_bands(tagged,
+                                           carry_cols=("band_size",))
+            .join(src.select(F.col("doc_id").alias("id_a"),
+                             F.col("source").alias("__sa")), "id_a")
+            .join(src.select(F.col("doc_id").alias("id_b"),
+                             F.col("source").alias("__sb")), "id_b")
+            .filter(F.col("__sa") == F.col("__sb"))
+            .select("band_size", "id_a", "id_b"))
+    agg = (cand.join(F.broadcast(truth), ["id_a", "id_b"], "left")
+           .groupBy("band_size")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+                .alias("true_positives")))
+    grid = spark.createDataFrame([(bs,) for bs in (1, 2, 4)],
+                                 "band_size int")
+    return (grid.join(agg, "band_size", "left")
+            .crossJoin(F.broadcast(n_true))
+            .select(
+                "band_size",
+                F.expr("CAST(8 div band_size AS BIGINT)").alias("n_bands"),
+                F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long")
+                .alias("n_candidates"),
+                F.col("n_true").cast("long").alias("n_true"),
+                F.coalesce(F.col("true_positives"), F.lit(0)).cast("long")
+                .alias("true_positives"),
+                F.when(F.coalesce(F.col("n_candidates"), F.lit(0)) > 0,
+                       F.expr("true_positives * 1000000 div n_candidates"))
+                .alias("precision_ppm"),
+                F.when(F.col("n_true") > 0,
+                       F.expr("coalesce(true_positives, 0) * 1000000 "
+                              "div n_true"))
+                .alias("recall_ppm")))
 
 
 @register("embedding_near_dup", """
