@@ -91,6 +91,108 @@ def _drift_flagged(timings: dict[str, float],
              or sec > 1.5 * baseline[name]))
 
 
+def _remeasure_set(flagged: list[str], timings: dict[str, float],
+                   baseline: dict[str, float], cap: int) -> list[str]:
+    """Cap the isolated re-measure loop (round-14 verdict #2): on a loaded
+    box the drift rule can flag most of the registry (83/215 in r14), and
+    an uncapped min-of-3 loop appends ~250 extra query executions — the
+    harness responds to external load by tripling its own wall. Keep the
+    top-`cap` rows by absolute drift delta (session − baseline); the
+    payload notes how many were flagged in total."""
+    if cap < 0 or len(flagged) <= cap:
+        return list(flagged)
+    return sorted(flagged, key=lambda n: baseline[n] - timings[n])[:cap]
+
+
+# The driver keeps only the LAST ~2000 chars of stdout: if the payload is
+# bigger the driver's regex recovers a random half and PERF attribution
+# dies. Shrink priority (round-14 verdict #1 — the old loop shed QUERY
+# rows first, so one elevated session crowded the queries dict down to a
+# single entry and PERF manufactured 59 phantom "dropped" queries):
+#   1. queries dict: top-k by seconds, never below _QUERIES_FLOOR while
+#      any other lever remains;
+#   2. isolated_remeasure rows: capped at _ISO_CAP from the start, shed
+#      before the queries dict drops below its floor;
+#   3. re-measure error strings: truncate then drop;
+#   4. only if a floor-40 payload STILL cannot fit (pathological), shrink
+#      the queries dict further so the line at least parses.
+_QUERIES_FLOOR = 40
+_ISO_CAP = 5
+
+
+def _emit_payload(timings: dict[str, float], total: float, sf: str,
+                  isolated: dict[str, float], baseline: dict[str, float],
+                  remeasure_errors: dict[str, str], limit: int,
+                  n_flagged: int) -> str:
+    def payload_for(k: int, iso_k: int, err_k: int | None = None) -> str:
+        top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:k])
+        doc = {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": top,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if isolated and iso_k > 0:
+            # in-session value vs isolated min-of-3 for every query that
+            # read >30% over its committed baseline — both numbers in
+            # the record, per the round-11 verdict's evidence rule.
+            # iso_k < len trims to the LARGEST-drift rows.
+            keep = sorted(isolated,
+                          key=lambda n: baseline[n] - timings[n])[:iso_k]
+            doc["isolated_remeasure"] = {
+                n: {"session": timings[n], "isolated": isolated[n],
+                    "baseline": baseline[n]} for n in keep}
+            if iso_k < len(isolated):
+                doc["isolated_note"] = (f"top {iso_k} of {len(isolated)} "
+                                        f"re-measured rows shown")
+        if n_flagged > len(isolated) + len(remeasure_errors):
+            doc["drift_note"] = (f"{len(isolated) + len(remeasure_errors)} "
+                                 f"of {n_flagged} drift-flagged rows "
+                                 f"re-measured (cap)")
+        if remeasure_errors:
+            # err_k None = all; a shrink lever like iso_k — unbounded
+            # error strings (200 chars each) could otherwise hold the
+            # payload over the driver's parse window after k/iso_k hit
+            # their floors (truncate each message to 80 chars first,
+            # then drop whole entries)
+            errs = dict(sorted(remeasure_errors.items()))
+            if err_k is not None:
+                errs = {n: m[:80] for n, m in list(errs.items())[:err_k]}
+                if err_k < len(remeasure_errors):
+                    doc["remeasure_errors_note"] = (
+                        f"{err_k} of {len(remeasure_errors)} shown")
+            if errs:
+                doc["isolated_remeasure_errors"] = errs
+        if k < len(timings):
+            doc["note"] = (f"queries = top {k} of {len(timings)} by sec; "
+                           f"full set in BASELINE.md")
+        return json.dumps(doc, separators=(",", ":"))
+
+    if limit <= 0:  # recording-quality runs: no cap, full everything
+        return payload_for(len(timings), len(isolated))
+    floor = min(_QUERIES_FLOOR, len(timings))
+    k, iso_k = len(timings), min(len(isolated), _ISO_CAP)
+    err_k: int | None = None
+    payload = payload_for(k, iso_k, err_k)
+    while len(payload) > limit:
+        if k > floor:
+            k = max(floor, k - 5)
+        elif iso_k > 0:
+            iso_k = max(0, iso_k - 2)
+        elif err_k is None or err_k > 0:
+            err_k = (len(remeasure_errors) if err_k is None
+                     else max(0, err_k - 2))
+        elif k > 1:
+            # pathological: even the floor-40 dict alone is over the
+            # window — a parseable payload beats the floor
+            k = max(1, k - 5)
+        else:
+            break
+        payload = payload_for(k, iso_k, err_k)
+    return payload
+
+
 def main() -> None:
     global _REAL_STDOUT
     _REAL_STDOUT = os.dup(1)
@@ -156,7 +258,9 @@ def main() -> None:
     # separated from session drift without a manual follow-up session.
     isolated: dict[str, float] = {}
     baseline = _latest_baseline(sf)
-    flagged = _drift_flagged(timings, baseline)
+    all_flagged = _drift_flagged(timings, baseline)
+    cap = int(os.environ.get("SPARK_GRAFT_BENCH_REMEASURE_CAP", "8"))
+    flagged = _remeasure_set(all_flagged, timings, baseline, cap)
     remeasure_errors: dict[str, str] = {}
     for name in flagged:
         fn, _sql = REGISTRY[name]
@@ -178,76 +282,15 @@ def main() -> None:
     # that tail: a full 131-query dict (~3.4 KB) truncates mid-object and
     # parses as null (BENCH_r01-r04 all show "parsed": null), leaving only
     # a random ~half of the per-query times regex-recoverable. Emit the
-    # most informative payload that PARSES instead: per-query times sorted
-    # descending and capped so the line stays under the window — the
-    # expensive queries carry all the ratio signal (sub-second entries sit
-    # inside the documented ±50% noise band anyway). No silent cap: the
-    # note names what was dropped, and the COMPLETE per-query recordings
-    # are committed as .baseline_r*_bench*.json + the BASELINE.md table.
-    def payload_for(k: int, iso_k: int, err_k: int | None = None) -> str:
-        top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:k])
-        doc = {
-            "metric": "total_query_wall_time",
-            "value": total,
-            "unit": "sec",
-            "queries": top,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-        if isolated and iso_k > 0:
-            # in-session value vs isolated min-of-3 for every query that
-            # read >30% over its committed baseline — both numbers in
-            # the record, per the round-11 verdict's evidence rule.
-            # iso_k < len trims to the LARGEST-drift rows when the line
-            # must fit the driver's 2000-char parse window (the queries
-            # dict shrinks first; this is the second lever)
-            keep = sorted(isolated,
-                          key=lambda n: baseline[n] - timings[n])[:iso_k]
-            doc["isolated_remeasure"] = {
-                n: {"session": timings[n], "isolated": isolated[n],
-                    "baseline": baseline[n]} for n in keep}
-            if iso_k < len(isolated):
-                doc["isolated_note"] = (f"top {iso_k} of {len(isolated)} "
-                                        f"re-measured rows shown")
-        if remeasure_errors:
-            # err_k None = all; a shrink lever like iso_k — unbounded
-            # error strings (200 chars each) could otherwise hold the
-            # payload over the driver's parse window after k/iso_k hit
-            # their floors (truncate each message to 80 chars first,
-            # then drop whole entries)
-            errs = dict(sorted(remeasure_errors.items()))
-            if err_k is not None:
-                errs = {n: m[:80] for n, m in list(errs.items())[:err_k]}
-                if err_k < len(remeasure_errors):
-                    doc["remeasure_errors_note"] = (
-                        f"{err_k} of {len(remeasure_errors)} shown")
-            if errs:
-                doc["isolated_remeasure_errors"] = errs
-        if k < len(timings):
-            doc["note"] = (f"queries = top {k} of {len(timings)} by sec; "
-                           f"full set in BASELINE.md")
-        return json.dumps(doc, separators=(",", ":"))
-
+    # most informative payload that PARSES instead — shrink priority and
+    # floors in _emit_payload. No silent cap: the note names what was
+    # dropped, and the COMPLETE per-query recordings are committed as
+    # .baseline_r*_bench*.json + the BASELINE.md table.
     # SPARK_GRAFT_BENCH_MAX_CHARS=0 disables the cap (recording-quality
     # runs feeding tools/record_baseline.py need every query).
-    payload = payload_for(len(timings), len(isolated))
     limit = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_CHARS", "1990"))
-    k, iso_k = len(timings), len(isolated)
-    err_k: int | None = None
-    while (limit > 0 and len(payload) > limit
-           and (k > 1 or iso_k > 0 or err_k is None or err_k > 0)):
-        if k > 1:
-            # clamp so the smallest emitted payload is the single most
-            # expensive query (k-5 could land on 0 or negative otherwise,
-            # emitting an empty or mislabeled queries dict)
-            k = max(1, k - 5)
-        elif iso_k > 0:
-            # queries dict is already minimal: shed re-measure rows
-            iso_k = max(0, iso_k - 2)
-        else:
-            # last lever: truncate then drop re-measure error strings
-            err_k = (len(remeasure_errors) if err_k is None
-                     else max(0, err_k - 2))
-        payload = payload_for(k, iso_k, err_k)
+    payload = _emit_payload(timings, total, sf, isolated, baseline,
+                            remeasure_errors, limit, len(all_flagged))
     os.write(_REAL_STDOUT, (payload + "\n").encode())
 
 

@@ -24,8 +24,76 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from bench import _drift_flagged  # noqa: E402
+from bench import _drift_flagged, _emit_payload, _remeasure_set  # noqa: E402
 from record_baseline import _load, _policy_queries  # noqa: E402
+
+
+def _fake_session(n_queries=215, n_isolated=80):
+    """A registry-sized fake session on an elevated box: every isolated
+    row 1.4x over baseline (the r14 83-rows-flagged scenario)."""
+    timings = {f"query_with_a_realistic_name_{i:03d}": round(9.0 - i * 0.04, 3)
+               for i in range(n_queries)}
+    names = sorted(timings)[:n_isolated]
+    baseline = {n: round(timings[n] / 1.4, 3) for n in names}
+    isolated = {n: round(timings[n] * 0.95, 3) for n in names}
+    return timings, baseline, isolated
+
+
+def test_payload_keeps_40_query_rows_under_heavy_drift():
+    # round-14 failure mode: 80+ flagged rows crowded the queries dict to
+    # ONE entry and PERF manufactured 59 phantom "dropped" queries. Pin
+    # the fixed priority: iso rows are capped and shed FIRST; the driver
+    # always sees >= 40 per-query rows.
+    timings, baseline, isolated = _fake_session()
+    payload = _emit_payload(timings, 300.0, "0.1", isolated, baseline,
+                            {}, limit=1990, n_flagged=83)
+    assert len(payload) <= 1990
+    doc = json.loads(payload)
+    assert len(doc["queries"]) >= 40
+    assert len(doc.get("isolated_remeasure", {})) <= 5
+    # the queries dict is the top-k by seconds
+    assert doc["queries"] == dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:len(doc["queries"])])
+
+
+def test_payload_sheds_iso_rows_before_query_floor():
+    # a limit tight enough that 40 query rows + 5 iso rows cannot both
+    # fit: the iso rows go first, the 40-row floor holds
+    timings, baseline, isolated = _fake_session()
+    payload = _emit_payload(timings, 300.0, "0.1", isolated, baseline,
+                            {}, limit=1800, n_flagged=83)
+    doc = json.loads(payload)
+    assert len(payload) <= 1800
+    assert len(doc["queries"]) >= 40
+    assert len(doc.get("isolated_remeasure", {})) < 5
+
+
+def test_payload_parses_even_below_floor():
+    # pathological narrow window: the floor yields to parseability
+    timings, baseline, isolated = _fake_session()
+    payload = _emit_payload(timings, 300.0, "0.1", isolated, baseline,
+                            {}, limit=300, n_flagged=83)
+    doc = json.loads(payload)
+    assert len(payload) <= 300 and doc["queries"]
+
+
+def test_payload_uncapped_emits_everything():
+    timings, baseline, isolated = _fake_session()
+    doc = json.loads(_emit_payload(timings, 300.0, "0.1", isolated,
+                                   baseline, {}, limit=0, n_flagged=83))
+    assert len(doc["queries"]) == len(timings)
+    assert len(doc["isolated_remeasure"]) == len(isolated)
+    assert "note" not in doc
+
+
+def test_remeasure_set_caps_by_largest_delta():
+    timings = {"a": 10.0, "b": 5.0, "c": 2.0}
+    baseline = {"a": 6.0, "b": 2.0, "c": 1.5}  # deltas 4.0, 3.0, 0.5
+    assert _remeasure_set(["a", "b", "c"], timings, baseline, 2) == ["a", "b"]
+    assert _remeasure_set(["a", "b", "c"], timings, baseline, -1) \
+        == ["a", "b", "c"]
+    assert sorted(_remeasure_set(["a", "b", "c"], timings, baseline, 9)) \
+        == ["a", "b", "c"]
 
 
 def test_drift_flag_big_row_needs_ratio_and_delta():
